@@ -1,0 +1,83 @@
+"""Table catalog: register Parquet datasets as queryable tables.
+
+The reference discovers tables by listing data-dir subdirectories and
+rebuilding per-tablet metadata (reference pkg/db/db.go:291-350,
+``loadExistingTables``).  Spark-natively, a "table" is a Parquet dataset
+registered as a temp view; min/max pruning that the reference tracked by
+hand (internal/storage/index.go:14-20) comes free from Parquet footer
+statistics and Catalyst partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Every table in the driver-generated corpus (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    """Canonicalize physical quirks of the corpus at the catalog boundary.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as raw int64
+    nanoseconds. Convert to µs TimestampType by integer division — the
+    exact truncation DuckDB performs reading the same file, so oracle
+    comparisons see identical values (FIXTURES.md 'ns→µs truncation').
+
+    The raw nanos survive as hidden column ``__ts_ns``: a predicate on
+    the derived timestamp cannot be pushed into the parquet scan
+    (`timestamp_micros(ts div 1000) >= X` is opaque to the reader), so
+    time-range operators translate their bounds to int64 ns and filter
+    on ``__ts_ns`` — which pushes down to row-group stats. That
+    pushdown IS the reference's tablet pruning (table.go:146-149); at
+    100 TB it is the difference between pruning and a full scan.
+    Operators drop the hidden column from query outputs.
+    """
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("__ts_ns", F.col("ts")).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every corpus table from ``sf_dir`` as a DataFrame."""
+    return {
+        name: _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        for name in TABLES
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (the reference's table catalog,
+    pkg/db/db.go:19-25, as Spark session state)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a single table by name."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))

@@ -1,0 +1,142 @@
+"""Embedding-space near-duplicate detection and ANN search.
+
+Random-hyperplane LSH (Charikar SimHash for real vectors): signature
+bit i = sign(<v, p_i>) for fixed pseudo-random hyperplanes p_i. Vectors
+agreeing on a whole signature land in one bucket; exact cosine re-ranks
+within buckets. P(bit agrees) = 1 − θ/π, so an 8-bit signature keeps
+~36% of pairs at cosine 0.9 per table, and multiple tables (signature
+seeds) push recall up exponentially.
+
+The hyperplanes are generated from a fixed numpy seed and injected as
+LITERAL arrays — engine-portable arithmetic (dot products + sign), so
+unlike hash-based LSH this variant DOES admit an exact cross-engine SQL
+oracle. ``sql_hyperplane_literal`` renders the same planes for DuckDB.
+
+Scale: bucketing is a map + one shuffle on (table, signature); exact
+re-rank cost is Σ bucket², controlled by signature width; the brute
+force fallback in functions.similarity covers broadcast-sized probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronobase_spark.functions.similarity import cosine
+
+DIM = 64
+SEED = 42
+
+
+def hyperplanes(num_planes: int = 8, dim: int = DIM, seed: int = SEED) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes, rounded to 6 decimals so the
+    literals embedded in Spark and SQL are the exact same doubles."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((num_planes, dim)), 6)
+
+
+def _plane_dot(vec: Column, plane: np.ndarray) -> Column:
+    """<vec, plane> as a sequential fold: Σ vec[i] * plane[i]."""
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda v, p: v.cast("double") * p),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Integer bucket id: bit i set iff <vec, p_i> >= 0."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        sig = sig + F.when(_plane_dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(0)
+    return sig
+
+
+def sql_signature_expr(vec_expr: str, planes: np.ndarray) -> str:
+    """The identical signature as an ANSI/DuckDB SQL expression (for the
+    correctness oracle)."""
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {len(plane)}), "
+            f"i -> {vec_expr}[i] * ([{lits}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def bucketed_near_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    min_cosine: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate vector pairs (a < b) that share an LSH bucket AND
+    have exact cosine ≥ min_cosine. Shuffle on bucket id; exact math only
+    within buckets."""
+    planes = hyperplanes(num_planes)
+    # persist: the signature (num_planes × dim fold per row) feeds both
+    # sides of the self-join — compute once.
+    sig = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    ).persist()
+    a, b = sig.alias("a"), sig.alias("b")
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF/LSH-style approximate top-k: each probe searches only its own
+    LSH cell instead of the full corpus. Returns (q_id, n_id, sim) ranked
+    within cell. The approximation is the cell restriction; ranking
+    inside is exact cosine."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(num_planes)
+    sig = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    probes = sig.filter(F.col("vid").isin(probe_ids)).select(
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = sig.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vid") != F.col("q_id")),
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("vec")), round_digits)
+    scored = cands.select("q_id", F.col("vid").alias("n_id"), sim.alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    ).drop("rnk")

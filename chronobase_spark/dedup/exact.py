@@ -1,0 +1,61 @@
+"""Exact and normalized exact deduplication.
+
+The canonical first pass of any training-data pipeline: group on the
+(normalized) content, keep one representative. One hash shuffle on the
+content key; at 100 TB, group on a digest (xxhash64/sha2 of the text)
+instead of the raw text so the shuffle carries 8-32 bytes per row, not
+the document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for near-exact matching: lowercase, strip
+    punctuation, collapse whitespace."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the minimum-id representative per exact text; report group
+    size. Returns (doc_id, dup_count) — dup_count > 1 marks duplicate
+    clusters."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select(id_col, "dup_count")
+
+
+def dedup_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the normalized form (case/punct/whitespace
+    -insensitive)."""
+    return (
+        df.select(F.col(id_col), normalize(F.col(text_col)).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
+def dedup_by_digest(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scale variant: shuffle a 64-bit digest of the normalized text
+    instead of the text itself (the shuffle payload at 100 TB is ids +
+    hashes only). Collisions at 64 bits are ~n²/2⁶⁵ — negligible below
+    ~10⁹ docs; use sha2-256 beyond."""
+    h = F.xxhash64(normalize(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "dup_count")
+    )

@@ -1,0 +1,80 @@
+"""n-gram (shingle) Jaccard near-duplicate pairs — the exact,
+SQL-oracle-checkable member of the near-dup family.
+
+Shape: tokenize → n-gram shingles → explode distinct shingles →
+self-join on shingle (candidate pairs share ≥1 shingle) → count common
+shingles per pair → Jaccard = common / (|A| + |B| − common).
+
+Scale control: candidate generation is bounded by dropping shingles with
+document frequency above ``max_df`` (a hot shingle appearing in f docs
+creates f² pair candidates — the classic quadratic blowup). This is the
+same posting-list pruning trick used in every inverted-index join; it is
+deterministic, so the SQL oracle applies the identical rule. True
+near-duplicate pairs share many shingles, so losing their most common
+ones barely affects recall at sane thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronobase_spark.functions.text import tokens
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized token stream."""
+    toks = tokens(text)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 50,
+) -> DataFrame:
+    """All document pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6 digits so
+    threshold and ordering behave identically across engines.
+    """
+    # The exploded shingle table feeds sizes, the df-pruning subquery,
+    # and both sides of the pair join — persist so the shingling (regex
+    # tokenize + n-gram assembly) runs once, not five times.
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).persist()
+    # |shingles(doc)|
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # posting-list pruning: drop hot shingles before the pair join
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
+        "sh",
+    ).select("doc", "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        6,
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

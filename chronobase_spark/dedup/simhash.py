@@ -1,0 +1,101 @@
+"""SimHash (Charikar) 64-bit near-duplicate signatures.
+
+Each token hashes to 64 bits; per document, each bit position
+accumulates +1/-1 by token bit value; the signature's bit i is the sign
+of accumulator i. Near-duplicate docs differ in few signature bits
+(small Hamming distance).
+
+Implementation is one explode + one aggregation with 64 conditional-sum
+expressions — a single shuffle on doc id, all JVM-side. Signature bits
+depend on Spark's xxhash64 → no cross-engine SQL oracle (rows-only
+check); semantics pinned in tests/test_dedup.py.
+
+Scale: at 100 TB the explode is map-side and the aggregate is partial
+(map-side combine) + final — the shuffle carries 64 ints per doc, not
+tokens. Hamming-ball candidate search uses the standard trick of
+grouping on 4 × 16-bit signature chunks (two near-dup docs within
+Hamming distance 3 agree on ≥1 chunk — pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chronobase_spark.functions.text import tokens
+
+BITS = 64
+CHUNKS = 4  # 16-bit chunks for Hamming-ball LSH
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc, simhash: bigint) per document."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(BITS)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(BITS):
+        # bit 63 is the sign bit of a 64-bit long: its set-value wraps to
+        # long.min in two's complement.
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Popcount of XOR via bit_count (Spark ≥3.3 built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming``, found by chunk-LSH:
+    any pair within distance CHUNKS-1 shares at least one identical
+    16-bit chunk (pigeonhole), so group-join on chunks then verify."""
+    sigs = simhash(df, text_col, id_col).persist()
+    chunked = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.chunk_id", "c.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

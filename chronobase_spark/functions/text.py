@@ -1,0 +1,106 @@
+"""Text analysis over the ``documents`` table (SURVEY.md §2.4).
+
+Everything is native Spark SQL expressions (split / transform /
+aggregate / regexp) so the token pipeline stays inside whole-stage
+codegen — at 100 TB of text, a row-at-a-time Python UDF here would be
+the single dominant cost.
+
+The corpus' ``text`` is whitespace-separated tokens (FIXTURES.md), so
+tokenization is a split; the regexes also handle general punctuation so
+the same functions survive real text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword list for quality scoring (public knowledge).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization after lowercase + punctuation strip."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    """Number of tokens."""
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards moderate length,
+    lexical diversity, and a sane stopword ratio — the standard cheap
+    pre-filter in LLM training-data pipelines. Deterministic closed-form
+    arithmetic (same formula runs in the SQL oracle)."""
+    n = token_count(text).cast("double")
+    diversity = distinct_token_count(text).cast("double") / F.greatest(
+        n, F.lit(1.0)
+    )
+    length_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    stop = stopword_ratio(text)
+    stop_score = F.lit(1.0) - F.abs(stop - F.lit(0.2))
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.4) * diversity + F.lit(0.2) * stop_score,
+        6,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    normalized token stream, mod 2^31-1. Engine-portable (plain integer
+    arithmetic over code points — the same fold runs in ANSI SQL), unlike
+    murmur/xxhash which differ across engines."""
+    joined = F.array_join(tokens(text), " ")
+    # fold over code points: h = (h*31 + ascii(ch)) % 2147483647
+    chars = F.split(joined, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(2147483647).cast("long"),
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID via stopword/character evidence — returns a
+    best-guess code from a fixed candidate set, 'unk' when no evidence.
+    A real pipeline would use a trained n-gram model; this is the
+    deterministic, dependency-free heuristic variant (the corpus text is
+    synthetic English-like tokens, so this mostly exercises plumbing)."""
+    markers = {
+        "en": ("the", "and", "of", "to"),
+        "es": ("el", "la", "de", "que"),
+        "fr": ("le", "la", "et", "les"),
+        "de": ("der", "die", "und", "das"),
+        "zh": (),  # CJK detected by codepoint below
+    }
+    toks = tokens(text)
+    scores = []
+    for lang, words in markers.items():
+        if words:
+            s = F.size(F.filter(toks, lambda t: t.isin(*words)))
+        else:
+            s = F.when(text.rlike(r"[一-鿿]"), F.lit(1000)).otherwise(F.lit(0))
+        scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unk"))

@@ -1,0 +1,151 @@
+"""Time-series operators — the reference's executed query surface.
+
+The reference's entire read API is one operator: an inclusive time-range
+scan (``DB.Query``, reference pkg/db/db.go:155-162 →
+internal/storage/tablet.go:331-387), plus declared-but-unwired limit /
+ordering / key-lookup intent (reference pkg/db/types.go:16-29,
+internal/storage/index.go:231-236). Here each becomes a one-liner the
+optimizer can see through:
+
+* the per-tablet [MinTS, MaxTS] pruning the reference hand-rolls
+  (table.go:146-149) is Parquet row-group min/max stats + partition
+  pruning — the BETWEEN predicate below is pushed into the scan
+  (check ``.explain``: PushedFilters on ``ts``);
+* the key lookup's sparse block index (index.go:231-236, dead code in the
+  reference) is Parquet predicate pushdown on the key column.
+
+At 100 TB the events dataset would be written partitioned by a time bucket
+(see chronobase_spark.streaming.ingest), making these scans prune whole
+partitions before touching a file.
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TimeLike = "str | dt.datetime"
+
+# Hidden raw-nanos column kept by the catalog for pushdown (catalog._normalize).
+TS_NS = "__ts_ns"
+
+
+def _ts(value: str | dt.datetime) -> Column:
+    """Literal timestamp; strings are 'YYYY-MM-DD HH:MM:SS[.ffffff]' (UTC)."""
+    if isinstance(value, str):
+        return F.to_timestamp(F.lit(value))
+    return F.lit(value)
+
+
+def _to_micros(value: str | dt.datetime) -> int:
+    """Literal → integer µs since epoch (UTC), without float rounding."""
+    d = dt.datetime.fromisoformat(value) if isinstance(value, str) else value
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return calendar.timegm(d.timetuple()) * 1_000_000 + d.microsecond
+
+
+def time_range_scan(
+    df: DataFrame,
+    start: str | dt.datetime,
+    end: str | dt.datetime,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """All rows with start <= ts <= end — bounds inclusive on BOTH ends,
+    matching the reference's memory path ``!ts.Before(start) &&
+    !ts.After(end)`` (tablet.go:382) and disk path (tablet.go:366-367).
+
+    Spark's BETWEEN is inclusive-inclusive, so semantics align exactly.
+
+    Pushdown: when the catalog kept raw nanos (``__ts_ns``), the bounds
+    are translated exactly — displayed µs ts is floor(ns/1000), so
+    ``ts >= s ⟺ ns >= s·1000`` and ``ts <= e ⟺ ns <= e·1000 + 999`` —
+    and the int64 predicate reaches the Parquet reader (PushedFilters),
+    giving the row-group/partition pruning the reference intended but
+    never wired (tablet.go:349-350 reads every block).
+    """
+    cond = F.col(ts_col).between(_ts(start), _ts(end))
+    if TS_NS in df.columns and ts_col == "ts":
+        s_ns = _to_micros(start) * 1000
+        e_ns = _to_micros(end) * 1000 + 999
+        cond = cond & F.col(TS_NS).between(F.lit(s_ns), F.lit(e_ns))
+    return df.filter(cond).drop(TS_NS)
+
+
+def key_lookup(df: DataFrame, key_col: str, key_value) -> DataFrame:
+    """Point lookup by key (reference ``findBlockForKey``,
+    index.go:231-236 — declared, never reached). Equality predicate is
+    pushed down; at scale, Parquet dictionary/bloom filters serve the
+    role of the reference's per-block last-key index. Drops the
+    catalog's hidden pushdown column from the output."""
+    return df.filter(F.col(key_col) == F.lit(key_value)).drop(TS_NS)
+
+
+def scan_ordered(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    ascending: bool = True,
+    limit: int | None = None,
+) -> DataFrame:
+    """Ordered scan with optional limit — the reference's
+    ``Query.Ascending`` / ``Query.Limit`` intent (pkg/db/types.go:16-21).
+    Ties on the timestamp break by key, the reference's in-tablet sort
+    rule (tablet.go:124-132).
+
+    With a limit, Catalyst plans TakeOrderedAndProject: each partition
+    keeps a k-row heap and the driver merges k·p rows — no global sort,
+    which is what makes top-k viable at 100 TB.
+    """
+    order = [F.col(ts_col), F.col(key_col)]
+    if not ascending:
+        order = [c.desc() for c in order]
+    out = df.orderBy(*order)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def ttl_filter(
+    df: DataFrame,
+    cutoff: str | dt.datetime,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention filter: keep rows strictly newer than the cutoff —
+    the reference drops rows with ``time.Since(ts) > ttl`` at ingest
+    (table.go:93-96) and filters the memtable to ``ts > now-ttl`` at
+    cleanup (table.go:362), i.e. rows exactly at the cutoff are KEPT.
+    Callers pass a literal cutoff so results are deterministic; the
+    streaming ingest path applies the same predicate per micro-batch.
+
+    Same ns-pushdown translation as time_range_scan:
+    ``ts > c ⟺ floor(ns/1000) >= c+1µs ⟺ ns >= (c+1µs)·1000``."""
+    cond = F.col(ts_col) > _ts(cutoff)
+    if TS_NS in df.columns and ts_col == "ts":
+        cond = cond & (F.col(TS_NS) >= F.lit((_to_micros(cutoff) + 1) * 1000))
+    return df.filter(cond).drop(TS_NS)
+
+
+def table_stats(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Table statistics: row count + oldest/newest timestamp — the
+    reference's ``GetStats`` (table.go:390-414, struct table.go:32-42).
+    Storage-level fields (DiskTablets, DiskSize) are file-system facts
+    owned by the catalog, not the query engine."""
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min(ts_col).alias("oldest_ts"),
+        F.max(ts_col).alias("newest_ts"),
+    )
+
+
+def sorted_scan(
+    df: DataFrame, ts_col: str = "ts", key_col: str = "event_id"
+) -> DataFrame:
+    """Full scan in (ts, key) order — the reference's tablet sort order
+    (tablet.go:124-132) exposed as a query-level guarantee the reference
+    itself never provided (its multi-tablet results are unordered,
+    table.go:132-161)."""
+    return df.orderBy(F.col(ts_col), F.col(key_col))

@@ -1,0 +1,99 @@
+"""Window-function operators (SURVEY.md §2.3 — absent in the reference).
+
+Ranking, analytic (lag/lead), and frame-based moving aggregates over
+per-key event streams. Each window shuffles once on its partition key and
+sorts within partitions; at 100 TB the partition key (user_id) spreads
+state across executors, and no window here is unpartitioned (a global
+``Window.orderBy`` would funnel the dataset through one task — never do
+that at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_events_per_user(
+    df: DataFrame,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    top_n: int | None = None,
+) -> DataFrame:
+    """row_number/rank over each user's event stream ordered by
+    (ts, key) — the reference's (Timestamp, Key) sort rule
+    (tablet.go:124-132) as a per-key ranking."""
+    w = Window.partitionBy(partition_col).orderBy(F.col(ts_col), F.col(key_col))
+    out = df.withColumn("rn", F.row_number().over(w))
+    if top_n is not None:
+        out = out.filter(F.col("rn") <= top_n)
+    return out
+
+
+def lag_delta_seconds(
+    df: DataFrame,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    alias: str = "gap_s",
+) -> DataFrame:
+    """Seconds since the previous event of the same key (lag analytic);
+    NULL for each key's first event."""
+    w = Window.partitionBy(partition_col).orderBy(F.col(ts_col), F.col(key_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    return df.withColumn(
+        alias,
+        (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)).cast("bigint"),
+    )
+
+
+def moving_sum(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    preceding: int,
+    alias: str = "moving_sum",
+    scale: int = 2,
+) -> DataFrame:
+    """Moving sum over a ROWS frame [preceding, current] per key.
+
+    Summed as exact decimal then cast to double so the result is
+    independent of row layout (see aggregates.dsum rationale)."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(ts_col), F.col(key_col))
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    val = F.col(value_col).cast(f"decimal(18,{scale})")
+    return df.withColumn(alias, F.sum(val).over(w).cast("double"))
+
+
+def sessionize(
+    df: DataFrame,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap since the
+    previous event exceeds ``gap_seconds`` (gaps-and-islands). This is the
+    batch analog of ``session_window`` (streaming module) and is fully
+    expressible in ANSI SQL for the oracle.
+
+    Adds ``session_id`` (1-based per key). One shuffle + one sort.
+    Ordering tie-breaks on ``key_col`` so the island assignment is
+    deterministic.
+    """
+    w = Window.partitionBy(partition_col).orderBy(F.col(ts_col), F.col(key_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_seconds)
+    ).cast("int")
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )

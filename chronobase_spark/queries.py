@@ -1,0 +1,784 @@
+"""Declared query registry — the driver-facing surface of the engine.
+
+Every operator from SURVEY.md §2 appears here as a named query bound to
+the driver corpus, paired (where SQL-expressible) with an ANSI-SQL
+oracle string that DuckDB runs on the same parquet files. The driver
+hash-compares both result sets, so:
+
+* every computed column is aliased identically in Spark and SQL;
+* double aggregation goes through exact DECIMAL then one cast to double
+  (order-insensitive — see operators.aggregates);
+* float similarity uses the identical sequential fold on both engines
+  and is rounded before any ranking/threshold.
+
+Queries whose values depend on Spark-internal hashing (MinHash, SimHash)
+carry no oracle — the driver records a rows-only check and pytest pins
+their semantics against brute-force ground truth instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chronobase_spark import catalog
+from chronobase_spark.dedup import embedding as emb_dedup
+from chronobase_spark.dedup import exact as exact_dedup
+from chronobase_spark.dedup import minhash, ngram, simhash
+from chronobase_spark.functions import similarity, text
+from chronobase_spark.operators import aggregates as agg
+from chronobase_spark.operators import joins, setops, timeseries, windows
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (query_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# M1 — reference surface (SURVEY §2.1/§2.2): the TSDB API as DataFrame ops
+# ---------------------------------------------------------------------------
+
+_SCAN_START = "2024-01-10 00:00:00"
+_SCAN_END = "2024-01-15 12:00:00"
+
+
+@register(
+    "time_range_scan",
+    f"""SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '{_SCAN_START}' AND TIMESTAMP '{_SCAN_END}'""",
+)
+def q_time_range_scan(spark, sf_dir):
+    """Reference O1: inclusive time-range scan (tablet.go:366-367,382)."""
+    return timeseries.time_range_scan(_t(spark, sf_dir, "events"), _SCAN_START, _SCAN_END)
+
+
+@register("key_lookup", "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_id = 123")
+def q_key_lookup(spark, sf_dir):
+    """Reference D4: key point lookup (index.go:231-236)."""
+    return timeseries.key_lookup(_t(spark, sf_dir, "events"), "event_id", 123)
+
+
+@register(
+    "scan_limit_asc",
+    "SELECT event_id, ts, user_id FROM events ORDER BY ts, event_id LIMIT 100",
+)
+def q_scan_limit_asc(spark, sf_dir):
+    """Reference D1/D2: ordered scan with limit (pkg/db/types.go:16-21)."""
+    df = timeseries.scan_ordered(
+        _t(spark, sf_dir, "events"), ascending=True, limit=100
+    )
+    return df.select("event_id", "ts", "user_id")
+
+
+@register(
+    "scan_limit_desc",
+    "SELECT event_id, ts, user_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 100",
+)
+def q_scan_limit_desc(spark, sf_dir):
+    df = timeseries.scan_ordered(
+        _t(spark, sf_dir, "events"), ascending=False, limit=100
+    )
+    return df.select("event_id", "ts", "user_id")
+
+
+@register(
+    "ttl_filter",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'",
+)
+def q_ttl_filter(spark, sf_dir):
+    """Reference O6/TTL-at-ingest semantics with a literal cutoff
+    (table.go:93-96,362): rows strictly newer than the cutoff survive."""
+    return timeseries.ttl_filter(_t(spark, sf_dir, "events"), "2024-01-20 00:00:00")
+
+
+@register(
+    "table_stats",
+    "SELECT COUNT(*) AS row_count, MIN(ts) AS oldest_ts, MAX(ts) AS newest_ts FROM events",
+)
+def q_table_stats(spark, sf_dir):
+    """Reference O8: GetStats (table.go:390-414)."""
+    return timeseries.table_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stats_per_type",
+    """SELECT event_type, COUNT(*) AS row_count, MIN(ts) AS oldest_ts, MAX(ts) AS newest_ts,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY event_type""",
+)
+def q_stats_per_type(spark, sf_dir):
+    """O8 generalized to per-key stats via hash aggregation."""
+    return agg.group_agg(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("row_count"),
+            F.min("ts").alias("oldest_ts"),
+            F.max("ts").alias("newest_ts"),
+            agg.dsum("value").alias("total_value"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2 — analytical surface (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: scan → filter → hash aggregate
+    (map-side partial + final around one shuffle on 2 low-card keys)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return agg.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            agg.dsum("l_quantity").alias("sum_qty"),
+            agg.dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            agg.davg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+@register(
+    "revenue_by_region",
+    """SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+                   JOIN nation   ON c_nationkey = n_nationkey
+                   JOIN region   ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def q_revenue_by_region(spark, sf_dir):
+    """Star-schema rollup: fact ⋈ broadcast dims, no fact shuffle until
+    the final 5-group aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    joined = joins.broadcast_dim_join(
+        orders,
+        [(customer, "o_custkey"), (nation, "c_nationkey"), (region, "n_regionkey")],
+    )
+    return joined.groupBy("r_name").agg(
+        agg.dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "monthly_order_revenue",
+    """SELECT date_trunc('month', o_orderdate) AS order_month, o_orderstatus,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY date_trunc('month', o_orderdate), o_orderstatus""",
+)
+def q_monthly_order_revenue(spark, sf_dir):
+    """Fact-fact equi-join (lineitem ⋈ orders): shuffles both sides on
+    the order key → SMJ/shuffled-hash; AQE may broadcast at small SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return (
+        li.join(orders, "l_orderkey")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "customers_with_orders",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_customers_with_orders(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.semi_join(cust, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.anti_join(cust, orders, "c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_GAP_S = 21600  # 6h
+
+
+@register(
+    "event_pairs_within_gap",
+    f"""SELECT a.event_id AS ea, b.event_id AS eb,
+               CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS delta_s
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        WHERE CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) BETWEEN 0 AND {_GAP_S}""",
+)
+def q_event_pairs_within_gap(spark, sf_dir):
+    """Range/interval join: same-user event pairs within 6h, via epoch
+    bucketing (operators.joins.range_join_bucketed) — equi-join on
+    (user, bucket) instead of a quadratic theta-join."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(
+        F.col("event_id").alias("ea"), F.col("ts").alias("tsa"), "user_id"
+    )
+    right = ev.select(
+        F.col("event_id").alias("eb"), F.col("ts").alias("tsb"), "user_id"
+    )
+    joined = joins.range_join_bucketed(
+        left, right, "tsa", "tsb", _GAP_S, partition_keys=["user_id"]
+    )
+    delta = (F.unix_timestamp("tsb") - F.unix_timestamp("tsa")).cast("bigint")
+    return (
+        joined.filter(F.col("ea") != F.col("eb"))
+        .select("ea", "eb", delta.alias("delta_s"))
+    )
+
+
+@register(
+    "asof_last_error",
+    """SELECT p.event_id,
+              (SELECT MAX(e.ts) FROM events e
+               WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts) AS last_error_ts
+       FROM events p WHERE p.event_type = 'purchase'""",
+)
+def q_asof_last_error(spark, sf_dir):
+    """As-of join: for each purchase, the most recent error (ts <=) by the
+    same user — union + window carry-forward (operators.joins.asof_join),
+    one shuffle on user_id, no range explosion."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", F.col("ts").alias("last_error_ts"))
+    )
+    out = joins.asof_join(
+        purchases,
+        errors,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["last_error_ts"],
+    )
+    return out.select("event_id", "last_error_ts")
+
+
+@register(
+    "distinct_users_per_type",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users FROM events GROUP BY event_type",
+)
+def q_distinct_users_per_type(spark, sf_dir):
+    return agg.distinct_count(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", "distinct_users"
+    )
+
+
+@register("approx_distinct_users", None)  # sketch values are engine-specific
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct sketch — the 100 TB path for distinct
+    counting (constant memory/group). No cross-engine oracle; accuracy
+    pinned vs exact in tests."""
+    return agg.approx_distinct_count(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", "approx_users"
+    )
+
+
+@register(
+    "rollup_pricing",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup_pricing(spark, sf_dir):
+    return agg.rollup_agg(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n_rows"), agg.dsum("l_quantity").alias("sum_qty")],
+    )
+
+
+@register(
+    "cube_order_counts",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q_cube_order_counts(spark, sf_dir):
+    return agg.cube_agg(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n_orders")],
+    )
+
+
+@register(
+    "top3_events_per_user",
+    """SELECT user_id, event_id, rn FROM (
+         SELECT user_id, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events) t WHERE rn <= 3""",
+)
+def q_top3_events_per_user(spark, sf_dir):
+    """Ranking window over per-user event streams."""
+    df = windows.rank_events_per_user(_t(spark, sf_dir, "events"), top_n=3)
+    return df.select("user_id", "event_id", "rn")
+
+
+@register(
+    "event_gap_seconds",
+    """SELECT event_id,
+              CAST(floor(epoch(ts)) AS BIGINT)
+                - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+       FROM events""",
+)
+def q_event_gap_seconds(spark, sf_dir):
+    """Lag analytic: whole seconds since the user's previous event."""
+    df = windows.lag_delta_seconds(_t(spark, sf_dir, "events"))
+    return df.select("event_id", "gap_s")
+
+
+@register(
+    "moving_value_sum",
+    """SELECT event_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+       FROM events""",
+)
+def q_moving_value_sum(spark, sf_dir):
+    """Frame-based moving aggregate (ROWS window)."""
+    df = windows.moving_sum(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id", "value", 3
+    )
+    return df.select("event_id", "moving_sum")
+
+
+@register(
+    "user_sessions",
+    """WITH flagged AS (
+         SELECT user_id,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+       FROM flagged GROUP BY user_id""",
+)
+def q_user_sessions(spark, sf_dir):
+    """Sessionization (gaps-and-islands, 30-min gap) — batch analog of
+    session_window; same `gap > 1800 ⇒ new session` rule on both engines."""
+    df = windows.sessionize(
+        _t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800
+    )
+    return df.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "union_active_users",
+    """SELECT user_id FROM events WHERE event_type = 'error'
+       UNION
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def q_union_active_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return setops.union_distinct(a, b)
+
+
+@register(
+    "intersect_users",
+    """SELECT user_id FROM events WHERE event_type = 'error'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def q_intersect_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return setops.intersect(a, b)
+
+
+@register(
+    "except_users",
+    """SELECT user_id FROM events WHERE event_type = 'error'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'signup'""",
+)
+def q_except_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return setops.except_(a, b)
+
+
+@register(
+    "json_value_by_type",
+    """SELECT event_type,
+              CAST(SUM(CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INT)) AS DOUBLE) / COUNT(*) AS avg_k
+       FROM events GROUP BY event_type""",
+)
+def q_json_value_by_type(spark, sf_dir):
+    """JSON extraction on the reference's opaque-payload analog
+    (events.props ↔ Row.Data, row.go:9): get_json_object + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k")
+    )
+
+
+@register(
+    "daily_event_stats",
+    """SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY date_trunc('day', ts)""",
+)
+def q_daily_event_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        agg.dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "hourly_tumbling_counts",
+    """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+       FROM events GROUP BY date_trunc('hour', ts)""",
+)
+def q_hourly_tumbling_counts(spark, sf_dir):
+    """Tumbling time window (batch analog of the streaming windowed agg;
+    the streaming variant lives in chronobase_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(F.col("window.start").alias("window_start"), "n_events")
+
+
+@register(
+    "sliding_window_counts",
+    """SELECT window_start, COUNT(*) AS n_events FROM (
+         SELECT date_trunc('hour', ts) AS window_start FROM events
+         UNION ALL
+         SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start FROM events
+       ) t GROUP BY window_start""",
+)
+def q_sliding_window_counts(spark, sf_dir):
+    """Sliding window (2h length, 1h slide): each event lands in two
+    windows; the oracle expands the same two shifted assignments."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — LLM-pipeline extension (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+       FROM documents GROUP BY text""",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-group on content, min-id representative."""
+    return exact_dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_normalized",
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+       FROM documents
+       GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))""",
+)
+def q_dedup_normalized(spark, sf_dir):
+    """Near-exact dedup on case/punct/whitespace-normalized text."""
+    return exact_dedup.dedup_normalized(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id AS doc, UNNEST(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+), rare AS (
+  SELECT doc, sh FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50)
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.5
+"""
+
+
+@register("ngram_jaccard_pairs", _JACCARD_SQL)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """3-gram shingle Jaccard near-dup pairs with posting-list pruning
+    (dedup.ngram) — the exact, oracle-checkable near-dup variant."""
+    return ngram.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=50
+    )
+
+
+@register("minhash_dedup_pairs", None)  # Spark xxhash64-dependent
+def q_minhash_dedup_pairs(spark, sf_dir):
+    """MinHash+LSH banding candidates verified by exact Jaccard — the
+    sub-quadratic scale path (see dedup.minhash; equivalence to brute
+    force pinned in tests/test_dedup.py)."""
+    return minhash.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("simhash_near_pairs", None)  # Spark xxhash64-dependent
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash 64-bit signatures; Hamming-ball pairs via chunk LSH."""
+    return simhash.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+@register(
+    "topk_cosine",
+    f"""SELECT q_id, n_id, sim FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 {_cos_sql('q', 'c')} AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {_cos_sql('q', 'c')} DESC, c.vec_id) AS rnk
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id IN (0, 1, 2)) t
+        WHERE rnk <= 10""",
+)
+def q_topk_cosine(spark, sf_dir):
+    """Brute-force exact top-k cosine ANN baseline: 3 probe vectors vs
+    the corpus, broadcast probes, sequential-fold float64 dot product."""
+    embt = _t(spark, sf_dir, "embeddings")
+    probes = embt.filter(F.col("vec_id").isin([0, 1, 2]))
+    return similarity.topk_cosine(probes, embt, k=10)
+
+
+def _lsh_pairs_sql() -> str:
+    planes = emb_dedup.hyperplanes(8)
+    sig = emb_dedup.sql_signature_expr("e.embedding", planes)
+    return f"""
+WITH sigs AS (
+  SELECT e.vec_id, e.embedding, ({sig}) AS bucket FROM embeddings e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_sql('a', 'b')} AS cosine
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a', 'b')} >= 0.4
+"""
+
+
+@register("embedding_near_pairs", _lsh_pairs_sql())
+def q_embedding_near_pairs(spark, sf_dir):
+    """Random-hyperplane LSH bucketing + exact cosine verify ≥ 0.4 —
+    engine-portable (literal hyperplanes), so fully oracle-checked."""
+    return emb_dedup.bucketed_near_pairs(
+        _t(spark, sf_dir, "embeddings"), num_planes=8, min_cosine=0.4
+    )
+
+
+@register(
+    "doc_token_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(len(list_filter(string_split(trim(lower(text)), ' '), x -> x <> ''))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def q_doc_token_stats(spark, sf_dir):
+    """Per-language token statistics (text analysis surface)."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = text.token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "doc_quality",
+    """SELECT doc_id,
+              len(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')) AS n_tokens,
+              len(list_distinct(list_filter(string_split(trim(lower(text)), ' '), x -> x <> ''))) AS n_distinct,
+              ROUND(CAST(len(list_filter(string_split(trim(lower(text)), ' '), x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                    / CAST(greatest(len(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')), 1) AS DOUBLE), 6) AS stop_ratio
+       FROM documents""",
+)
+def q_doc_quality(spark, sf_dir):
+    """Quality-scoring signals per document: token count, lexical
+    diversity, stopword ratio (LLM-pipeline pre-filters)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*text.STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.round(
+            stop.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
+        ).alias("stop_ratio"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+       FROM documents""",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial fingerprint over the document text — identical
+    integer fold on both engines (functions.text.fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.split("text", ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(2147483647).cast("long"),
+    )
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+@register("lang_id_pred", None)  # heuristic marker logic, Spark-side only
+def q_lang_id_pred(spark, sf_dir):
+    """Language-ID heuristic: predicted vs labeled language counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "multimodal_payload_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+              CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames
+       FROM documents""",
+)
+def q_multimodal_payload_meta(spark, sf_dir):
+    """Multimodal plumbing: text re-encoded as an opaque binary payload
+    column (the reference's Row.Data analog, row.go:9) with typed
+    metadata; the decode/feature UDF path lives in
+    chronobase_spark.functions.multimodal (stubbed decode)."""
+    docs = _t(spark, sf_dir, "documents")
+    plen = F.length(F.encode("text", "UTF-8")).cast("bigint")
+    return docs.select("doc_id", plen.alias("payload_len")).withColumn(
+        "n_frames", F.expr("CAST(payload_len DIV 100 + 1 AS BIGINT)")
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query (driver smoke): reference read path (inclusive
+    time-range scan, O1/O2) + first analytical step (per-type stats) —
+    the Spark analog of the reference demo main.go:80-99."""
+    ev = timeseries.time_range_scan(
+        _t(spark, sf_dir, "events"), "2024-01-05 00:00:00", "2024-01-25 00:00:00"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        agg.dsum("value").alias("total_value"),
+    )

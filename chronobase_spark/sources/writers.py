@@ -1,0 +1,39 @@
+"""Batch writers — the engine's canonical table layout.
+
+The write conventions ARE the optimizer story at 100 TB (SURVEY.md §4):
+(1) partition by a time bucket → partition pruning for time-range scans
+    (the reference's tablet [MinTS,MaxTS] skip, table.go:146-149);
+(2) sort within partitions by (ts, key) → tight parquet row-group
+    min/max stats (the reference's tablet sort, tablet.go:124-132);
+(3) zstd columnar compression (vs. the reference's per-block gzip
+    BestSpeed, compression.go:78).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    bucket: str = "day",
+    mode: str = "append",
+) -> None:
+    """Write a time-series table in the engine's canonical layout."""
+    bucket_col = F.to_date(ts_col) if bucket == "day" else F.date_trunc(bucket, ts_col)
+    (
+        df.withColumn("_bucket", bucket_col)
+        .sortWithinPartitions(ts_col, key_col)
+        .write.mode(mode)
+        .partitionBy("_bucket")
+        .parquet(path)
+    )
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Plain dimension/fact table write (no time axis)."""
+    df.write.mode(mode).parquet(path)

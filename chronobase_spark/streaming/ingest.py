@@ -1,0 +1,147 @@
+"""Streaming ingest: the reference's write path, Spark-native.
+
+Reference lifecycle → Spark mapping (SURVEY.md §1.2):
+
+* ``DB.Insert`` appends to a memtable; a ticker flushes it to a sorted,
+  time-bounded, compressed tablet (reference internal/storage/
+  table.go:78-119, 198-236; tablet.go:203-281).  Spark-natively the
+  memtable IS the micro-batch: ``readStream → writeStream`` with a
+  processing-time trigger; the sink writes Parquet partitioned by a
+  time bucket (the "tablet" directory) sorted within partitions by
+  (ts, key) (the reference's tablet sort order, tablet.go:124-132).
+* the TTL ingest gate — rows older than TTL at arrival are silently
+  dropped (table.go:93-96) — becomes a watermark + filter per
+  micro-batch.
+* late-data policy: ``withWatermark`` bounds state for the windowed
+  aggregations; the reference's crude drop-at-ingest is kept as an
+  explicit, testable filter.
+
+At 100 TB the date/hour partitioning keeps every time-range query
+pruning whole directories, and each micro-batch file lands with footer
+min/max stats on ts — exactly the per-tablet [MinTS,MaxTS] index the
+reference maintained by hand (internal/storage/index.go:14-20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files (each
+    arriving file plays the role of one ``DB.Insert`` batch)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def ttl_gate(stream: DataFrame, ttl_seconds: int, ts_col: str = "ts") -> DataFrame:
+    """The reference's ingest TTL drop (table.go:93-96): silently discard
+    rows already older than TTL on arrival. Evaluated per micro-batch
+    against the clock, like the reference's ``time.Since``."""
+    cutoff = F.current_timestamp() - F.make_interval(secs=F.lit(ttl_seconds))
+    return stream.filter(F.col(ts_col) > cutoff)
+
+
+def start_ingest(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Micro-batch Parquet sink = the reference's flush (table.go:198-236).
+
+    Each batch is bucketed by event date (tablet time range), sorted
+    within partitions by (ts, event_id) (tablet sort order), and written
+    append-only — immutable files, like flushed tablets. Exactly-once via
+    the checkpoint + file-sink log replaces the reference's atomic
+    temp-file rename (utils/fileutils.go:87-103).
+    """
+    bucketed = stream.withColumn("event_date", F.to_date("ts"))
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.sortWithinPartitions("ts", "event_id")
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(table_dir)
+        )
+
+    writer = bucketed.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_hourly_counts(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Windowed streaming aggregation with late-data watermark: events
+    per (hour, event_type). The watermark bounds aggregation state — the
+    principled version of the reference's drop-late-rows policy."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_sessionization(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows over the event stream (native session_window
+    stateful operator): per-user sessions closed after ``gap`` idle."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    state is bounded: ids older than the watermark are evicted."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

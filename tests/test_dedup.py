@@ -1,0 +1,68 @@
+"""Semantics pinning for the hash-dependent dedup operators that have no
+SQL oracle: MinHash-LSH and SimHash must agree with exact brute-force
+ground truth at small scale.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chronobase_spark import catalog  # noqa: E402
+from chronobase_spark.dedup import minhash, ngram, simhash  # noqa: E402
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return catalog.table(spark, SF_SMOKE, "documents").cache()
+
+
+def test_minhash_finds_true_near_dups(spark, docs):
+    """Every brute-force Jaccard>=0.8 pair must be recovered by the LSH
+    pipeline (16 bands × 8 rows ⇒ P(miss at 0.8) ≈ (1-0.8^8)^16 ≈ 2%,
+    and the planted corpus dups are at jaccard ≈ 1.0 where P(miss) ≈ 0)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    assert truth, "corpus should contain planted near-duplicates"
+    assert truth <= found | truth and len(truth - found) == 0, (
+        f"LSH missed {truth - found}"
+    )
+
+
+def test_minhash_no_false_positives_below_threshold(spark, docs):
+    """Verified pairs must genuinely meet the Jaccard threshold (the
+    exact-verify stage makes LSH candidates precise)."""
+    pairs = minhash.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    """SimHash signatures of planted near-identical docs must be within
+    the Hamming ball; unrelated docs must not dominate the result."""
+    pairs = simhash.simhash_near_pairs(docs, max_hamming=3).collect()
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram.jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # near-identical token streams => near-identical simhash
+    missed = truth - found
+    assert len(missed) <= len(truth) // 4, f"simhash missed too many: {missed}"
+
+
+def test_simhash_signature_is_deterministic(spark, docs):
+    s1 = {(r["doc"], r["simhash"]) for r in simhash.simhash(docs).collect()}
+    s2 = {(r["doc"], r["simhash"]) for r in simhash.simhash(docs).collect()}
+    assert s1 == s2

@@ -1,0 +1,159 @@
+"""Operator-level unit tests: reference-pinned semantics (SURVEY.md §5.3)
+and plan-shape assertions (the 100 TB posture — filters pushed to the
+scan, broadcast joins actually broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chronobase_spark import catalog  # noqa: E402
+from chronobase_spark.functions import multimodal, similarity  # noqa: E402
+from chronobase_spark.operators import joins, timeseries  # noqa: E402
+from chronobase_spark.plans import inspect  # noqa: E402
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return catalog.table(spark, SF_SMOKE, "events").cache()
+
+
+def test_time_range_bounds_inclusive(spark, events):
+    """Reference semantics: BOTH bounds inclusive (tablet.go:366-367,382)."""
+    row = events.orderBy("ts").first()
+    exact = row["ts"].strftime("%Y-%m-%d %H:%M:%S.%f")
+    got = timeseries.time_range_scan(events, exact, exact).collect()
+    assert [r["event_id"] for r in got] == [row["event_id"]]
+
+
+def test_ttl_filter_strictly_newer(spark, events):
+    """Rows exactly at the cutoff are dropped; strictly newer kept
+    (reference keeps ts > now-ttl, table.go:362)."""
+    row = events.orderBy("ts").first()
+    exact = row["ts"].strftime("%Y-%m-%d %H:%M:%S.%f")
+    kept = timeseries.ttl_filter(events, exact)
+    assert kept.filter(F.col("event_id") == row["event_id"]).count() == 0
+    assert kept.count() == events.filter(F.col("ts") > F.lit(row["ts"])).count()
+
+
+def test_scan_predicate_pushed_to_parquet(spark):
+    """The ts BETWEEN predicate must reach the parquet reader as int64
+    nanos range filters (PushedFilters) — this is the reference's
+    tablet/block pruning (table.go:146-149) done by Catalyst, and the
+    thing that makes the scan prune row groups at 100 TB."""
+    spark.catalog.clearCache()  # cached fixtures would swap in InMemoryRelation
+    ev = catalog.table(spark, SF_SMOKE, "events")
+    df = timeseries.time_range_scan(ev, "2024-01-10 00:00:00", "2024-01-11 00:00:00")
+    pushed = inspect.pushed_filters(df)
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must scan 2 columns, not 6 (ReadSchema)."""
+    spark.catalog.clearCache()
+    ev = catalog.table(spark, SF_SMOKE, "events")
+    df = ev.select("event_id", "event_type")
+    rs = inspect.read_schema(df)
+    assert "event_id" in rs and "event_type" in rs
+    assert "props" not in rs and "value" not in rs
+
+
+def test_dim_join_is_broadcast(spark):
+    """Star joins must broadcast the dimension, not shuffle the fact."""
+    orders = catalog.table(spark, SF_SMOKE, "orders")
+    customer = catalog.table(spark, SF_SMOKE, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    df = joins.broadcast_dim_join(orders, [(customer, "o_custkey")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    data = [
+        (1, "2024-01-01 10:00:00", "L1"),
+        (1, "2024-01-01 12:00:00", "L2"),
+        (2, "2024-01-01 10:00:00", "L3"),
+    ]
+    left = spark.createDataFrame(data, ["k", "t", "tag"]).withColumn(
+        "t", F.to_timestamp("t")
+    )
+    rdata = [
+        (1, "2024-01-01 09:00:00", 100.0),
+        (1, "2024-01-01 12:00:00", 200.0),  # exactly at L2's ts => matched
+        (2, "2024-01-01 11:00:00", 300.0),  # after L3 => no match
+    ]
+    right = spark.createDataFrame(rdata, ["k", "t", "state"]).withColumn(
+        "t", F.to_timestamp("t")
+    )
+    out = joins.asof_join(
+        left, right, left_on="k", right_on="k", left_ts="t", right_ts="t",
+        right_cols=["state"],
+    )
+    got = {r["tag"]: r["state"] for r in out.collect()}
+    assert got == {"L1": 100.0, "L2": 200.0, "L3": None}
+
+
+def test_range_join_matches_naive(spark, events):
+    """Bucketed range join ≡ naive theta join on a small sample."""
+    ev = events.limit(300)
+    left = ev.select(F.col("event_id").alias("ea"), F.col("ts").alias("tsa"), "user_id")
+    right = ev.select(F.col("event_id").alias("eb"), F.col("ts").alias("tsb"), "user_id")
+    fast = {
+        (r["ea"], r["eb"])
+        for r in joins.range_join_bucketed(
+            left, right, "tsa", "tsb", 3600, ["user_id"]
+        )
+        .filter(F.col("ea") != F.col("eb"))
+        .collect()
+    }
+    naive = {
+        (r["ea"], r["eb"])
+        for r in left.join(right, "user_id")
+        .filter(
+            (F.col("ea") != F.col("eb"))
+            & (F.unix_timestamp("tsb") - F.unix_timestamp("tsa")).between(0, 3600)
+        )
+        .collect()
+    }
+    assert fast == naive
+
+
+def test_topk_cosine_self_similarity_excluded(spark):
+    emb = catalog.table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = similarity.topk_cosine(probes, emb, k=5).collect()
+    assert len(out) == 5
+    assert all(r["n_id"] != 0 for r in out)
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_decode_stub_pipeline(spark):
+    """Binary payload → mapInPandas feature extraction: schema, batch
+    shape, and determinism of the stubbed decode."""
+    docs = catalog.table(spark, SF_SMOKE, "documents").limit(50)
+    payloads = multimodal.to_payload(docs)
+    feats = multimodal.decode_stub(payloads)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert set(feats.columns) == {"doc_id", "media_type", "n_bytes", "n_frames", "checksum"}
+    assert all(r["n_bytes"] > 0 and r["n_frames"] >= 1 for r in rows)
+    again = {r["doc_id"]: r["checksum"] for r in multimodal.decode_stub(payloads).collect()}
+    assert {r["doc_id"]: r["checksum"] for r in rows} == again
+
+
+def test_frame_sample_fanout(spark):
+    docs = catalog.table(spark, SF_SMOKE, "documents").limit(10)
+    payloads = multimodal.to_payload(docs)
+    frames = multimodal.frame_sample(payloads, every_n_bytes=100)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    truth = {r["doc_id"]: r["n_bytes"] // 100 + 1 for r in payloads.select("doc_id", "meta.n_bytes").collect()}
+    assert {r["doc_id"]: r["count"] for r in per_doc} == truth

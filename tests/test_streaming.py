@@ -1,0 +1,156 @@
+"""Streaming lifecycle tests: the reference's write path (ingest → flush
+→ merge → TTL; reference pkg/db/db.go:195-249) as Structured Streaming
++ maintenance jobs, run with availableNow triggers against tmp dirs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chronobase_spark import catalog  # noqa: E402
+from chronobase_spark.streaming import ingest, maintenance  # noqa: E402
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+@pytest.fixture()
+def event_source(spark, tmp_path):
+    """Stage the sf0.001 events as a source directory of parquet files
+    with µs timestamps (the stream's arrival feed)."""
+    src = tmp_path / "source"
+    catalog.table(spark, SF_SMOKE, "events").repartition(4).write.parquet(str(src))
+    return str(src)
+
+
+def test_ingest_roundtrip_partitioned_by_date(spark, event_source, tmp_path):
+    """readStream → partitioned parquet sink: every row lands exactly
+    once, bucketed by event date (the reference's tablet time range)."""
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ingest.read_event_stream(spark, event_source)
+    query = ingest.start_ingest(stream, table_dir, ckpt, available_now=True)
+    query.awaitTermination(120)
+
+    src_count = spark.read.parquet(event_source).count()
+    out = spark.read.parquet(table_dir)
+    assert out.count() == src_count
+    # partition dirs exist per day => time-range scans prune whole dirs
+    parts = [p.name for p in Path(table_dir).iterdir() if p.name.startswith("event_date=")]
+    assert len(parts) >= 2
+
+
+def test_ttl_gate_drops_old_rows(spark, event_source):
+    """The reference's ingest TTL drop (table.go:93-96): 2024 data is all
+    older than a 1-hour TTL relative to now → everything is dropped."""
+    df = spark.read.parquet(event_source)
+    gated = ingest.ttl_gate(df, ttl_seconds=3600)
+    assert gated.count() == 0
+
+
+def test_streaming_hourly_counts_matches_batch(spark, event_source, tmp_path):
+    """Windowed streaming agg (availableNow) must equal the equivalent
+    batch aggregation — micro-batching is an execution detail, not a
+    semantics change."""
+    stream = ingest.read_event_stream(spark, event_source)
+    agg = ingest.streaming_hourly_counts(stream)
+    sink = str(tmp_path / "agg_sink")
+    ckpt = str(tmp_path / "agg_ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.parquet(event_source)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in spark.read.parquet(sink).collect()}
+    want = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match batch truth, and most windows must have closed.
+    assert got
+    assert all(got[k] == want[k] for k in got)
+    assert len(got) >= len(want) - 25  # tail windows may still be open
+
+
+def test_streaming_dedup_drops_duplicate_ids(spark, tmp_path):
+    dup_src = str(tmp_path / "dupsrc")
+    base = catalog.table(spark, SF_SMOKE, "events").limit(200)
+    base.union(base).repartition(2).write.parquet(dup_src)
+
+    stream = ingest.read_event_stream(spark, dup_src)
+    deduped = ingest.streaming_dedup(stream)
+    sink = str(tmp_path / "dd_sink")
+    ckpt = str(tmp_path / "dd_ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == out.select("event_id").distinct().count()
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, event_source, tmp_path):
+    """Reference merge (table.go:240-331): same rows, fewer files,
+    sorted by (ts, key)."""
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ingest.read_event_stream(spark, event_source, max_files_per_trigger=1)
+    ingest.start_ingest(stream, table_dir, ckpt, available_now=True).awaitTermination(120)
+
+    parts = sorted(
+        p.name.split("=", 1)[1]
+        for p in Path(table_dir).iterdir()
+        if p.name.startswith("event_date=")
+    )
+    target = parts[0]
+    part_dir = Path(table_dir) / f"event_date={target}"
+    files_before = len(list(part_dir.glob("*.parquet")))
+    n = maintenance.compact_partition(spark, table_dir, target)
+    files_after = len(list(part_dir.glob("*.parquet")))
+    assert n > 0
+    assert files_after <= files_before
+    assert spark.read.parquet(str(part_dir)).count() == n
+
+
+def test_retention_drops_old_partitions(spark, event_source, tmp_path):
+    """Reference TTL cleanup (table.go:334-369): partitions strictly
+    before the cutoff vanish; newer ones survive."""
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ingest.read_event_stream(spark, event_source)
+    ingest.start_ingest(stream, table_dir, ckpt, available_now=True).awaitTermination(120)
+
+    parts = sorted(
+        p.name.split("=", 1)[1]
+        for p in Path(table_dir).iterdir()
+        if p.name.startswith("event_date=")
+    )
+    cutoff = parts[1]
+    dropped = maintenance.retention_sweep(table_dir, cutoff)
+    assert dropped == [parts[0]]
+    remaining = sorted(
+        p.name.split("=", 1)[1]
+        for p in Path(table_dir).iterdir()
+        if p.name.startswith("event_date=")
+    )
+    assert remaining == parts[1:]
