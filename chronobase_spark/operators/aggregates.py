@@ -52,6 +52,33 @@ def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     return df.cube(*keys).agg(*aggs)
 
 
+def grouping_sets_agg(
+    df: DataFrame, sets: list[list[str]], keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube) — one
+    Expand node replicating each row once per set, then a single hash
+    aggregate; cheaper than unioning per-set aggregates because the
+    input is scanned once."""
+    return df.groupingSets([[F.col(c) for c in s] for s in sets], *keys).agg(*aggs)
+
+
+def percentiles(
+    df: DataFrame, keys: list[str], col: str, pcts: list[float], round_digits: int = 6
+) -> DataFrame:
+    """Exact percentiles (linear interpolation, ANSI semantics — matches
+    DuckDB ``quantile_cont``). Exact percentile sorts each group's values;
+    the 100 TB path is ``approx_percentile`` (KLL/GK sketch, constant
+    memory, mergeable map-side) — kept exact here because the driver
+    oracle hash-compares values."""
+    aggs = [
+        F.round(F.percentile(col, F.lit(p)), round_digits).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in pcts
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def distinct_count(df: DataFrame, keys: list[str], col: str, alias: str) -> DataFrame:
     """Exact COUNT(DISTINCT col) per group — planned as expand + two-phase
     aggregate; exact but shuffles the distinct pairs."""

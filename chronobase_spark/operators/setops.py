@@ -33,3 +33,14 @@ def except_(a: DataFrame, b: DataFrame) -> DataFrame:
     planned as a left-anti hash join on all columns. (``exceptAll`` is the
     bag variant; ANSI EXCEPT is ``subtract``.)"""
     return a.subtract(b)
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """INTERSECT ALL (bag semantics): keeps min(multiplicity) copies —
+    planned as an aggregate of per-side counts, one shuffle per side."""
+    return a.intersectAll(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicity-aware subtraction."""
+    return a.exceptAll(b)

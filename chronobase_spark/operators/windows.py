@@ -48,6 +48,28 @@ def lag_delta_seconds(
     )
 
 
+def rank_lead_values(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """rank + dense_rank + lead in one window pass: all three share the
+    same (partition, order) spec, so Catalyst plans a single shuffle +
+    sort and evaluates the three frames in one Window operator."""
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(order_col).desc(), F.col(key_col)
+    )
+    return df.select(
+        F.col(partition_col),
+        F.col(key_col),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lead(F.col(value_col)).over(w).alias("next_val"),
+    )
+
+
 def moving_sum(
     df: DataFrame,
     partition_col: str,

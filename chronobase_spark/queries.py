@@ -376,6 +376,40 @@ def q_cube_order_counts(spark, sf_dir):
 
 
 @register(
+    "grouping_sets_revenue",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+)
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS — the general grouping-set form (rollup and
+    cube are special cases); one Expand + one hash aggregate."""
+    return agg.grouping_sets_agg(
+        _t(spark, sf_dir, "lineitem"),
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n_rows"), agg.dsum("l_quantity").alias("sum_qty")],
+    )
+
+
+@register(
+    "value_percentiles",
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 6) AS p50,
+              ROUND(quantile_cont(value, 0.9), 6) AS p90,
+              ROUND(quantile_cont(value, 0.99), 6) AS p99
+       FROM events GROUP BY event_type""",
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (the approx_percentile
+    sketch is the 100 TB path — see operators.aggregates.percentiles)."""
+    return agg.percentiles(
+        _t(spark, sf_dir, "events"), ["event_type"], "value", [0.5, 0.9, 0.99]
+    )
+
+
+@register(
     "top3_events_per_user",
     """SELECT user_id, event_id, rn FROM (
          SELECT user_id, event_id,
@@ -479,6 +513,99 @@ def q_except_users(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "error").select("user_id")
     b = ev.filter(F.col("event_type") == "signup").select("user_id")
     return setops.except_(a, b)
+
+
+@register(
+    "rank_lead_purchases",
+    """SELECT user_id, event_id,
+              RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+              LEAD(value) OVER w AS next_val
+       FROM events WHERE event_type = 'purchase'
+       WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)""",
+)
+def q_rank_lead_purchases(spark, sf_dir):
+    """rank/dense_rank/lead sharing one window spec — single shuffle+sort."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return windows.rank_lead_values(ev, "user_id", "value", "event_id", "value")
+
+
+@register(
+    "intersect_all_users",
+    """SELECT user_id FROM events WHERE event_type = 'error'
+       INTERSECT ALL
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def q_intersect_all_users(spark, sf_dir):
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return setops.intersect_all(a, b)
+
+
+@register(
+    "except_all_users",
+    """SELECT user_id FROM events WHERE event_type = 'error'
+       EXCEPT ALL
+       SELECT user_id FROM events WHERE event_type = 'signup'""",
+)
+def q_except_all_users(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (multiplicity-aware subtraction)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return setops.except_all(a, b)
+
+
+@register(
+    "part_feature_scalars",
+    """SELECT p_partkey,
+              upper(p_brand) AS brand_u,
+              CAST(length(p_name) AS BIGINT) AS name_len,
+              concat_ws('-', p_brand, p_type) AS brand_type,
+              ROUND(sqrt(p_retailprice), 6) AS price_sqrt,
+              ROUND(ln(p_retailprice + 1), 6) AS price_ln,
+              CAST(abs(p_size - 25) AS INT) AS size_dev,
+              substr(p_type, 1, 5) AS type_prefix
+       FROM part""",
+)
+def q_part_feature_scalars(spark, sf_dir):
+    """Scalar-function surface in one projection: string, math, and
+    conditional expressions — all whole-stage-codegen'd, no UDF."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+    )
+
+
+@register(
+    "order_date_parts",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              CAST(quarter(o_orderdate) AS INT) AS q,
+              CAST(day(o_orderdate) AS INT) AS d,
+              CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk
+       FROM orders""",
+)
+def q_order_date_parts(spark, sf_dir):
+    """Date/time scalar functions: component extraction + week truncation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+    )
 
 
 @register(
@@ -666,6 +793,36 @@ WHERE {_cos_sql('a', 'b')} >= 0.4
 """
 
 
+def _ivf_topk_sql() -> str:
+    planes = emb_dedup.hyperplanes(6)
+    sig = emb_dedup.sql_signature_expr("e.embedding", planes)
+    return f"""
+WITH sigs AS (
+  SELECT e.vec_id, e.embedding, ({sig}) AS bucket FROM embeddings e
+), probes AS (
+  SELECT vec_id AS q_id, embedding, bucket AS q_bucket FROM sigs WHERE vec_id IN (0, 1, 2)
+)
+SELECT q_id, n_id, sim FROM (
+  SELECT p.q_id, s.vec_id AS n_id, {_cos_sql('s', 'p')} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id
+                            ORDER BY {_cos_sql('s', 'p')} DESC, s.vec_id) AS rnk
+  FROM sigs s JOIN probes p ON s.bucket = p.q_bucket AND s.vec_id <> p.q_id) t
+WHERE rnk <= 10
+"""
+
+
+@register("ivf_topk_cosine", _ivf_topk_sql())
+def q_ivf_topk_cosine(spark, sf_dir):
+    """IVF-style ANN top-k: the probe searches only its own LSH cell
+    (coarse quantizer = random-hyperplane signature), exact cosine
+    re-rank inside the cell — the sub-linear scale path next to the
+    brute-force topk_cosine baseline. Literal hyperplanes make it fully
+    oracle-checkable."""
+    return emb_dedup.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), probe_ids=[0, 1, 2], k=10, num_planes=6
+    )
+
+
 @register("embedding_near_pairs", _lsh_pairs_sql())
 def q_embedding_near_pairs(spark, sf_dir):
     """Random-hyperplane LSH bucketing + exact cosine verify ≥ 0.4 —
@@ -738,6 +895,24 @@ def q_doc_fingerprint(spark, sf_dir):
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(2147483647).cast("long"),
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+_BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+@register(
+    "doc_bpe_token_count",
+    f"""SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe
+        FROM documents""",
+)
+def q_doc_bpe_token_count(spark, sf_dir):
+    """BPE-ish tokenizer proxy: word runs + single digits + punctuation
+    as separate tokens via one vectorized regex pass (the LLM-pipeline
+    token-counting primitive; identical RE semantics on both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), F.lit(0)))
+    return docs.select("doc_id", n.cast("bigint").alias("n_bpe"))
 
 
 @register("lang_id_pred", None)  # heuristic marker logic, Spark-side only
