@@ -82,6 +82,37 @@ def range_join_bucketed(
     return joined.filter((delta >= 0) & (delta <= gap)).drop("_bucket")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: scatter each left (big/skewed side) row
+    to one of ``salt`` sub-keys and replicate every right row across all
+    of them, so one hot join key spreads over ``salt`` shuffle partitions
+    instead of funneling into a single straggler task.
+
+    The salt is derived deterministically from the left row's columns
+    (xxhash64), so results are reproducible. AQE's skew-join splitting
+    (on in this engine's session, session.py) handles sort-merge skew at
+    runtime; manual salting remains the tool for skewed *aggregations*
+    and for engines/paths AQE can't rewrite — provided here both as a
+    usable operator and as the documented pattern.
+    """
+    l_salted = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    r_replicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(r_replicated, on=[on, "_salt"], how=how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

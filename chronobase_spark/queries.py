@@ -238,6 +238,38 @@ def q_monthly_order_revenue(spark, sf_dir):
 
 
 @register(
+    "monthly_revenue_salted",
+    """SELECT date_trunc('month', o_orderdate) AS order_month, o_orderstatus,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY date_trunc('month', o_orderdate), o_orderstatus""",
+)
+def q_monthly_revenue_salted(spark, sf_dir):
+    """The same fact-fact join executed through the skew-salting path
+    (operators.joins.salted_join): lineitem scattered over 8 sub-keys,
+    orders replicated x8 — identical results (same oracle as
+    monthly_order_revenue), skew-proof physical plan. Demonstrates that
+    salting is semantics-preserving."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return (
+        joins.salted_join(li, orders, "l_orderkey", salt=8)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "customers_with_orders",
     """SELECT c_custkey, c_name FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",

@@ -139,6 +139,50 @@ def streaming_sessionization(
     )
 
 
+def streaming_user_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value total), re-emitted on every
+    micro-batch that touches the user.
+
+    This is the extension point for stateful logic Spark's built-in
+    streaming aggregations can't express (per-key custom accumulators,
+    decaying counters, model state). State is one small tuple per
+    user_id, partitioned across executors by the groupBy key; batches
+    arrive Arrow-vectorized (pandas), never row-at-a-time.
+    """
+    import pandas as pd  # local import: only this operator needs pandas
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     state is bounded: ids older than the watermark are evicted."""

@@ -109,6 +109,53 @@ def test_streaming_dedup_drops_duplicate_ids(spark, tmp_path):
     assert out.count() == out.select("event_id").distinct().count()
 
 
+def test_stateful_running_totals_match_batch(spark, event_source, tmp_path):
+    """applyInPandasWithState running totals: after draining the source
+    (availableNow), each user's latest emitted state must equal the batch
+    groupBy truth."""
+    stream = ingest.read_event_stream(spark, event_source)
+    totals = ingest.streaming_user_running_totals(stream)
+    sink = str(tmp_path / "state_sink")
+    ckpt = str(tmp_path / "state_ckpt")
+    def sink_batch(batch, batch_id):
+        batch.write.mode("append").parquet(sink)
+
+    # update-mode output can't feed the append-only file sink directly;
+    # foreachBatch lands each batch's updated states (the production
+    # pattern for update-mode -> files).
+    q = (
+        totals.writeStream.foreachBatch(sink_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = (
+        spark.read.parquet(event_source)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()
+    }
+    # keep each user's final (max n_events) emission — micro-batches may
+    # have emitted intermediate states too
+    got: dict[int, tuple[int, float]] = {}
+    for r in spark.read.parquet(sink).collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            got[r["user_id"]] = (r["n_events"], round(r["total_value"], 4))
+    assert set(got) == set(want)
+    for uid, (n, total) in want.items():
+        assert got[uid][0] == n, f"user {uid}: {got[uid]} != {(n, total)}"
+        assert abs(got[uid][1] - total) < 1e-3
+
+
 def test_compaction_preserves_rows_and_reduces_files(spark, event_source, tmp_path):
     """Reference merge (table.go:240-331): same rows, fewer files,
     sorted by (ts, key)."""
