@@ -25,6 +25,17 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
 
 
+def with_tokens(text: Column, fn) -> Column:
+    """Evaluate ``fn(toks)`` with the token array bound to a lambda
+    variable (single-element ``transform`` as the expression-level
+    "let"), so tokenization runs exactly once no matter how many times
+    ``fn`` references it. Referencing the Python-side ``tokens(text)``
+    column object N times re-evaluates the regex+split pipeline N times
+    per row — Catalyst inlines projections into higher-order-function
+    lambdas and does not CSE across them (see dedup/ngram.py)."""
+    return F.get(F.transform(F.array(tokens(text)), fn), 0)
+
+
 def token_count(text: Column) -> Column:
     """Number of tokens."""
     return F.size(tokens(text))
@@ -34,36 +45,69 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
+def _stop_count(tk: Column) -> Column:
+    return F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS)))
+
+
 def stopword_ratio(text: Column) -> Column:
-    toks = tokens(text)
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return with_tokens(
+        text,
+        lambda tk: _stop_count(tk).cast("double")
+        / F.greatest(F.size(tk), F.lit(1)).cast("double"),
+    )
 
 
 def avg_token_length(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    ).cast("double")
-    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return with_tokens(
+        text,
+        lambda tk: F.aggregate(
+            tk, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / F.greatest(F.size(tk), F.lit(1)).cast("double"),
+    )
+
+
+def token_features(text: Column) -> Column:
+    """struct(n_tokens, n_distinct, stop_ratio) from ONE tokenization
+    pass — the bundled form for quality pipelines that need several
+    token statistics per document."""
+    return with_tokens(
+        text,
+        lambda tk: F.struct(
+            F.size(tk).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(tk)).cast("bigint").alias("n_distinct"),
+            F.round(
+                _stop_count(tk).cast("double")
+                / F.greatest(F.size(tk), F.lit(1)).cast("double"),
+                6,
+            ).alias("stop_ratio"),
+        ),
+    )
 
 
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0, 1]: rewards moderate length,
     lexical diversity, and a sane stopword ratio — the standard cheap
     pre-filter in LLM training-data pipelines. Deterministic closed-form
-    arithmetic (same formula runs in the SQL oracle)."""
-    n = token_count(text).cast("double")
-    diversity = distinct_token_count(text).cast("double") / F.greatest(
-        n, F.lit(1.0)
-    )
-    length_score = F.least(n / F.lit(50.0), F.lit(1.0))
-    stop = stopword_ratio(text)
-    stop_score = F.lit(1.0) - F.abs(stop - F.lit(0.2))
-    return F.round(
-        F.lit(0.4) * length_score + F.lit(0.4) * diversity + F.lit(0.2) * stop_score,
-        6,
-    )
+    arithmetic (same formula runs in the SQL oracle); one tokenization
+    pass via the token binding."""
+
+    def score(tk: Column) -> Column:
+        n = F.size(tk).cast("double")
+        diversity = F.size(F.array_distinct(tk)).cast("double") / F.greatest(
+            n, F.lit(1.0)
+        )
+        length_score = F.least(n / F.lit(50.0), F.lit(1.0))
+        stop = _stop_count(tk).cast("double") / F.greatest(n, F.lit(1.0))
+        stop_score = F.lit(1.0) - F.abs(stop - F.lit(0.2))
+        return F.round(
+            F.lit(0.4) * length_score
+            + F.lit(0.4) * diversity
+            + F.lit(0.2) * stop_score,
+            6,
+        )
+
+    return with_tokens(text, score)
 
 
 def fingerprint(text: Column) -> Column:
@@ -94,13 +138,25 @@ def lang_id(text: Column) -> Column:
         "de": ("der", "die", "und", "das"),
         "zh": (),  # CJK detected by codepoint below
     }
-    toks = tokens(text)
-    scores = []
-    for lang, words in markers.items():
-        if words:
-            s = F.size(F.filter(toks, lambda t: t.isin(*words)))
-        else:
-            s = F.when(text.rlike(r"[一-鿿]"), F.lit(1000)).otherwise(F.lit(0))
-        scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scores))
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unk"))
+    def best_of(tk: Column) -> Column:
+        scores = []
+        for lang, words in markers.items():
+            if words:
+                s = F.size(F.filter(tk, lambda t: t.isin(*words)))
+            else:
+                s = F.when(text.rlike(r"[一-鿿]"), F.lit(1000)).otherwise(F.lit(0))
+            scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
+        return F.array_max(F.array(*scores))
+
+    # nested let: bind the winning struct too, so neither the token array
+    # nor the argmax struct is evaluated more than once per row
+    return with_tokens(
+        text,
+        lambda tk: F.get(
+            F.transform(
+                F.array(best_of(tk)),
+                lambda b: F.when(b["score"] > 0, b["lang"]).otherwise(F.lit("unk")),
+            ),
+            0,
+        ),
+    )

@@ -895,17 +895,11 @@ def q_doc_quality(spark, sf_dir):
     """Quality-scoring signals per document: token count, lexical
     diversity, stopword ratio (LLM-pipeline pre-filters)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = text.tokens(F.col("text"))
-    n = F.size(toks)
-    stop = F.size(F.filter(toks, lambda t: t.isin(*text.STOPWORDS)))
-    return docs.select(
-        "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        F.round(
-            stop.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
-        ).alias("stop_ratio"),
-    )
+    # inline(array(struct)) = Generate node: evaluates the feature struct
+    # exactly once per row and emits its fields as columns (a plain
+    # multi-column select would re-evaluate the struct per extracted
+    # field after CollapseProject)
+    return docs.select("doc_id", F.inline(F.array(text.token_features(F.col("text")))))
 
 
 @register(
