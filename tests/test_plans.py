@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the scale posture as executable checks.
+
+Correctness tests prove the answer; these prove the PLAN — that the
+Catalyst properties the 100 TB design depends on (predicate pushdown,
+column pruning, broadcast dimension joins, no quadratic join anywhere
+in a scale-path operator) actually hold and stay held. Each assertion
+is the Spark-native form of an optimization the reference hand-rolled
+or left dead (SURVEY.md §4): tablet pruning -> pushed filters; columnar
+intent -> pruned ReadSchema; bounded merge fan-in -> no nested-loop.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chronobase_spark import queries as q  # noqa: E402
+from chronobase_spark.plans import inspect  # noqa: E402
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+QUADRATIC = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def _plan(spark, name: str) -> str:
+    df = q.queries()[name](spark, SF_SMOKE)
+    return inspect.explain_str(df, "extended")
+
+
+def test_time_range_scan_pushes_ts_bounds(spark):
+    """Reference tablet pruning (table.go:146-149) -> parquet pushdown:
+    both inclusive interval bounds must reach the scan."""
+    df = q.queries()["time_range_scan"](spark, SF_SMOKE)
+    pushed = inspect.pushed_filters(df)
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed, pushed
+
+
+def test_key_lookup_pushes_equality(spark):
+    """Reference key index intent (index.go:231-236) -> EqualTo pushdown."""
+    df = q.queries()["key_lookup"](spark, SF_SMOKE)
+    assert "EqualTo(event_id,123)" in inspect.pushed_filters(df)
+
+
+def test_pricing_summary_prunes_columns(spark):
+    """A 7-column aggregate over a 11-column table must not read the
+    other columns (ColumnPruning)."""
+    df = q.queries()["pricing_summary"](spark, SF_SMOKE)
+    schema = inspect.read_schema(df)
+    assert "l_quantity" in schema
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, schema
+
+
+def test_star_join_broadcasts_every_dimension(spark):
+    """revenue_by_region: 3 dimension joins, all broadcast — the fact
+    side must never shuffle for a dim join."""
+    df = q.queries()["revenue_by_region"](spark, SF_SMOKE)
+    plan = inspect.explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_dedup_pairs",
+        "simhash_near_pairs",
+        "ngram_jaccard_pairs",
+        "embedding_near_pairs",
+        "ivf_topk_cosine",
+        "event_pairs_within_gap",
+        "asof_last_error",
+    ],
+)
+def test_scale_path_ops_have_no_quadratic_join(spark, name):
+    """Every sub-quadratic-by-construction operator must plan zero
+    nested-loop/cartesian joins — the property that makes it survive
+    100 TB. (topk_cosine is exempt by design: its broadcast
+    nested-loop over a HANDFUL of probe vectors is the intended
+    brute-force baseline.)"""
+    plan = _plan(spark, name)
+    for op in QUADRATIC:
+        assert op not in plan, f"{name} plans {op}"
+
+
+def test_window_queries_are_partitioned(spark):
+    """No window operator may run unpartitioned (a global Window.orderBy
+    funnels the dataset through one task)."""
+    for name in ["top3_events_per_user", "event_gap_seconds", "moving_value_sum",
+                 "user_sessions", "rank_lead_purchases"]:
+        plan = _plan(spark, name)
+        # every Window node must have a non-empty partition spec -> its
+        # Exchange is hashpartitioning; SinglePartition anywhere in these
+        # plans would mean a one-task global sort
+        assert "SinglePartition" not in plan, f"{name} has a global window"
