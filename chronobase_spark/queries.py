@@ -547,6 +547,78 @@ def q_except_users(spark, sf_dir):
     return setops.except_(a, b)
 
 
+_ABOVE_AVG_SQL = """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+             (SELECT CAST(2 AS DECIMAL(18,2)) * AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)"""
+
+
+@register("orders_above_avg", _ABOVE_AVG_SQL)
+def q_orders_above_avg(spark, sf_dir):
+    """Scalar subquery through the SQL front end: Catalyst plans the
+    subquery as an independent aggregate broadcast into the filter (one
+    extra pass, no per-row re-execution). Decimal math keeps the
+    threshold identical across engines. Exercises the engine's
+    spark.sql surface over the registered catalog views."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_ABOVE_AVG_SQL)
+
+
+@register(
+    "props_typed_extract",
+    """SELECT event_type,
+              CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+              CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+              COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k
+       FROM events GROUP BY event_type""",
+)
+def q_props_typed_extract(spark, sf_dir):
+    """Typed JSON parsing of the reference's opaque-payload analog via
+    from_json (schema'd struct, vectorized JSON parser) rather than
+    per-path get_json_object."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return ev.select("event_type", k.alias("_k")).groupBy("event_type").agg(
+        F.min("_k").alias("min_k"),
+        F.max("_k").alias("max_k"),
+        F.count("_k").alias("n_with_k"),
+    )
+
+
+@register(
+    "embedding_array_ops",
+    """SELECT vec_id,
+              CAST(len(embedding) AS INT) AS n_dim,
+              ROUND(embedding[1]::DOUBLE, 6) AS first_dim,
+              ROUND(embedding[-1]::DOUBLE, 6) AS last_dim,
+              ROUND(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+              ROUND(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 6) AS mean_dim
+       FROM embeddings""",
+)
+def q_embedding_array_ops(spark, sf_dir):
+    """Array scalar-function surface over the embedding column:
+    size / element_at (1-based and negative) / fold-based norm and mean
+    — all JVM-side column math."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_d = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.round(F.element_at("embedding", -1).cast("double"), 6).alias("last_dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(as_d, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size("embedding"),
+            6,
+        ).alias("mean_dim"),
+    )
+
+
 @register(
     "rank_lead_purchases",
     """SELECT user_id, event_id,

@@ -1,0 +1,142 @@
+"""End-to-end lifecycle of the ChronoSpark DB facade — the Spark-native
+replay of the reference demo (cmd/dbserver/main.go:56-99: open, create
+table with TTL, insert, ±range query) plus the API surface the demo
+doesn't reach (flush/compact/cleanup/stats/backup/restore/drop).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chronobase_spark.db import ChronoSpark, TableExistsError, TableNotFoundError  # noqa: E402
+
+NOW = dt.datetime(2024, 6, 15, 12, 0, 0)
+
+
+def _row(i: int, ts: dt.datetime) -> dict:
+    return {"event_id": i, "ts": ts, "value": float(i)}
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return ChronoSpark(spark, str(tmp_path / "dbdata"))
+
+
+def test_demo_roundtrip(db):
+    """main.go:56-99: create (24h TTL) -> insert one row at 'now' ->
+    query [now-1h, now+1h] -> the row comes back."""
+    db.create_table("metrics", ttl_seconds=24 * 3600)
+    accepted = db.insert("metrics", [_row(1, NOW)], now=NOW)
+    assert accepted == 1
+    got = db.query("metrics", NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 1
+
+
+def test_ttl_gate_on_insert(db):
+    """table.go:93-96: rows older than TTL at arrival silently dropped."""
+    db.create_table("metrics", ttl_seconds=3600)
+    accepted = db.insert(
+        "metrics",
+        [_row(1, NOW), _row(2, NOW - dt.timedelta(hours=2))],
+        now=NOW,
+    )
+    assert accepted == 1
+
+
+def test_query_unions_memtable_and_disk(db):
+    """table.go:132-161: scan = buffer ∪ flushed partitions."""
+    db.create_table("metrics")
+    db.insert("metrics", [_row(1, NOW)], now=NOW)
+    db.flush("metrics")
+    db.insert("metrics", [_row(2, NOW + dt.timedelta(minutes=5))], now=NOW)
+    got = db.query("metrics", NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
+    assert {r["event_id"] for r in got.collect()} == {1, 2}
+
+
+def test_inclusive_bounds(db):
+    """tablet.go:366-367,382: both interval ends inclusive."""
+    db.create_table("metrics")
+    db.insert("metrics", [_row(1, NOW), _row(2, NOW + dt.timedelta(seconds=10))], now=NOW)
+    got = db.query("metrics", NOW, NOW + dt.timedelta(seconds=10))
+    assert {r["event_id"] for r in got.collect()} == {1, 2}
+
+
+def test_stats_flush_compact(db):
+    db.create_table("metrics")
+    rows = [_row(i, NOW + dt.timedelta(seconds=i)) for i in range(50)]
+    db.insert("metrics", rows, now=NOW)
+    s = db.get_stats("metrics")
+    assert s["in_memory_rows"] == 50 and s["total_disk_rows"] == 0
+
+    assert db.flush() == 50
+    s = db.get_stats("metrics")
+    assert s["in_memory_rows"] == 0 and s["total_disk_rows"] == 50
+    assert s["oldest_data"] is not None and s["newest_data"] > s["oldest_data"]
+
+    # second flush batch -> more files; compact back down
+    db.insert("metrics", [_row(100 + i, NOW + dt.timedelta(seconds=i)) for i in range(10)], now=NOW)
+    db.flush()
+    before = db.get_stats("metrics")["disk_files"]
+    compacted = db.compact("metrics")
+    after = db.get_stats("metrics")["disk_files"]
+    assert compacted == 60 and after <= before
+    assert db.get_stats("metrics")["total_disk_rows"] == 60
+
+
+def test_cleanup_drops_expired_partitions(db):
+    """table.go:334-369: whole old partitions dropped by TTL."""
+    db.create_table("metrics", ttl_seconds=24 * 3600)
+    old = NOW - dt.timedelta(days=10)
+    db.insert("metrics", [_row(1, old)], now=old)  # accepted relative to then
+    db.insert("metrics", [_row(2, NOW)], now=NOW)
+    db.flush()
+    dropped = db.cleanup("metrics", now=NOW)
+    assert dropped  # the 10-day-old partition vanished
+    got = db.query("metrics", old - dt.timedelta(days=1), NOW + dt.timedelta(days=1))
+    assert {r["event_id"] for r in got.collect()} == {2}
+
+
+def test_backup_restore_roundtrip(db, tmp_path):
+    db.create_table("metrics")
+    db.insert("metrics", [_row(i, NOW) for i in range(5)], now=NOW)
+    db.backup(str(tmp_path / "bk"))
+
+    db.insert("metrics", [_row(99, NOW)], now=NOW)
+    db.flush()
+    db.restore(str(tmp_path / "bk"))
+    got = db.query("metrics", NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
+    assert {r["event_id"] for r in got.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_table_lifecycle_errors(db):
+    db.create_table("a")
+    with pytest.raises(TableExistsError):
+        db.create_table("a")
+    with pytest.raises(TableNotFoundError):
+        db.insert("missing", [])
+    db.drop_table("a")
+    with pytest.raises(TableNotFoundError):
+        db.drop_table("a")
+    assert db.list_tables() == []
+
+
+def test_reopen_discovers_tables(spark, tmp_path):
+    """db.go:291-350 loadExistingTables: a new handle on the same data
+    dir sees the tables and their TTL config."""
+    path = str(tmp_path / "dbdata")
+    db1 = ChronoSpark(spark, path)
+    db1.create_table("metrics", ttl_seconds=60)
+    db1.insert("metrics", [_row(1, NOW)], now=NOW)
+    db1.close()  # flushes
+
+    db2 = ChronoSpark(spark, path)
+    assert db2.list_tables() == ["metrics"]
+    got = db2.query("metrics", NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
+    assert len(got.collect()) == 1
