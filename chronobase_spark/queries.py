@@ -1042,6 +1042,50 @@ def q_multimodal_payload_meta(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_decode_features",
+    """SELECT doc_id,
+              'application/octet-stream' AS media_type,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, least(length(text), 128)),
+                                 i -> CAST(ascii(text[i]) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 2147483647) AS checksum
+       FROM documents""",
+)
+def q_multimodal_decode_features(spark, sf_dir):
+    """The multimodal decode path END-TO-END: wrap text as an opaque
+    binary payload (reference Row.Data analog, row.go:9), run the
+    Arrow-batched mapInPandas 'decoder' (functions.multimodal.decode_stub
+    — deterministic byte math standing in for the codec), emit typed
+    features. The stub's checksum is a plain polynomial fold over the
+    first 128 payload bytes, so even this UDF path gets a full SQL
+    oracle. (Corpus text is ASCII, so ascii(char) == byte value.)"""
+    from chronobase_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_stub(multimodal.to_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    """SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       FROM documents,
+            LATERAL (SELECT unnest(generate_series(0, CAST(octet_length(encode(text)) // 100 AS INT))) AS frame_idx) f""",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out plumbing: one row per (doc, frame offset)
+    via native explode — the shape a video frame sampler produces, no
+    Python in the loop."""
+    from chronobase_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.to_payload(docs))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

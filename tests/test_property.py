@@ -1,0 +1,122 @@
+"""Property-based semantics checks (hypothesis): the custom composite
+operators — as-of join, bucketed range join, sessionization — must agree
+with a trivially-correct brute-force model on arbitrary generated
+inputs, not just the fixture corpus. These operators are compositions
+(union+window, bucket+filter, gaps-and-islands), so their edge cases
+(ties, empty sides, boundary gaps) are exactly where hand-written tests
+under-cover.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chronobase_spark.operators import joins, windows  # noqa: E402
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, seconds-offset, value) tuples; small key space forces collisions,
+# duplicate timestamps exercise tie-breaking.
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 400),
+        st.integers(0, 100),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows, cols):
+    data = [
+        (k, BASE + dt.timedelta(seconds=s), float(v), i)
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, [cols[0], cols[1], cols[2], "rid"])
+
+
+@SETTINGS
+@given(left=rows_strategy, right=rows_strategy)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """For every left row, asof_join must return max(right.ts) with
+    right.ts <= left.ts on the same key — the reference-free definition."""
+    ldf = _df(spark, left, ["k", "t", "val"])
+    rdf = _df(spark, right, ["k", "t", "rval"]).select(
+        "k", "t", F.col("t").alias("right_t")
+    )
+    out = joins.asof_join(
+        ldf, rdf, left_on="k", right_on="k", left_ts="t", right_ts="t",
+        right_cols=["right_t"],
+    )
+    got = {r["rid"]: r["right_t"] for r in out.collect()}
+
+    for i, (k, s, _v) in enumerate(left):
+        lt = BASE + dt.timedelta(seconds=s)
+        candidates = [
+            BASE + dt.timedelta(seconds=rs)
+            for (rk, rs, _rv) in right
+            if rk == k and rs <= s
+        ]
+        want = max(candidates) if candidates else None
+        assert got[i] == want, f"left row {i} (k={k}, t={lt}): {got[i]} != {want}"
+
+
+@SETTINGS
+@given(left=rows_strategy, right=rows_strategy, gap=st.integers(1, 300))
+def test_range_join_matches_bruteforce(spark, left, right, gap):
+    """Bucketed range join ≡ the naive theta-join definition
+    0 <= r.ts - l.ts <= gap on matching keys, for arbitrary gap widths
+    (bucket boundaries land anywhere relative to the data)."""
+    ldf = _df(spark, left, ["k", "tsa", "va"]).select(
+        "k", "tsa", F.col("rid").alias("lid")
+    )
+    rdf = _df(spark, right, ["k", "tsb", "vb"]).select(
+        "k", "tsb", F.col("rid").alias("rid2")
+    )
+    out = joins.range_join_bucketed(ldf, rdf, "tsa", "tsb", gap, ["k"])
+    got = {(r["lid"], r["rid2"]) for r in out.collect()}
+
+    want = {
+        (i, j)
+        for i, (lk, ls, _lv) in enumerate(left)
+        for j, (rk, rs, _rv) in enumerate(right)
+        if lk == rk and 0 <= rs - ls <= gap
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(rows=rows_strategy, gap=st.integers(1, 200))
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    """Session ids must equal the sequential gaps-and-islands fold over
+    each key's (ts, rid)-ordered event list."""
+    df = _df(spark, rows, ["k", "t", "v"])
+    out = windows.sessionize(df, "k", "t", key_col="rid", gap_seconds=gap)
+    got = {r["rid"]: r["session_id"] for r in out.collect()}
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, s, _v) in enumerate(rows):
+        by_key.setdefault(k, []).append((s, i))
+    for k, evs in by_key.items():
+        evs.sort()
+        sid, prev = 0, None
+        for s, rid in evs:
+            if prev is None or s - prev > gap:
+                sid += 1
+            prev = s
+            assert got[rid] == sid, f"key {k} rid {rid}: {got[rid]} != {sid}"
