@@ -167,6 +167,19 @@ class ChronoSpark:
             scan = scan.unionByName(p)
         return timeseries.time_range_scan(scan, start, end)
 
+    def iter_query(
+        self,
+        table: str,
+        start: str | dt.datetime,
+        end: str | dt.datetime,
+    ):
+        """Streaming row iterator over a range scan — the reference's
+        declared-but-unimplemented RowIterator (pkg/db/types.go:24-29).
+        ``toLocalIterator`` pulls one partition at a time to the driver,
+        so memory stays bounded by a single partition regardless of
+        result size."""
+        return self.query(table, start, end).toLocalIterator()
+
     def get_stats(self, table: str) -> dict:
         """Reference GetStats (table.go:390-414): row counts, time range,
         plus filesystem facts (file count/bytes = DiskTablets/DiskSize)."""

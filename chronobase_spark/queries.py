@@ -620,6 +620,24 @@ def q_embedding_array_ops(spark, sf_dir):
 
 
 @register(
+    "udaf_median_value",
+    """SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS median_value
+       FROM events GROUP BY event_type""",
+)
+def q_udaf_median_value(spark, sf_dir):
+    """Custom aggregation via a grouped-agg pandas UDF (the engine's
+    UDAF extension point): exact interpolated median computed in numpy
+    per group, Arrow-batched. Interpolation (a+b)/2 over exact doubles
+    is deterministic, so even the UDAF path carries a full SQL oracle.
+    Built-in percentile() covers this natively (value_percentiles); the
+    UDAF form exists to pin the extension mechanism itself."""
+    from chronobase_spark.functions.udafs import median_udaf
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(median_udaf("value").alias("median_value"))
+
+
+@register(
     "rank_lead_purchases",
     """SELECT user_id, event_id,
               RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,

@@ -115,6 +115,16 @@ def test_backup_restore_roundtrip(db, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {0, 1, 2, 3, 4}
 
 
+def test_iter_query_streams_rows(db):
+    """RowIterator parity (pkg/db/types.go:24-29): lazily iterable,
+    same rows as the materialized scan."""
+    db.create_table("metrics")
+    db.insert("metrics", [_row(i, NOW + dt.timedelta(seconds=i)) for i in range(20)], now=NOW)
+    db.flush()
+    it = db.iter_query("metrics", NOW, NOW + dt.timedelta(hours=1))
+    assert {r["event_id"] for r in it} == set(range(20))
+
+
 def test_table_lifecycle_errors(db):
     db.create_table("a")
     with pytest.raises(TableExistsError):
