@@ -34,10 +34,14 @@ def run() -> dict:
     q.flagship(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in q.queries().items():
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one bad query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -51,6 +55,8 @@ def run() -> dict:
         "n_queries": len(timings),
         "cpus": CPUS,
     }
+    if errors:
+        result["errors"] = errors
     spark.stop()
     return result
 

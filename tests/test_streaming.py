@@ -109,6 +109,66 @@ def test_streaming_dedup_drops_duplicate_ids(spark, tmp_path):
     assert out.count() == out.select("event_id").distinct().count()
 
 
+def test_streaming_session_windows_match_batch_sessionize(spark, event_source, tmp_path):
+    """Native session_window (streaming, 30-min gap) must produce the
+    same number of per-user sessions as the batch gaps-and-islands
+    sessionizer — two independent formulations of the same gap rule."""
+    from chronobase_spark.operators import windows as batch_windows
+
+    # Second-aligned copy of the source: session_window compares full-
+    # precision timestamps while the batch sessionizer uses whole-second
+    # deltas — truncation makes the two rules comparable exactly.
+    sec_source = str(tmp_path / "sec_source")
+    (
+        spark.read.parquet(event_source)
+        .withColumn("ts", F.date_trunc("second", "ts"))
+        .repartition(4)
+        .write.parquet(sec_source)
+    )
+    # all files fit one micro-batch (maxFilesPerTrigger=8), so a
+    # zero-delay watermark drops nothing; the final no-data batch then
+    # closes and emits every session
+    stream = ingest.read_event_stream(spark, sec_source)
+    sessions = ingest.streaming_sessionization(stream, gap="30 minutes",
+                                               watermark="0 seconds")
+    sink = str(tmp_path / "sess_sink")
+    ckpt = str(tmp_path / "sess_ckpt")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # session_window merges while delta < gap (new session at delta >=
+    # 1800s); the batch rule is new-session at delta > gap_seconds — on
+    # integer-second data they coincide at gap_seconds = 1799
+    src = spark.read.parquet(sec_source)
+    batch = batch_windows.sessionize(src, "user_id", "ts", gap_seconds=1799)
+    # append mode only emits sessions CLOSED by the final watermark
+    # (= global max event time): a user whose last session ends within
+    # `gap` of the stream end keeps it open — count only closed sessions.
+    global_max = src.agg(F.max("ts")).collect()[0][0]
+    closed = (
+        batch.groupBy("user_id", "session_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.unix_timestamp(F.lit(global_max)) - F.unix_timestamp("last_ts") >= 1800)
+    )
+    want = {
+        r["user_id"]: r["n"]
+        for r in closed.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_df = spark.read.parquet(sink)
+    got = {
+        r["user_id"]: r["n"]
+        for r in got_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_stateful_running_totals_match_batch(spark, event_source, tmp_path):
     """applyInPandasWithState running totals: after draining the source
     (availableNow), each user's latest emitted state must equal the batch
