@@ -87,7 +87,8 @@ def bucketed_near_pairs(
         F.col(vec_col).alias("vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     ).persist()
-    a, b = sig.alias("a"), sig.alias("b")
+    # shuffle-hash: self-join sides are corpus-sized (see minhash.py)
+    a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
     sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
     return (
         a.join(

@@ -102,7 +102,10 @@ def lsh_candidates(
             )
         ).alias("band"),
     ).select("doc", "band.band_id", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
+    # SHUFFLE_HASH hint: both sides of the band self-join are corpus-
+    # sized; a stats misestimate must never pick broadcast (measured
+    # driver OOM at 16x corpus), and sort-merge would pay a useless sort.
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

@@ -70,7 +70,8 @@ def jaccard_pairs(
         sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
         "sh",
     ).select("doc", "sh")
-    a, b = rare.alias("a"), rare.alias("b")
+    # shuffle-hash: self-join sides are corpus-sized (see minhash.py)
+    a, b = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))

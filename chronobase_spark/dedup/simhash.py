@@ -83,7 +83,8 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select("doc", "simhash", "c.chunk_id", "c.chunk_val")
-    a, b = chunked.alias("a"), chunked.alias("b")
+    # shuffle-hash: self-join sides are corpus-sized (see minhash.py)
+    a, b = chunked.alias("a"), chunked.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

@@ -38,10 +38,16 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode puts scheduler + all executor threads in one JVM;
+        # the 1g default heap stalls shuffles at 32 threads. Honored
+        # only if this process launches the JVM (a caller-owned session
+        # keeps its own setting).
+        .config("spark.driver.memory", driver_mem)
         # Adaptive execution: runtime shuffle-partition coalescing,
         # skew-join splitting, dynamic join-strategy switching.
         .config("spark.sql.adaptive.enabled", "true")

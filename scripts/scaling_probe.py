@@ -1,0 +1,125 @@
+"""Scaling probe: replicate the sf0.1 corpus N-fold on disk and measure
+how the headline operators scale with input size. Near-linear wall-time
+growth (at fixed parallelism) is the evidence that the plans have no
+hidden quadratic stage and would survive a 100 TB cluster where scale-up
+comes from more executors, not bigger partitions.
+
+Writes scratch data under .scratch/ (gitignored); prints a markdown
+table for SCALING.md.
+
+Usage: python scripts/scaling_probe.py [factors...]   (default 1 4 16)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from chronobase_spark import get_spark
+from chronobase_spark.dedup import minhash
+from chronobase_spark.functions import similarity
+from chronobase_spark.operators import timeseries, windows
+
+BASE_SF = "/root/testdata/sf0.1"
+SCRATCH = Path(__file__).resolve().parent.parent / ".scratch" / "scaling"
+
+
+def replicate(spark, table: str, factor: int, id_col: str) -> str:
+    """Materialize `factor` disjoint-id copies of a table (id shifted per
+    copy so dedup/join keys stay unique)."""
+    dest = SCRATCH / f"{table}_x{factor}"
+    if dest.exists():
+        return str(dest)
+    from chronobase_spark import catalog
+
+    # catalog normalization (ns->µs events ts) so replicas carry proper
+    # timestamp types
+    base = catalog.table(spark, BASE_SF, table)
+    if "__ts_ns" in base.columns:
+        base = base.drop("__ts_ns")
+    shift = 10_000_000
+    copies = base.withColumn("_copy", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+    out = copies.withColumn(id_col, F.col(id_col) + F.col("_copy") * shift).drop("_copy")
+    out.repartition(32).write.mode("overwrite").parquet(str(dest))
+    return str(dest)
+
+
+def run(spark, factors: list[int]) -> list[dict]:
+    rows = []
+    for factor in factors:
+        ev_path = replicate(spark, "events", factor, "event_id")
+        doc_path = replicate(spark, "documents", factor, "doc_id")
+        emb_path = replicate(spark, "embeddings", factor, "vec_id")
+        ev = spark.read.parquet(ev_path).withColumn(
+            "ts", F.col("ts")
+        )
+        docs = spark.read.parquet(doc_path)
+        emb = spark.read.parquet(emb_path)
+
+        timings = {}
+
+        t0 = time.perf_counter()
+        (
+            timeseries.time_range_scan(ev, "2024-01-10 00:00:00", "2024-03-01 00:00:00")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["scan_agg"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        windows.sessionize(ev, "user_id", "ts", gap_seconds=1800).groupBy(
+            "user_id"
+        ).agg(F.max("session_id")).write.format("noop").mode("overwrite").save()
+        timings["sessionize"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        minhash.minhash_dedup_pairs(docs, threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["minhash_dedup"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        similarity.topk_cosine(probes, emb, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["topk_cosine"] = time.perf_counter() - t0
+
+        rows.append({"factor": factor, **{k: round(v, 2) for k, v in timings.items()}})
+        print(f"factor {factor}: {rows[-1]}", flush=True)
+    return rows
+
+
+def main():
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    SCRATCH.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(app_name="scaling-probe", shuffle_partitions=32)
+    rows = run(spark, factors)
+    print("\n| factor | " + " | ".join(k for k in rows[0] if k != "factor") + " |")
+    print("|---" * (len(rows[0])) + "|")
+    for r in rows:
+        print(
+            f"| {r['factor']}x | "
+            + " | ".join(f"{r[k]:.2f}s" for k in r if k != "factor")
+            + " |"
+        )
+    base = rows[0]
+    last = rows[-1]
+    for k in base:
+        if k == "factor":
+            continue
+        ratio = last[k] / max(base[k], 1e-9)
+        print(f"{k}: {last['factor']}x data -> {ratio:.1f}x time")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
