@@ -136,11 +136,32 @@ class ChronoSpark:
 
     # -- reads (db.go:155-162; table.go:122-163) -----------------------
 
-    def _durable(self, table: str) -> DataFrame | None:
+    def _durable(
+        self,
+        table: str,
+        start: dt.datetime | None = None,
+        end: dt.datetime | None = None,
+    ) -> DataFrame | None:
         data_dir = self.root / table / "data"
         if not data_dir.exists() or not any(data_dir.iterdir()):
             return None
-        return self.spark.read.parquet(str(data_dir)).drop(_PARTITION_COL)
+        df = self.spark.read.parquet(str(data_dir))
+        if start is not None and end is not None:
+            # partition pruning on the date bucket — whole directories
+            # skipped before any file is opened (the reference's tablet
+            # [MinTS,MaxTS] skip, table.go:146-149, at directory
+            # granularity); the row-level ts predicate then prunes row
+            # groups within the surviving partitions
+            df = df.filter(
+                F.col(_PARTITION_COL).between(
+                    F.lit(start.date().isoformat()), F.lit(end.date().isoformat())
+                )
+            )
+        return df.drop(_PARTITION_COL)
+
+    @staticmethod
+    def _as_dt(value: str | dt.datetime) -> dt.datetime:
+        return dt.datetime.fromisoformat(value) if isinstance(value, str) else value
 
     def query(
         self,
@@ -153,7 +174,7 @@ class ChronoSpark:
         pruning (table.go:132-161; pruning 146-149 = parquet stats)."""
         self._require(table)
         parts = []
-        durable = self._durable(table)
+        durable = self._durable(table, self._as_dt(start), self._as_dt(end))
         if durable is not None:
             parts.append(durable)
         buf = self._memtable[table]

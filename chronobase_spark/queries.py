@@ -1031,6 +1031,42 @@ def q_doc_bpe_token_count(spark, sf_dir):
     return docs.select("doc_id", n.cast("bigint").alias("n_bpe"))
 
 
+_CHUNK = 10
+
+_CHUNK_SQL = f"""
+SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+       array_to_string(tk[(g.i*{_CHUNK}+1):(g.i*{_CHUNK}+{_CHUNK})], ' ') AS chunk_text
+FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t,
+     LATERAL (SELECT unnest(generate_series(0,
+               CAST(ceil(len(tk) / {_CHUNK}.0) - 1 AS INT))) AS i) g
+"""
+
+
+@register("doc_chunks_udtf", _CHUNK_SQL)
+def q_doc_chunks_udtf(spark, sf_dir):
+    """Python UDTF (table function) extension point: chunk each document
+    into fixed-size token windows — the LLM-pipeline sharding primitive
+    (context-window packing). One row in, N rows out via LATERAL; the
+    chunking is deterministic string math, so the UDTF path is fully
+    oracle-checked. Scale note: UDTFs run Arrow-batched per partition;
+    the lateral join is map-side (no shuffle)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk_text: string")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):
+            toks = text.split(" ") if text else []
+            for i in range(0, len(toks), size):
+                yield i // size, " ".join(toks[i : i + size])
+
+    catalog.register_views(spark, sf_dir)
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        f"SELECT d.doc_id, c.chunk_idx, c.chunk_text "
+        f"FROM documents d, LATERAL chunk_doc(d.text, {_CHUNK}) c"
+    )
+
+
 @register("lang_id_pred", None)  # heuristic marker logic, Spark-side only
 def q_lang_id_pred(spark, sf_dir):
     """Language-ID heuristic: predicted vs labeled language counts."""

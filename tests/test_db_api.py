@@ -115,6 +115,19 @@ def test_backup_restore_roundtrip(db, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {0, 1, 2, 3, 4}
 
 
+def test_query_prunes_partitions(db):
+    """A narrow time range must push a PartitionFilters clause on the
+    date bucket — whole partition directories skipped, not scanned."""
+    db.create_table("metrics")
+    rows = [_row(i, NOW + dt.timedelta(days=i)) for i in range(5)]
+    db.insert("metrics", rows, now=NOW + dt.timedelta(days=5))
+    db.flush()
+    got = db.query("metrics", NOW, NOW + dt.timedelta(days=1))
+    assert {r["event_id"] for r in got.collect()} == {0, 1}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_bucket" in plan, plan
+
+
 def test_iter_query_streams_rows(db):
     """RowIterator parity (pkg/db/types.go:24-29): lazily iterable,
     same rows as the materialized scan."""
