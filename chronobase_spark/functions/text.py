@@ -160,3 +160,38 @@ def lang_id(text: Column) -> Column:
             0,
         ),
     )
+
+
+def tfidf_top_terms(
+    docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+):
+    """Top-k TF-IDF terms per document, with a linear (un-logged) IDF
+    ``N/df`` — integer-ratio double arithmetic, so Spark and the SQL
+    oracle produce bit-identical scores (``ln`` could differ in the last
+    ulp between engines). Plan: one explode + two hash aggregations
+    (both map-side partial), a broadcast join of the vocabulary-sized
+    document-frequency table, and one windowed top-k. At 100 TB the
+    vocabulary ≪ corpus, so the broadcast holds; nothing is quadratic."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df_docs"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "score")
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 import calendar
 import datetime as dt
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TimeLike = "str | dt.datetime"
@@ -149,3 +149,22 @@ def sorted_scan(
     itself never provided (its multi-tablet results are unordered,
     table.go:132-161)."""
     return df.orderBy(F.col(ts_col), F.col(key_col))
+
+
+def latest_per_key(
+    df: DataFrame, key_col: str, ts_col: str = "ts", tiebreak_col: str = "event_id"
+) -> DataFrame:
+    """Latest row per series key — the canonical TSDB read implied by the
+    reference's (key, timestamp) data model (row.go:6-10) but never
+    exposed by it (the scan returns every generation of a key,
+    table.go:132-161). row_number over (ts desc, tiebreak desc), keep
+    rn = 1. Whole-row argmax admits no partial aggregation, so this is
+    one window shuffle partitioned by key; AQE splits skewed keys."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -119,3 +119,29 @@ def sessionize(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def range_frame_sum(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    value_col: str,
+    preceding_seconds: int,
+    alias: str = "range_sum",
+    scale: int = 2,
+) -> DataFrame:
+    """Moving sum over a time-based RANGE frame [ts - preceding, ts] per
+    key — a true event-time frame, unlike the row-count frame in
+    ``moving_sum``. Ordered by ``unix_micros`` so the frame boundary is
+    microsecond-exact (``events.ts`` carries sub-second precision and the
+    SQL oracle's ``RANGE INTERVAL ... PRECEDING`` is µs-exact too); rows
+    sharing a timestamp are frame peers, so no key tie-break is needed for
+    a layout-independent result. Decimal-exact sum, one shuffle on the
+    partition key."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-preceding_seconds * 1_000_000, Window.currentRow)
+    )
+    val = F.col(value_col).cast(f"decimal(18,{scale})")
+    return df.withColumn(alias, F.sum(val).over(w).cast("double"))

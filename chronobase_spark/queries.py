@@ -1140,6 +1140,121 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(multimodal.to_payload(docs))
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = "SELECT date_trunc('day', ts) AS day, " + ", ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _PIVOT_TYPES
+) + " FROM events GROUP BY date_trunc('day', ts)"
+
+
+@register("pivot_daily_type_counts", _PIVOT_SQL)
+def q_pivot_daily_type_counts(spark, sf_dir):
+    """Pivot (long→wide): daily event counts, one column per event type.
+    The value list is explicit, so Spark skips the extra distinct-values
+    job and the plan is a single hash aggregation — at scale an
+    unbounded ``pivot()`` without values is two passes and an
+    arbitrarily wide row; always pin the columns."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0, _PIVOT_TYPES)
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+       UNION ALL
+       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part""",
+)
+def q_unpivot_part_metrics(spark, sf_dir):
+    """Unpivot (wide→long): part numeric features melted to
+    (key, metric, val) rows — ``df.unpivot`` expands map-side (no
+    shuffle, no UDF), the shape feature-store exports want."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    )
+    return part.unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")
+
+
+@register(
+    "range_frame_hour_sum",
+    """SELECT user_id, event_id, ts,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) AS hour_sum
+       FROM events""",
+)
+def q_range_frame_hour_sum(spark, sf_dir):
+    """Event-time RANGE window frame: per-user trailing-1-hour sum
+    (windows.range_frame_sum) — the time-based frame the reference's
+    (key, ts) model implies but its API cannot express."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return windows.range_frame_sum(
+        ev, "user_id", "ts", "value", 3600, alias="hour_sum"
+    ).select("user_id", "event_id", "ts", "hour_sum")
+
+
+@register(
+    "latest_per_user",
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+         SELECT user_id, event_id, ts, event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) t
+       WHERE rn = 1""",
+)
+def q_latest_per_user(spark, sf_dir):
+    """Latest event per user — the canonical TSDB 'current value per
+    series' read (timeseries.latest_per_key)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return timeseries.latest_per_key(ev, "user_id", "ts", "event_id")
+
+
+@register(
+    "tfidf_top_terms",
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS term
+         FROM documents
+       ), tf AS (
+         SELECT doc_id, term, COUNT(*) AS tf
+         FROM toks WHERE term <> '' GROUP BY doc_id, term
+       ), dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       SELECT doc_id, term, tf, score FROM (
+         SELECT tf.doc_id, tf.term, tf.tf,
+                CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df_docs AS score,
+                ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                  ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df_docs DESC,
+                           tf.term) AS rn
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n) t
+       WHERE rn <= 3""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document (text.tfidf_top_terms) — linear
+    IDF N/df keeps the scores integer-ratio doubles, so the oracle
+    hash-matches without rounding."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register("stratified_sample_langs", None)  # seeded RNG — engine-specific, rows-only
+def q_stratified_sample_langs(spark, sf_dir):
+    """Stratified training-mix sampling: ``sampleBy(lang)`` with
+    per-stratum fractions — seeded per-partition Bernoulli, no shuffle,
+    no collect, so it scales embarrassingly. Sampled values depend on
+    Spark's RNG, so no cross-engine oracle; pytest pins the per-stratum
+    rates instead."""
+    docs = _t(spark, sf_dir, "documents")
+    frac = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.1}
+    sample = docs.sampleBy("lang", frac, seed=42)
+    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

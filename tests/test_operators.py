@@ -157,3 +157,31 @@ def test_frame_sample_fanout(spark):
     per_doc = frames.groupBy("doc_id").count().collect()
     truth = {r["doc_id"]: r["n_bytes"] // 100 + 1 for r in payloads.select("doc_id", "meta.n_bytes").collect()}
     assert {r["doc_id"]: r["count"] for r in per_doc} == truth
+
+
+def test_stratified_sample_rates(spark):
+    """sampleBy must hit each stratum at roughly its requested fraction
+    (seeded Bernoulli) and never emit a stratum outside the spec."""
+    docs = catalog.table(spark, SF_SMOKE, "documents")
+    frac = {"en": 0.5, "zh": 0.1}
+    got = docs.sampleBy("lang", frac, seed=42)
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sampled) <= set(frac)
+    for lang, f in frac.items():
+        rate = sampled.get(lang, 0) / totals[lang]
+        assert abs(rate - f) < 0.15, (lang, rate)
+
+
+def test_latest_per_key_is_argmax(spark, events):
+    """latest_per_key returns exactly one row per key, and it is the
+    (ts, event_id)-max row of that key."""
+    got = timeseries.latest_per_key(events, "user_id", "ts", "event_id")
+    rows = {r["user_id"]: (r["ts"], r["event_id"]) for r in got.collect()}
+    naive = (
+        events.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .collect()
+    )
+    assert rows == {r["user_id"]: (r["m"]["ts"], r["m"]["event_id"]) for r in naive}
+    assert got.groupBy("user_id").count().filter("count > 1").count() == 0
