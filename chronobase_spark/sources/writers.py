@@ -37,3 +37,22 @@ def write_time_partitioned(
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Plain dimension/fact table write (no time axis)."""
     df.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: pre-shuffled on ``bucket_col`` at write
+    time so joins/aggregations on that key read co-located buckets and
+    skip the runtime Exchange entirely — the 100 TB answer for a fact
+    table joined on the same key every day (pay the shuffle once, at
+    ingest). Bucket counts must match across co-joined tables."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

@@ -189,3 +189,46 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def streaming_enrich(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against a
+    (re-read-per-batch) static dimension. The dim side is broadcast, so
+    the streaming side never shuffles — at 100 TB/day of events joined
+    to a customer dimension, this is the only join shape that keeps the
+    stream pipelined. No watermark needed: the static side is unbounded
+    in time."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_gap_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: rows of
+    ``right`` join rows of ``left`` with the same key where
+    ``0 <= right.ts - left.ts <= max_gap_seconds`` (e.g., purchase
+    follows click within an hour). BOTH sides carry watermarks and the
+    join condition bounds the time skew, so each side's buffered state
+    is evicted once the other side's watermark passes — without the
+    time-range term the state would grow forever."""
+    lt = left.withWatermark("ts", watermark).alias("l")
+    rt = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (
+            F.col("r.ts")
+            <= F.col("l.ts") + F.make_interval(secs=F.lit(max_gap_seconds))
+        )
+    )
+    return lt.join(rt, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.ts").alias("right_ts"),
+    )

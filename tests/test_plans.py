@@ -95,3 +95,36 @@ def test_window_queries_are_partitioned(spark):
         # Exchange is hashpartitioning; SinglePartition anywhere in these
         # plans would mean a one-task global sort
         assert "SinglePartition" not in plan, f"{name} has a global window"
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    runtime Exchange on either side — the shuffle was paid at write time
+    (sources.writers.write_bucketed). This is the co-located-join layout
+    a 100 TB fact table uses for its every-day join key."""
+    from chronobase_spark import catalog
+    from chronobase_spark.sources import writers
+
+    ev = catalog.table(spark, SF_SMOKE, "events")
+    left = ev.select("event_id", "user_id", "value")
+    right = ev.select("event_id", "user_id", "event_type")
+    writers.write_bucketed(left, "bkt_left", "user_id", 8, sort_col="user_id")
+    writers.write_bucketed(right, "bkt_right", "user_id", 8, sort_col="user_id")
+    try:
+        # hint forces SMJ (at sf0.001 the right side fits broadcast, which
+        # would hide the bucketed path under test; at real scale SMJ is
+        # what Catalyst picks on its own)
+        joined = (
+            spark.table("bkt_left")
+            .hint("merge")
+            .join(spark.table("bkt_right"), "user_id")
+            .groupBy("user_id")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

@@ -261,3 +261,65 @@ def test_retention_drops_old_partitions(spark, event_source, tmp_path):
         if p.name.startswith("event_date=")
     )
     assert remaining == parts[1:]
+
+
+def test_stream_static_enrich_matches_batch_join(spark, event_source, tmp_path):
+    """Stream-static broadcast enrichment must equal the batch join."""
+    dim = catalog.table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    stream = ingest.read_event_stream(spark, event_source)
+    enriched = ingest.streaming_enrich(stream, dim, "user_id", "inner").select(
+        "event_id", "user_id", "c_nationkey"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["c_nationkey"])
+        for r in spark.table("enrich_out").collect()
+    }
+    batch = spark.read.parquet(event_source).join(dim, "user_id", "inner")
+    want = {(r["event_id"], r["c_nationkey"]) for r in batch.collect()}
+    assert got == want and got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_source, tmp_path):
+    """Stream-stream watermarked interval join (purchase within 1 h of a
+    click by the same user) must equal the batch range join."""
+    stream = ingest.read_event_stream(spark, event_source)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = ingest.streaming_interval_join(clicks, purchases, max_gap_seconds=3600)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["left_event_id"], r["right_event_id"])
+        for r in spark.table("ssj_out").collect()
+    }
+    ev = spark.read.parquet(event_source)
+    c = ev.filter("event_type = 'click'").alias("l")
+    p = ev.filter("event_type = 'purchase'").alias("r")
+    want = {
+        (r["lid"], r["rid"])
+        for r in c.join(
+            p,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 3600 SECONDS")),
+        )
+        .select(F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid"))
+        .collect()
+    }
+    assert got == want and got
