@@ -1140,6 +1140,68 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(multimodal.to_payload(docs))
 
 
+@register(
+    "full_outer_user_activity",
+    """SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+              COALESCE(c.n_clicks, 0) AS n_clicks,
+              COALESCE(p.n_purchases, 0) AS n_purchases
+       FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events
+             WHERE event_type = 'click' GROUP BY user_id) c
+       FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_purchases FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id) p
+       ON c.user_id = p.user_id""",
+)
+def q_full_outer_user_activity(spark, sf_dir):
+    """Full outer join: click vs purchase counts per user, keeping users
+    who only ever did one of the two. Both sides are pre-aggregated
+    (map-side partial) before the join, so the join input is
+    users-sized, not events-sized — the order matters at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        c.alias("c")
+        .join(p.alias("p"), F.col("c.user_id") == F.col("p.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+@register(
+    "value_ntiles",
+    """SELECT event_id,
+              NTILE(4) OVER w AS quartile,
+              ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+              ROUND(CUME_DIST() OVER w, 6) AS cume
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+)
+def q_value_ntiles(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    in one window pass: the ordering tie-breaks on event_id so every
+    rank is unique and the rational-arithmetic outputs hash-match the
+    oracle exactly."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 _PIVOT_SQL = "SELECT date_trunc('day', ts) AS day, " + ", ".join(

@@ -38,3 +38,23 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+):
+    """Kafka ingest source — the production arrival path the reference's
+    ``DB.Insert`` RPC surface maps to at scale. Requires the
+    spark-sql-kafka connector on the classpath (not bundled in this
+    test container; the file source plays its role in tests — both
+    yield the same (key, value, timestamp) micro-batch shape)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )

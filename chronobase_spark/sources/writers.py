@@ -56,3 +56,27 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def overwrite_time_partitions(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    bucket: str = "day",
+) -> None:
+    """Idempotent backfill: dynamic partition overwrite replaces ONLY
+    the time buckets present in ``df``, leaving every other partition
+    untouched — re-running a day's pipeline is safe at any scale, and
+    no job ever rewrites the whole table. (Static overwrite mode — the
+    Spark default — would truncate the table first; always scope
+    overwrites to the partitions in hand.)"""
+    bucket_col = F.to_date(ts_col) if bucket == "day" else F.date_trunc(bucket, ts_col)
+    (
+        df.withColumn("_bucket", bucket_col)
+        .sortWithinPartitions(ts_col, key_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(path)
+    )

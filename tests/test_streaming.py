@@ -323,3 +323,36 @@ def test_stream_stream_interval_join_matches_batch(spark, event_source, tmp_path
         .collect()
     }
     assert got == want and got
+
+
+def test_dynamic_partition_overwrite_is_scoped(spark, event_source, tmp_path):
+    """Backfilling one day via overwrite_time_partitions must replace
+    exactly that day's partition and leave all others byte-identical."""
+    from chronobase_spark.sources import writers
+
+    table = str(tmp_path / "table")
+    ev = spark.read.parquet(event_source)
+    writers.write_time_partitioned(ev, table, mode="overwrite")
+    before = spark.read.parquet(table).count()
+
+    one_day = ev.filter(F.to_date("ts") == "2024-01-10")
+    assert one_day.count() > 0
+    patched = one_day.withColumn("value", F.col("value") * 2)
+    writers.overwrite_time_partitions(patched, table)
+
+    after = spark.read.parquet(table)
+    assert after.count() == before
+    got = after.filter(F.to_date("ts") == "2024-01-10").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
+    ).collect()[0]["s"]
+    want = one_day.agg(
+        F.sum((F.col("value") * 2).cast("decimal(18,2)")).alias("s")
+    ).collect()[0]["s"]
+    assert abs(float(got) - float(want)) < 1e-6
+    untouched = after.filter(F.to_date("ts") != "2024-01-10").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
+    ).collect()[0]["s"]
+    base = ev.filter(F.to_date("ts") != "2024-01-10").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
+    ).collect()[0]["s"]
+    assert float(untouched) == float(base)
