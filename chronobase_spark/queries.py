@@ -441,6 +441,21 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+@register("approx_value_percentiles", None)  # sketch values are engine-specific
+def q_approx_value_percentiles(spark, sf_dir):
+    """approx_percentile (KLL-style sketch): the 100 TB percentile path —
+    mergeable per-partition sketches, one small state per group, no
+    global sort. Sketch outputs are engine-specific, so no cross-engine
+    oracle; pytest bounds its error against the exact quantiles."""
+    ev = _t(spark, sf_dir, "events")
+    pa = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return ev.groupBy("event_type").agg(
+        F.round(pa[0], 6).alias("p50"),
+        F.round(pa[1], 6).alias("p90"),
+        F.round(pa[2], 6).alias("p99"),
+    )
+
+
 @register(
     "top3_events_per_user",
     """SELECT user_id, event_id, rn FROM (

@@ -185,3 +185,29 @@ def test_latest_per_key_is_argmax(spark, events):
     )
     assert rows == {r["user_id"]: (r["m"]["ts"], r["m"]["event_id"]) for r in naive}
     assert got.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+def test_approx_percentiles_rank_error_bounded(spark):
+    """approx_percentile's contract is bounded RANK error (≤ 1/accuracy),
+    not value error: the returned value's quantile position must sit
+    within ε of the requested p (plus 1/n granularity on small groups)."""
+    from chronobase_spark import queries as q
+
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in q.queries()["approx_value_percentiles"](spark, SF_SMOKE).collect()
+    }
+    ev = catalog.table(spark, SF_SMOKE, "events")
+    rows = ev.select("event_type", "value").collect()
+    groups: dict[str, list[float]] = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    for vals in groups.values():
+        vals.sort()
+    assert set(approx) == set(groups)
+    for et, vals in groups.items():
+        n = len(vals)
+        for p, a in zip((0.5, 0.9, 0.99), approx[et]):
+            frac = sum(1 for v in vals if v <= a) / n
+            assert frac >= p - 0.0001 - 1 / n, (et, p, a, frac)
+            assert sum(1 for v in vals if v < a) / n <= p + 0.0001 + 1 / n, (et, p, a)
