@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from chronobase_spark import get_spark
 from chronobase_spark.dedup import minhash
-from chronobase_spark.functions import similarity
+from chronobase_spark.functions import similarity, text
 from chronobase_spark.operators import timeseries, windows
 
 BASE_SF = "/root/testdata/sf0.1"
@@ -92,6 +92,18 @@ def run(spark, factors: list[int]) -> list[dict]:
             "overwrite"
         ).save()
         timings["topk_cosine"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        text.tfidf_top_terms(docs, k=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["tfidf"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        timeseries.latest_per_key(ev, "user_id", "ts", "event_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["latest_per_key"] = time.perf_counter() - t0
 
         rows.append({"factor": factor, **{k: round(v, 2) for k, v in timings.items()}})
         print(f"factor {factor}: {rows[-1]}", flush=True)

@@ -211,3 +211,23 @@ def test_approx_percentiles_rank_error_bounded(spark):
             frac = sum(1 for v in vals if v <= a) / n
             assert frac >= p - 0.0001 - 1 / n, (et, p, a, frac)
             assert sum(1 for v in vals if v < a) / n <= p + 0.0001 + 1 / n, (et, p, a)
+
+
+def test_asof_join_pandas_matches_window_impl(spark, events):
+    """The cogrouped merge_asof implementation must produce exactly the
+    union+window asof_join result (same '<=' backward semantics)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("value").alias("err_value")
+    )
+    a = joins.asof_join(
+        clicks, errors, "user_id", "user_id", "ts", "err_ts", ["err_value"]
+    ).select("user_id", "event_id", "err_value")
+    b = joins.asof_join_pandas(
+        clicks, errors, "user_id", "ts", "err_ts", ["err_value"]
+    ).select("user_id", "event_id", "err_value")
+    ka = {(r["user_id"], r["event_id"]): r["err_value"] for r in a.collect()}
+    kb = {(r["user_id"], r["event_id"]): r["err_value"] for r in b.collect()}
+    assert ka == kb and ka
