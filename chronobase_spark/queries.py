@@ -1156,6 +1156,49 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "shipping_priority_top10",
+    """SELECT l.l_orderkey,
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              o.o_orderdate, o.o_orderpriority
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+       LIMIT 10""",
+)
+def q_shipping_priority_top10(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter → broadcast customer
+    into orders → shuffle join lineitem on orderkey → grouped revenue →
+    global top-10 (TakeOrderedAndProject: each partition keeps 10 rows,
+    the driver merges 10×partitions, never a full sort). Revenue summed
+    as exact decimal so the top-10 cut is deterministic; final ordering
+    tie-breaks to be total."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
     "full_outer_user_activity",
     """SELECT COALESCE(c.user_id, p.user_id) AS user_id,
               COALESCE(c.n_clicks, 0) AS n_clicks,
