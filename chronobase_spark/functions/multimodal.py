@@ -104,3 +104,51 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 100) -> DataFrame:
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
         (F.col("meta.n_bytes")).alias("n_bytes"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("media_type", StringType()),
+                    StructField("n_bytes", LongType()),
+                    StructField("scale_denom", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_stub(payloads: DataFrame, scale_denom: int = 4) -> DataFrame:
+    """STUB 'resize/downsample': keep every ``scale_denom``-th payload
+    byte (a real implementation decodes, resamples pixels/PCM, and
+    re-encodes at this exact boundary — same in/out schema). The output
+    is the multimodal row shape again, so resize composes with
+    ``decode_stub``/``frame_sample`` downstream. mapInPandas keeps the
+    transform Arrow-batched and partition-preserving — at 100 TB of
+    media the bytes never leave the executor that read them."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [bytes(bytes(p)[::scale_denom]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "meta": [
+                        {
+                            "media_type": m["media_type"],
+                            "n_bytes": len(b),
+                            "scale_denom": scale_denom,
+                        }
+                        for m, b in zip(pdf["meta"], out)
+                    ],
+                }
+            )
+
+    return payloads.mapInPandas(resize, RESIZED_SCHEMA)

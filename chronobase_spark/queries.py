@@ -1375,6 +1375,29 @@ def q_stratified_sample_langs(spark, sf_dir):
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+@register(
+    "multimodal_resize_meta",
+    """SELECT doc_id,
+              CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes_resized,
+              CAST(4 AS INT) AS scale_denom
+       FROM documents""",
+)
+def q_multimodal_resize_meta(spark, sf_dir):
+    """The multimodal resize path end-to-end: opaque payload →
+    mapInPandas resize_stub (keep every 4th byte — deterministic stand-in
+    for a pixel/PCM resampler) → typed metadata out. The byte math is
+    exact, so even this Arrow-UDF stage gets a full SQL oracle."""
+    from chronobase_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    resized = multimodal.resize_stub(multimodal.to_payload(docs), scale_denom=4)
+    return resized.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes_resized"),
+        F.col("meta.scale_denom").alias("scale_denom"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

@@ -231,3 +231,19 @@ def test_asof_join_pandas_matches_window_impl(spark, events):
     ka = {(r["user_id"], r["event_id"]): r["err_value"] for r in a.collect()}
     kb = {(r["user_id"], r["event_id"]): r["err_value"] for r in b.collect()}
     assert ka == kb and ka
+
+
+def test_multimodal_resize_stub_composes(spark):
+    """resize_stub keeps the multimodal row shape (so it composes with
+    decode_stub) and downsamples payload bytes deterministically."""
+    docs = catalog.table(spark, SF_SMOKE, "documents").limit(20)
+    payloads = multimodal.to_payload(docs)
+    resized = multimodal.resize_stub(payloads, scale_denom=4)
+    rows = {r["doc_id"]: r for r in resized.collect()}
+    for r in payloads.collect():
+        want = bytes(bytes(r["payload"])[::4])
+        got = bytes(rows[r["doc_id"]]["payload"])
+        assert got == want
+        assert rows[r["doc_id"]]["meta"]["n_bytes"] == len(want)
+    feats = multimodal.decode_stub(resized)
+    assert feats.count() == 20
