@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under
+# postponed annotations: pyspark evaluates the stringified hints in this
+# module's globals)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1373,6 +1376,58 @@ def q_stratified_sample_langs(spark, sf_dir):
     frac = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.1}
     sample = docs.sampleBy("lang", frac, seed=42)
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "props_map_stats",
+    """SELECT k.key AS prop_key, COUNT(*) AS n,
+              SUM(CAST(json_extract(props, '$."' || k.key || '"') AS BIGINT)) AS total
+       FROM events, LATERAL (SELECT unnest(json_keys(props)) AS key) k
+       GROUP BY k.key""",
+)
+def q_props_map_stats(spark, sf_dir):
+    """Map-type functions: parse the JSON props column into a
+    map<string,bigint>, explode its entries, and aggregate per key —
+    the generic path for semi-structured payloads whose key set is not
+    known at query time (vs. props_typed_extract, which pins a schema).
+    from_json + explode are codegen'd; no Python in the loop."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "pval"))
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pval").alias("total"))
+    )
+
+
+@register(
+    "pandas_udf_norm_len",
+    """SELECT doc_id,
+              CAST(length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS BIGINT) AS n_norm_chars
+       FROM documents""",
+)
+def q_pandas_udf_norm_len(spark, sf_dir):
+    """Scalar pandas_udf (Arrow-vectorized Python): whitespace-collapsed
+    lowercase length per document. Completes the Python-extension trio
+    (scalar pandas_udf here, grouped-agg UDAF in udaf_median_value,
+    UDTF in doc_chunks_udtf); the string math is deterministic, so the
+    UDF path is fully oracle-checked. In production prefer the native
+    expression (see the oracle SQL) — this exists to pin the Arrow
+    batch path's semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def norm_len(s: pd.Series) -> pd.Series:
+        return (
+            s.str.lower()
+            .str.strip()
+            .str.replace(r" +", " ", regex=True)
+            .str.len()
+            .astype("int64")
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", norm_len("text").alias("n_norm_chars"))
 
 
 @register(
