@@ -151,6 +151,59 @@ def sorted_scan(
     return df.orderBy(F.col(ts_col), F.col(key_col))
 
 
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-bucket densification + last-observation-carried-forward — the
+    canonical TSDB gap-fill read over the reference's (key, timestamp)
+    data model (row.go:6-10; its scan surfaces only buckets that contain
+    rows, table.go:122-163). Per key: aggregate into `bucket` buckets,
+    build the full bucket spine between that key's min and max bucket
+    (sequence + explode — distributed, no driver-side range loop), left
+    join observations onto the spine, and fill empty buckets with the
+    most recent observed aggregate via last(ignorenulls) over an
+    unbounded-preceding window.
+
+    Scale: the spine is generated key-by-key on executors (one row per
+    key fans out to its own bucket range), the join and the LOCF window
+    both hash-partition on the key, and AQE handles skewed keys. State
+    is O(1) per window step — no per-key materialization of history.
+    """
+    bucketed = df.groupBy(
+        key_col, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(value_col), 6).alias("avg_value"),
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    spine = (
+        df.groupBy(key_col)
+        .agg(
+            F.date_trunc(bucket, F.min(ts_col)).alias("b0"),
+            F.date_trunc(bucket, F.max(ts_col)).alias("b1"),
+        )
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("b0"), F.col("b1"), step)).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(bucketed, [key_col, "bucket_ts"], "left").select(
+        key_col,
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )
+
+
 def latest_per_key(
     df: DataFrame, key_col: str, ts_col: str = "ts", tiebreak_col: str = "event_id"
 ) -> DataFrame:

@@ -1431,6 +1431,37 @@ def q_pandas_udf_norm_len(spark, sf_dir):
 
 
 @register(
+    "gap_fill_locf",
+    """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                  COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value
+           FROM events GROUP BY 1, 2
+       ), spine AS (
+           SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_ts
+           FROM (SELECT event_type, date_trunc('hour', MIN(ts)) AS b0,
+                        date_trunc('hour', MAX(ts)) AS b1
+                 FROM events GROUP BY 1)
+       )
+       SELECT s.event_type, s.bucket_ts,
+              COALESCE(h.n_events, 0) AS n_events,
+              last_value(h.avg_value IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
+       FROM spine s
+       LEFT JOIN hourly h
+         ON s.event_type = h.event_type AND s.bucket_ts = h.bucket_ts""",
+)
+def q_gap_fill_locf(spark, sf_dir):
+    """Time-series gap fill: hourly densification per event_type with
+    last-observation-carried-forward for empty buckets — the canonical
+    TSDB read the reference's (key, ts) model implies (row.go:6-10) but
+    its bucket-less scan can't express (table.go:122-163). Spine rows
+    are generated on executors (sequence + explode per key); the join
+    and LOCF window share the event_type hash partitioning."""
+    return timeseries.gap_fill_locf(_t(spark, sf_dir, "events"), "event_type")
+
+
+@register(
     "multimodal_resize_meta",
     """SELECT doc_id,
               CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes_resized,

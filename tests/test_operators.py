@@ -247,3 +247,25 @@ def test_multimodal_resize_stub_composes(spark):
         assert rows[r["doc_id"]]["meta"]["n_bytes"] == len(want)
     feats = multimodal.decode_stub(resized)
     assert feats.count() == 20
+
+
+def test_gap_fill_locf_spine_and_carry(spark):
+    """Gap fill: the spine is hourly-contiguous per key, empty buckets
+    have n_events=0, and LOCF carries the previous observed aggregate
+    into them (null only before the first observation)."""
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 03:20:00", 5.0),  # hours 1-2 are gaps
+            ("b", "2024-01-01 01:00:00", 2.0),
+        ],
+        "key string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = timeseries.gap_fill_locf(df, "key").orderBy("key", "bucket_ts")
+    rows = out.collect()
+    a = [r for r in rows if r.key == "a"]
+    assert [r.bucket_ts.hour for r in a] == [0, 1, 2, 3]
+    assert [r.n_events for r in a] == [1, 0, 0, 1]
+    assert [r.avg_value_locf for r in a] == [1.0, 1.0, 1.0, 5.0]
+    b = [r for r in rows if r.key == "b"]
+    assert len(b) == 1 and b[0].n_events == 1 and b[0].avg_value_locf == 2.0
