@@ -1484,6 +1484,362 @@ def q_multimodal_resize_meta(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# M2+ — extended analytical surface: sequence/funnel analysis, conditional
+# aggregation, histograms, distribution-exact moments, more join shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_stage_counts",
+    """WITH stage AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+         FROM events GROUP BY user_id)
+       SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+              COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 END) AS n_view_click,
+              COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+       FROM stage""",
+)
+def q_funnel_stage_counts(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase): one hash
+    aggregate per user computes the first timestamp of each stage via
+    conditional MIN, then a global conditional COUNT rolls up how many
+    users reached each stage *in order*. Scale: one shuffle on user_id
+    with map-side partials, then a tiny all-to-one final — no joins, no
+    per-event state. The sequencing predicate (t2 > t1) is what the
+    reference's flat scan (table.go:122-163) cannot express."""
+    ev = _t(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_full = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.when(reached_view, 1)).alias("n_view"),
+        F.count(F.when(reached_click, 1)).alias("n_view_click"),
+        F.count(F.when(reached_full, 1)).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "priority_return_counts",
+    """SELECT o_orderpriority,
+              COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+              COUNT(CASE WHEN l_returnflag <> 'R' THEN 1 END) AS n_kept
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def q_priority_return_counts(spark, sf_dir):
+    """TPC-H Q12-shaped conditional aggregation: large-large equi-join
+    (orders ⋈ lineitem on the shared orderkey — SMJ/shuffle-hash at
+    scale, both sides shuffle once on the same key) followed by
+    CASE-WHEN pivoted counts per priority class."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.count(F.when(F.col("l_returnflag") != "R", 1)).alias("n_kept"),
+    )
+
+
+_DEC_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "promo_revenue_ratio",
+    f"""SELECT date_trunc('month', l_shipdate) AS ship_month,
+              100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                    THEN {_DEC_DISC_PRICE}
+                                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(SUM({_DEC_DISC_PRICE}) AS DOUBLE) AS promo_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY date_trunc('month', l_shipdate)""",
+)
+def q_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14-shaped promo ratio per ship month: fact-side filter
+    pushed to the parquet scan, broadcast join to the part dimension,
+    conditional decimal-exact revenue sums, ratio taken in double at
+    the end (identical IEEE op order on both engines). One shuffle on
+    the month key; the dimension never shuffles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    disc = F.expr(_DEC_DISC_PRICE)
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+    total = F.sum(disc)
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+                "promo_pct"
+            )
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+              COUNT(*) AS n,
+              MIN(value) AS lo,
+              MAX(value) AS hi
+       FROM events GROUP BY 1""",
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram over the measure column: bucket id from
+    IEEE floor-division (bit-identical across engines), counts and
+    exact min/max per bucket. Map-side partial aggregation makes this a
+    constant-width shuffle regardless of row count — the standard
+    profile for distribution monitoring over a 100 TB fact table."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket")
+    return ev.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@register(
+    "percent_rank_value",
+    """SELECT event_id, event_type, value,
+              percent_rank() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS pct_rank,
+              cume_dist() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS cume
+       FROM events WHERE event_type IN ('purchase', 'error')""",
+)
+def q_percent_rank_value(spark, sf_dir):
+    """Relative-rank window functions (percent_rank / cume_dist):
+    integer-ratio doubles, so cross-engine exact. Completes the ranking
+    family (row_number/rank/dense_rank/ntile elsewhere). The (value,
+    event_id) order key makes ranks deterministic under ties."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "returned_customer_revenue",
+    f"""SELECT c_custkey, c_name, n_name, revenue FROM (
+         SELECT c_custkey, c_name, n_name,
+                CAST(SUM({_DEC_DISC_PRICE}) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name) t
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q_returned_customer_revenue(spark, sf_dir):
+    """TPC-H Q10-shaped: who returned the most revenue. Fact-fact join
+    on orderkey (co-shuffled), broadcast joins to customer and nation,
+    decimal-exact revenue, global top-20 (TakeOrderedAndProject — no
+    full sort at scale). The returnflag filter reaches the parquet
+    scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    disc = F.expr(_DEC_DISC_PRICE)
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "large_order_customers",
+    """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN (SELECT l_orderkey,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
+         ON o_orderkey = big.l_orderkey""",
+)
+def q_large_order_customers(spark, sf_dir):
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a
+    threshold. The heavy side aggregates lineitem per orderkey FIRST
+    (map-side partials shrink the shuffle), the HAVING filter then cuts
+    the join input to the rare large orders — aggregate-then-join, the
+    order that survives a 100× scale-up."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(agg.dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@register(
+    "error_after_purchase",
+    """SELECT user_id, event_id, ts FROM (
+         SELECT user_id, event_id, ts, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events) t
+       WHERE event_type = 'error' AND prev_type = 'purchase'""",
+)
+def q_error_after_purchase(spark, sf_dir):
+    """Sequence-pattern detection: flag events whose immediate
+    predecessor in the per-user timeline was a purchase and which are
+    themselves errors — lag() over the (ts, key) order the reference
+    sorts tablets by (tablet.go:124-132) but never exposes as a query.
+    One shuffle on user_id; the pattern predicate is codegen'd."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter((F.col("event_type") == "error") & (F.col("prev_type") == "purchase"))
+        .select("user_id", "event_id", "ts")
+    )
+
+
+@register(
+    "moment_stats_by_type",
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+              (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1) AS var_value,
+              SQRT((CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1)) AS stddev_value
+       FROM events GROUP BY event_type""",
+)
+def q_moment_stats_by_type(spark, sf_dir):
+    """Sample variance / stddev per key via ORDER-INSENSITIVE moments:
+    exact decimal Σx and Σx², combined into var = (Σx² − (Σx)²/n)/(n−1)
+    in double at the very end. Native stddev_samp accumulates doubles in
+    partition order and cannot hash-match a single-threaded oracle;
+    exact decimal moments are associative, so any shuffle order gives
+    the same bits — the same trick dsum uses, extended to second
+    moments. sqrt is IEEE correctly-rounded → identical on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    dx = F.col("value").cast("decimal(18,2)")
+    sum_x = F.sum(dx).cast("double")
+    sum_x2 = F.sum(dx * dx).cast("double")
+    n = F.count(F.lit(1))
+    var = (sum_x2 - sum_x * sum_x / n) / (n - F.lit(1))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (sum_x / n).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """SELECT l_partkey, s_suppkey, s_acctbal FROM (
+         SELECT ps.l_partkey, s.s_suppkey, s.s_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY ps.l_partkey
+                                   ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN supplier s ON ps.l_suppkey = s.s_suppkey) t
+       WHERE rn = 1""",
+)
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2-shaped argmin-per-group: for every part ever shipped,
+    the cheapest supplier that shipped it. distinct-then-broadcast-join
+    shrinks the fact side before the window; the row_number argmin runs
+    on the l_partkey partitioning the distinct already produced, so the
+    window adds no extra shuffle. Tie-break on s_suppkey pins
+    determinism."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    j = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "s_suppkey", "s_acctbal")
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """SELECT dim, COUNT(*) AS n,
+              CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) AS sum_val
+       FROM (SELECT generate_subscripts(embedding, 1) AS dim,
+                    unnest(embedding) AS e
+             FROM embeddings) t
+       GROUP BY dim""",
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension statistics over the embedding matrix (the feature-
+    normalization precursor every embedding pipeline needs): posexplode
+    to (dim, value), decimal-exact per-dim sums (order-insensitive →
+    cross-engine exact despite float inputs). 64 groups regardless of
+    corpus size — the shuffle is constant-width; at 100 TB this is one
+    map-side-combined pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "e"))
+    return (
+        ex.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("e").cast("double").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("sum_val"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —
