@@ -1795,19 +1795,25 @@ def q_moment_stats_by_type(spark, sf_dir):
 )
 def q_cheapest_supplier_per_part(spark, sf_dir):
     """TPC-H Q2-shaped argmin-per-group: for every part ever shipped,
-    the cheapest supplier that shipped it. distinct-then-broadcast-join
-    shrinks the fact side before the window; the row_number argmin runs
-    on the l_partkey partitioning the distinct already produced, so the
-    window adds no extra shuffle. Tie-break on s_suppkey pins
-    determinism."""
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    the cheapest supplier that shipped it. Implemented as min(struct(
+    acctbal, suppkey)) after a broadcast join — lexicographic struct min
+    IS argmin-with-tiebreak, it is associative (map-side partial
+    aggregation), and duplicates from repeat shipments can't change a
+    min, so no distinct is needed: ONE shuffle on l_partkey total. The
+    row_number-over-window formulation (the oracle SQL) would pay a
+    distinct shuffle plus a window sort on top."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     j = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-    w = Window.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    best = F.min(F.struct("s_acctbal", "s_suppkey")).alias("best")
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_partkey", "s_suppkey", "s_acctbal")
+        j.groupBy("l_partkey")
+        .agg(best)
+        .select(
+            "l_partkey",
+            F.col("best.s_suppkey").alias("s_suppkey"),
+            F.col("best.s_acctbal").alias("s_acctbal"),
+        )
     )
 
 
