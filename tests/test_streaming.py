@@ -109,6 +109,46 @@ def test_streaming_dedup_drops_duplicate_ids(spark, tmp_path):
     assert out.count() == out.select("event_id").distinct().count()
 
 
+def test_hourly_rollup_converges_to_batch_aggregate(spark, event_source, tmp_path):
+    """Continuous aggregate: after draining the source (availableNow,
+    watermark wide enough that nothing is evicted mid-drain), the
+    on-disk rollup table must equal the batch hourly aggregate — the
+    incremental partition-overwrite upserts converge to truth."""
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    stream = ingest.read_event_stream(spark, event_source)
+    q = ingest.start_hourly_rollup(
+        stream, rollup, ckpt, watermark="720 hours", available_now=True
+    )
+    q.awaitTermination(180)
+
+    batch = (
+        spark.read.parquet(event_source)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("bucket_ts"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    got = {
+        (r["bucket_ts"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ingest.read_rollup(spark, rollup).collect()
+    }
+    want = {
+        (r["bucket_ts"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_streaming_session_windows_match_batch_sessionize(spark, event_source, tmp_path):
     """Native session_window (streaming, 30-min gap) must produce the
     same number of per-user sessions as the batch gaps-and-islands
