@@ -9,7 +9,7 @@ the document body.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,6 +43,24 @@ def dedup_normalized(
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .select(id_col, "dup_count")
     )
+
+
+def canonical_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster canonical assignment: every row keeps its id
+    plus the minimum id sharing its normalized text — the keep-one
+    mapping a training pipeline joins back onto the corpus to drop (or
+    downweight) duplicates without losing row identity. One window min
+    over the normalized key (a single hash shuffle); at 100 TB, window
+    over a digest of the text (see dedup_by_digest) so the shuffle
+    carries hashes, not bodies."""
+    w = Window.partitionBy(normalize(F.col(text_col)))
+    canonical = F.min(id_col).over(w).alias("canonical_id")
+    return df.select(
+        F.col(id_col),
+        canonical,
+    ).withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
 
 
 def dedup_by_digest(

@@ -1846,6 +1846,64 @@ def q_embedding_dim_stats(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_canonical_map",
+    """SELECT doc_id,
+              MIN(doc_id) OVER (PARTITION BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS canonical_id,
+              doc_id <> MIN(doc_id) OVER (PARTITION BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS is_duplicate
+       FROM documents""",
+)
+def q_dedup_canonical_map(spark, sf_dir):
+    """Keep-one dedup as a MAPPING rather than a projection: every
+    doc_id paired with the canonical (minimum) id of its normalized-
+    text duplicate cluster — what a pipeline joins back onto the corpus
+    to drop or downweight duplicates without losing row identity
+    (dedup.exact.canonical_map)."""
+    return exact_dedup.canonical_map(_t(spark, sf_dir, "documents"))
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register(
+    "profile_columns",
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               MIN({c}) AS min_val, MAX({c}) AS max_val
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_columns(spark, sf_dir):
+    """Data-profiling operator (the describe() a training pipeline runs
+    before trusting a table): per-column row count, exact distinct
+    count, min, max — computed in ONE scan with all aggregates fused
+    (Spark plans multi-distinct via a single Expand), then unpivoted to
+    one row per column. The oracle's UNION ALL of three scans is the
+    semantic spec; the engine pays one."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"d_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            F.col(f"min_{c}").alias("min_val"),
+            F.col(f"max_{c}").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from chronobase_spark.operators import joins, windows  # noqa: E402
+from chronobase_spark.operators import joins, timeseries, windows  # noqa: E402
 
 BASE = dt.datetime(2024, 1, 1)
 
@@ -120,3 +120,36 @@ def test_sessionize_matches_bruteforce(spark, rows, gap):
                 sid += 1
             prev = s
             assert got[rid] == sid, f"key {k} rid {rid}: {got[rid]} != {sid}"
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_gap_fill_locf_matches_bruteforce(spark, rows):
+    """Gap-fill densification: per key, every minute bucket between the
+    key's first and last bucket appears exactly once; empty buckets get
+    n_events=0 and carry the last observed average forward."""
+    df = _df(spark, rows, ["k", "t", "v"])
+    out = timeseries.gap_fill_locf(df, "k", ts_col="t", value_col="v", bucket="minute")
+    got = {
+        (r["k"], r["bucket_ts"], r["n_events"], r["avg_value_locf"])
+        for r in out.collect()
+    }
+
+    per: dict[tuple[int, dt.datetime], list[float]] = {}
+    for k, s, v in rows:
+        b = (BASE + dt.timedelta(seconds=s)).replace(second=0, microsecond=0)
+        per.setdefault((k, b), []).append(float(v))
+    want = set()
+    for key in {k for k, _ in per}:
+        buckets = sorted(b for kk, b in per if kk == key)
+        b, end, last = buckets[0], buckets[-1], None
+        while b <= end:
+            vals = per.get((key, b))
+            if vals:
+                last = round(sum(vals) / len(vals), 6)
+                n = len(vals)
+            else:
+                n = 0
+            want.add((key, b, n, last))
+            b += dt.timedelta(minutes=1)
+    assert got == want
