@@ -1904,6 +1904,37 @@ def q_profile_columns(spark, sf_dir):
     return one.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
+_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register("dup_clusters", _CLUSTER_SQL)
+def q_dup_clusters(spark, sf_dir):
+    """Transitive near-duplicate clusters: Jaccard pairs (the exact
+    near-dup stage) closed under connectivity by iterative min-label
+    propagation (dedup.cluster.connected_components) — a genuinely
+    iterative distributed algorithm, still fully oracle-checked because
+    DuckDB expresses the same fixpoint as a recursive CTE (min
+    reachable id == converged min-label). Every document appears;
+    singletons map to themselves."""
+    from chronobase_spark.dedup import cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram.jaccard_pairs(docs, threshold=0.5, max_df=50).select(
+        "doc_a", "doc_b"
+    )
+    return cluster.assign_clusters(docs, pairs)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

@@ -66,3 +66,38 @@ def test_simhash_signature_is_deterministic(spark, docs):
     s1 = {(r["doc"], r["simhash"]) for r in simhash.simhash(docs).collect()}
     s2 = {(r["doc"], r["simhash"]) for r in simhash.simhash(docs).collect()}
     assert s1 == s2
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must equal a sequential union-find on an
+    edge list with chains (a~b, b~c but never a~c), cliques, and
+    isolated pairs — transitivity is the whole point."""
+    from chronobase_spark.dedup import cluster
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> one component {1,2,3,4}
+        (10, 11), (11, 10),              # duplicate/reversed edge
+        (20, 21), (21, 22), (20, 22),    # triangle
+        (30, 31),
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["id"]: r["label"]
+        for r in cluster.connected_components(df).collect()
+    }
+    assert got == want
