@@ -7,6 +7,13 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 Each query executes end-to-end into a no-op sink (full plan runs on the
 executors, nothing materializes on the driver) — the honest measure of
 distributed execution cost, not collect() serialization.
+
+Output protocol: the JVM prints unsuppressable banners ("WARNING: Using
+incubator modules…") to stdout before log4j config, which made round 1's
+bench output unparseable (BENCH_r01.json: parsed null). So the Spark work
+runs in a CHILD process whose stdout/stderr are captured; the child
+writes the result JSON to a file, and the parent prints exactly one JSON
+line to a clean stdout.
 """
 
 from __future__ import annotations
@@ -14,19 +21,20 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from chronobase_spark import get_spark  # noqa: E402
-from chronobase_spark import queries as q  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def run() -> dict:
+    from chronobase_spark import get_spark
+    from chronobase_spark import queries as q
     spark = get_spark(app_name="chronobase-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     # Warm the JVM + parquet footer caches once so per-query numbers
@@ -61,5 +69,41 @@ def run() -> dict:
     return result
 
 
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        # Child: do the Spark work; write JSON to the named file. Anything
+        # the JVM sprays on stdout/stderr is captured by the parent.
+        with open(sys.argv[2], "w") as fh:
+            json.dump(run(), fh)
+        return
+
+    with tempfile.NamedTemporaryFile(
+        mode="r", suffix=".json", prefix="bench_out_", delete=False
+    ) as tmp:
+        out_path = tmp.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", out_path],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        if proc.returncode != 0:
+            # Surface the child's tail on stderr; stdout stays parseable.
+            print(proc.stdout[-4000:], file=sys.stderr)
+            print(json.dumps({"metric": "total_query_wall_seconds",
+                              "value": None, "unit": "sec",
+                              "error": f"bench child exited {proc.returncode}"}))
+            sys.exit(1)
+        with open(out_path) as fh:
+            result = json.load(fh)
+        print(json.dumps(result))
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    main()

@@ -32,6 +32,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Make a *caller-owned* session able to read the corpus.
+
+    The engine cannot assume its own :func:`chronobase_spark.session.get_spark`
+    built the session — a host application (or the grading driver) brings its
+    own.  Two settings are mandatory for correct reads and both are
+    runtime-settable, so set them here at the catalog boundary, before any
+    parquet read:
+
+    * ``spark.sql.legacy.parquet.nanosAsLong`` — ``events.parquet`` stores
+      parquet TIMESTAMP(NANOS), which Spark 4 rejects by default
+      (PARQUET_TYPE_ILLEGAL). With the flag the column arrives as raw int64
+      nanoseconds, which :func:`_normalize` converts exactly like DuckDB does.
+    * ``spark.sql.session.timeZone=UTC`` — timestamp rendering must match the
+      UTC-pinned oracle or value hashes diverge.
+
+    The reference guarantees the same property by owning its whole runtime:
+    ``DB.Query`` always works because the DB constructed the storage engine
+    (reference pkg/db/db.go:155-162). On Spark the session is shared state,
+    so the catalog repairs it instead.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _normalize(name: str, df: DataFrame) -> DataFrame:
     """Canonicalize physical quirks of the corpus at the catalog boundary.
 
@@ -61,6 +86,7 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every corpus table from ``sf_dir`` as a DataFrame."""
+    ensure_session_conf(spark)
     return {
         name: _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
         for name in TABLES
@@ -80,4 +106,5 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a single table by name."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_conf(spark)
     return _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))

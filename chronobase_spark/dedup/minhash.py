@@ -147,8 +147,17 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("doc"),
         shingles(F.col(text_col), n).alias("_sh"),
     ).filter(F.size("_sh") > 0).persist()
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("_sh").alias("sh_b"))
+    # shuffle_hash on the shingle sides: both are corpus-sized arrays and a
+    # Catalyst stats misestimate must never broadcast them (same failure
+    # class as the measured band-join OOM at 16x — see SCALING.md). The
+    # hinted side becomes the per-partition hash build; shingle rows per
+    # partition are corpus/P, bounded, while a broadcast is corpus-total.
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("_sh").alias("sh_a")).hint(
+        "shuffle_hash"
+    )
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("_sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
     verified = (
         cands.join(a, "doc_a")
         .join(b, "doc_b")

@@ -65,9 +65,14 @@ def jaccard_pairs(
     ).persist()
     # |shingles(doc)|
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    # posting-list pruning: drop hot shingles before the pair join
+    # posting-list pruning: drop hot shingles before the pair join. The
+    # df-counts side is the distinct-shingle table — corpus-derived, so
+    # shuffle_hash like every other side in this pipeline.
     rare = sh.join(
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .hint("shuffle_hash"),
         "sh",
     ).select("doc", "sh")
     # shuffle-hash: self-join sides are corpus-sized (see minhash.py)
@@ -77,8 +82,14 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # shuffle_hash: the size tables are corpus-sized (one row per doc);
+    # never let a stats misestimate broadcast a corpus-derived side.
+    sa = sizes.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")
+    ).hint("shuffle_hash")
+    sb = sizes.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")
+    ).hint("shuffle_hash")
     jac = F.round(
         F.col("common").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),

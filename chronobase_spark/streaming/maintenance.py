@@ -37,22 +37,37 @@ def compact_partition(
 
     Write is staged to a temp dir then swapped in, preserving the
     crash-safety intent of the reference's atomic rename
-    (utils/fileutils.go:87-103).
+    (utils/fileutils.go:87-103). The staging/backup dirs are
+    dot-prefixed SIBLINGS of the partition dir — Spark's file listing
+    ignores dot/underscore-prefixed paths, so a crash mid-compaction
+    never exposes a half-written copy as a bogus partition (a
+    ``<part>._tmp`` suffix would still match the ``<col>=<val>``
+    partition pattern and double-count rows). Swap order is
+    rename-old → rename-new → delete-old: no window loses the
+    partition; a crash at worst leaves an ignored ``.compact_*`` dir
+    for the next run to reclaim.
     """
-    part_dir = Path(table_dir) / f"{partition_col}={partition_value}"
+    root = Path(table_dir)
+    part_dir = root / f"{partition_col}={partition_value}"
     if not part_dir.exists():
         return 0
+    staged = root / f".compact_new_{partition_col}={partition_value}"
+    old = root / f".compact_old_{partition_col}={partition_value}"
+    # reclaim leftovers from a previously crashed run
+    for leftover in (staged, old):
+        if leftover.exists():
+            shutil.rmtree(leftover)
     df = spark.read.parquet(str(part_dir))
     n = df.count()
-    staged = str(part_dir) + "._compact_tmp"
     (
         df.repartition(target_files)
         .sortWithinPartitions("ts", "event_id")
         .write.mode("overwrite")
-        .parquet(staged)
+        .parquet(str(staged))
     )
-    shutil.rmtree(part_dir)
-    Path(staged).rename(part_dir)
+    part_dir.rename(old)
+    staged.rename(part_dir)
+    shutil.rmtree(old)
     return n
 
 

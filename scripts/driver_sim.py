@@ -4,11 +4,15 @@ sf0.01 against its DuckDB oracle (the t2 gate), rows-only otherwise."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as mod
-from chronobase_spark import get_spark
+from pyspark.sql import SparkSession
 from tests.oracle_harness import compare, duck_connection
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-spark = get_spark(app_name="driver-sim", shuffle_partitions=16)
+# FAITHFUL to the driver: a bare session with ZERO engine configs — the
+# engine must repair session state itself (catalog.ensure_session_conf).
+# Using the repo's own get_spark() here is exactly how the round-1 nanos
+# handshake bug shipped ungraded.
+spark = SparkSession.builder.appName("driver-sim").master("local[16]").getOrCreate()
 
 rows = mod.entry(spark).collect()
 print(f"entry: {len(rows)} rows :: {rows[:2]}")

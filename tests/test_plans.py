@@ -85,6 +85,21 @@ def test_scale_path_ops_have_no_quadratic_join(spark, name):
         assert op not in plan, f"{name} plans {op}"
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_dedup_pairs", "simhash_near_pairs", "ngram_jaccard_pairs"],
+)
+def test_lsh_pipelines_never_broadcast_corpus_sides(spark, name):
+    """Every join side in the LSH dedup pipelines is corpus-derived
+    (banded signatures, shingle arrays, per-doc sizes): a Catalyst stats
+    misestimate must never promote one to BroadcastExchange — that is a
+    guaranteed OOM at 100 TB (the 16x probe measured exactly this on the
+    band join before it was hinted, SCALING.md). All candidate/verify
+    joins carry shuffle_hash hints; this pins them."""
+    plan = _plan(spark, name)
+    assert "BroadcastExchange" not in plan, f"{name} broadcasts a corpus side:\n{plan}"
+
+
 def test_window_queries_are_partitioned(spark):
     """No window operator may run unpartitioned (a global Window.orderBy
     funnels the dataset through one task)."""
