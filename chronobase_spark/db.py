@@ -52,13 +52,26 @@ class TableExistsError(KeyError):
     """Reference ErrTableExists (pkg/db/errors.go)."""
 
 
+class DBLockedError(RuntimeError):
+    """Another live process holds the data directory's writer lock."""
+
+
 class ChronoSpark:
     """Embedded-DB facade over a data directory of parquet tables."""
 
-    def __init__(self, spark: SparkSession, data_dir: str):
+    #: lock-file name; dot-prefixed so Spark file listings ignore it.
+    _LOCK = ".chronospark.lock"
+
+    def __init__(self, spark: SparkSession, data_dir: str, lock: bool = True):
         self.spark = spark
         self.root = Path(data_dir)
         self.root.mkdir(parents=True, exist_ok=True)
+        self._lock_held = False
+        if lock:
+            self._acquire_lock()
+        self._discover()
+
+    def _discover(self) -> None:
         # table -> ttl_seconds (None = keep forever); discovered from
         # per-table metadata like the reference's loadExistingTables
         # (db.go:291-350).
@@ -69,6 +82,50 @@ class ChronoSpark:
                 meta = json.loads((child / _META).read_text())
                 self._ttl[child.name] = meta.get("ttl_seconds")
                 self._memtable[child.name] = []
+
+    # -- single-writer lock (utils/fileutils.go:236-268) ---------------
+
+    def _acquire_lock(self) -> None:
+        """Exclusive-create a pid-stamped lock file, the reference's
+        ``CreateLock`` (O_CREATE|O_EXCL, fileutils.go:242-256). A lock
+        whose recorded pid is no longer alive is stale (crashed writer:
+        the reference leaks the lock in that case and the operator must
+        delete it by hand) — reclaim it automatically. Note this guards
+        *embedded* writers on one host, same as the reference; across a
+        real cluster, writer coordination belongs to the table format.
+        """
+        import os
+
+        path = self.root / self._LOCK
+        for _ in range(2):  # second attempt after stale-lock reclaim
+            try:
+                fd = os.open(str(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                self._lock_held = True
+                return
+            except FileExistsError:
+                try:
+                    pid = int(path.read_text().strip() or "-1")
+                except (OSError, ValueError):
+                    pid = -1
+                if pid > 0 and _pid_alive(pid):
+                    raise DBLockedError(
+                        f"{self.root} is locked by live pid {pid}"
+                    )
+                path.unlink(missing_ok=True)  # stale — reclaim
+        raise DBLockedError(f"could not acquire lock at {path}")
+
+    def _release_lock(self) -> None:
+        if self._lock_held:
+            (self.root / self._LOCK).unlink(missing_ok=True)
+            self._lock_held = False
+
+    def __enter__(self) -> "ChronoSpark":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # -- table lifecycle (db.go:80-142) --------------------------------
 
@@ -268,18 +325,40 @@ class ChronoSpark:
         """Flush, then copy the data directory (reference backup,
         db.go:353-419: flush + per-table file copy)."""
         self.flush()
-        shutil.copytree(self.root, dest_dir, dirs_exist_ok=True)
+        shutil.copytree(
+            self.root,
+            dest_dir,
+            dirs_exist_ok=True,
+            ignore=shutil.ignore_patterns(self._LOCK),
+        )
 
     def restore(self, src_dir: str) -> None:
         """Clear and copy back (reference restore, table.go:480-514)."""
         for child in self.root.iterdir():
             if child.is_dir():
                 shutil.rmtree(child)
-        shutil.copytree(src_dir, self.root, dirs_exist_ok=True)
-        self._ttl.clear()
-        self._memtable.clear()
-        self.__init__(self.spark, str(self.root))
+        shutil.copytree(
+            src_dir,
+            self.root,
+            dirs_exist_ok=True,
+            ignore=shutil.ignore_patterns(self._LOCK),
+        )
+        self._discover()
 
     def close(self) -> None:
-        """Flush buffers; the SparkSession itself is caller-owned."""
+        """Flush buffers and release the writer lock; the SparkSession
+        itself is caller-owned."""
         self.flush()
+        self._release_lock()
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True

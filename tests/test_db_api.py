@@ -163,3 +163,37 @@ def test_reopen_discovers_tables(spark, tmp_path):
     assert db2.list_tables() == ["metrics"]
     got = db2.query("metrics", NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
     assert len(got.collect()) == 1
+
+
+def test_single_writer_lock(spark, tmp_path):
+    """Reference CreateLock (utils/fileutils.go:242-256): a second opener
+    of a live data dir must fail; close() releases; a stale lock from a
+    dead pid is reclaimed."""
+    from chronobase_spark.db import DBLockedError
+
+    path = str(tmp_path / "locked")
+    db1 = ChronoSpark(spark, path)
+    lock = tmp_path / "locked" / ChronoSpark._LOCK
+    assert lock.exists()
+    with pytest.raises(DBLockedError):
+        ChronoSpark(spark, path)
+    db1.close()
+    assert not lock.exists()
+    # stale lock: write a pid that cannot be alive, then reopen
+    lock.write_text("999999999")
+    db2 = ChronoSpark(spark, path)
+    assert lock.read_text() != "999999999"
+    db2.close()
+
+
+def test_lock_survives_backup_restore(spark, tmp_path):
+    """The lock file must never travel via backup/restore: a restored
+    backup is data, not a writer claim."""
+    src = str(tmp_path / "src")
+    with ChronoSpark(spark, src) as db:
+        db.create_table("t")
+        db.insert("t", [_row(1, NOW)], now=NOW)
+        db.backup(str(tmp_path / "bak"))
+        assert not (tmp_path / "bak" / ChronoSpark._LOCK).exists()
+        db.restore(str(tmp_path / "bak"))
+        assert db.list_tables() == ["t"]
