@@ -44,6 +44,99 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label elementwise mean vector — the k-means/IVF "update" step
+    (each label's centroid), fully distributed: posexplode is map-side,
+    the (label, pos) aggregate partial-aggregates before its one
+    shuffle (|labels|·dim groups — tiny), and the array rebuild groups
+    ``dim`` rows per label.
+
+    Determinism for cross-engine oracles: each float32 component is cast
+    to float64, rounded, then summed as DECIMAL — an order-insensitive
+    exact sum, so the centroid is identical under any partitioning and
+    in any engine performing the same arithmetic. Returns
+    (label, cvec: array<double>).
+    """
+    ex = df.select(
+        F.col(label_col).alias("clabel"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+    per_pos = ex.groupBy("clabel", "pos").agg(
+        F.round(
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double"), round_digits).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            round_digits,
+        ).alias("avg_v")
+    )
+    return per_pos.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "avg_v"))),
+            lambda s: s["avg_v"],
+        ).alias("cvec")
+    )
+
+
+def squared_distance(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in float64 (mirrors the
+    oracle's list_sum(list_transform(...)) fold exactly)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """k-means/IVF "assign" step: each vector's nearest centroid by
+    squared L2. Centroids broadcast (|labels| rows); the corpus streams
+    through once; the argmin is a single-shuffle min(struct) aggregate
+    with map-side partial aggregation — no window, no second pass.
+    Distance is rounded before the argmin so the winner is deterministic
+    across engines; ties break by centroid label. Returns every input
+    column of ``df`` minus the vector, plus (assigned, dist).
+    """
+    dist = F.round(
+        squared_distance(F.col(vec_col), F.col("cvec")), round_digits
+    )
+    pairs = df.crossJoin(F.broadcast(centroids)).select(
+        *[c for c in df.columns if c != vec_col],
+        F.col("clabel"),
+        dist.alias("dist"),
+    )
+    keys = [c for c in df.columns if c != vec_col]
+    return (
+        pairs.groupBy(*keys)
+        .agg(F.min(F.struct("dist", "clabel")).alias("_m"))
+        .select(
+            *keys,
+            F.col("_m.clabel").alias("assigned"),
+            F.col("_m.dist").alias("dist"),
+        )
+    )
+
+
 def topk_cosine(
     queries: DataFrame,
     corpus: DataFrame,

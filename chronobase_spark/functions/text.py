@@ -67,6 +67,29 @@ def avg_token_length(text: Column) -> Column:
     )
 
 
+def bigram_dup_stats(text: Column) -> Column:
+    """struct(n_grams, n_distinct_grams) over NON-distinct word bigrams —
+    the Gopher-style repetition signal (a high duplicate-bigram fraction
+    marks boilerplate/spam; see the public Gopher/MassiveText filtering
+    rules). Pure expression: linear in tokens, stays in codegen."""
+
+    def stats(tk: Column) -> Column:
+        n = F.greatest(F.size(tk) - 1, F.lit(0))
+        grams = F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(" ", F.get(tk, i), F.get(tk, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            F.size(grams).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct_grams"),
+        )
+
+    return with_tokens(text, stats)
+
+
 def token_features(text: Column) -> Column:
     """struct(n_tokens, n_distinct, stop_ratio) from ONE tokenization
     pass — the bundled form for quality pipelines that need several

@@ -1995,6 +1995,161 @@ def q_dup_clusters(spark, sf_dir):
     return cluster.assign_clusters(docs, pairs)
 
 
+# ---------------------------------------------------------------------------
+# M6 round 2 — repetition filtering + IVF centroid train/assign (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = """
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       CASE WHEN len(tk) = 0 THEN 0.0
+            ELSE ROUND(CAST(list_max(list_transform(list_distinct(tk),
+                            t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE), 6) END AS top_token_ratio,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE), 6) END AS dup_2gram_ratio
+FROM (
+  SELECT doc_id, tk,
+         list_transform(range(1, greatest(len(tk), 1)),
+                        i -> tk[i] || ' ' || tk[i + 1]) AS grams
+  FROM (SELECT doc_id,
+               list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tk
+        FROM documents)
+)
+"""
+
+
+@register("doc_repetition", _REPETITION_SQL)
+def q_doc_repetition(spark, sf_dir):
+    """Gopher/MassiveText-style repetition signals per document:
+    most-frequent-token fraction and duplicate-bigram fraction — the
+    standard boilerplate/spam pre-filters for LLM training corpora.
+
+    Scale shape: the top-token stage is explode → (doc, token) count →
+    per-doc max/sum — two partial-aggregated shuffles on well-spread
+    keys; the bigram stage is a pure per-row expression (linear in
+    tokens, in codegen). Docs with no tokens still appear (ratios 0) via
+    the left join from the corpus spine."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    top = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    grams = docs.select(
+        "doc_id", F.inline(F.array(text.bigram_dup_stats(F.col("text"))))
+    )
+    n_tokens = F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint")
+    return (
+        grams.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.when(
+                n_tokens > 0,
+                F.round(F.col("top_c").cast("double") / n_tokens.cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_token_ratio"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_distinct_grams").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_2gram_ratio"),
+        )
+    )
+
+
+# The decimal-exact, order-insensitive per-component mean both engines
+# compute identically (float32 → float64 cast is exact; the rounded
+# value sums exactly as DECIMAL).
+_CENTROID_AVG_SQL = (
+    "ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) "
+    "AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)"
+)
+
+_CENTROID_SQL = f"""
+SELECT label, i - 1 AS pos, {_CENTROID_AVG_SQL} AS avg_v
+FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+GROUP BY label, i
+"""
+
+
+@register("embedding_centroids", _CENTROID_SQL)
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label elementwise mean embedding — the IVF/k-means centroid
+    "update" step (functions.similarity.label_centroids). Emitted as
+    (label, pos, avg_v) rows so the oracle hash-compares scalars, not
+    arrays."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(28,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_v")
+        )
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "avg_v")
+    )
+
+
+_SQDIST_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> (e.embedding[i]::DOUBLE - c.cvec[i]) * (e.embedding[i]::DOUBLE - c.cvec[i])))"
+)
+
+_ASSIGN_SQL = f"""
+WITH cent AS (
+  SELECT label AS clabel, i AS pos, {_CENTROID_AVG_SQL} AS avg_v
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY label, i
+), cvecs AS (
+  SELECT clabel, list(avg_v ORDER BY pos) AS cvec FROM cent GROUP BY clabel
+), best AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND({_SQDIST_SQL}, 6), c.clabel) AS rnk
+  FROM embeddings e CROSS JOIN cvecs c
+)
+SELECT label, clabel AS assigned, COUNT(*) AS n_vecs
+FROM best WHERE rnk = 1 GROUP BY label, clabel
+"""
+
+
+@register("ivf_assign_counts", _ASSIGN_SQL)
+def q_ivf_assign_counts(spark, sf_dir):
+    """IVF/k-means "assign" step: nearest label-centroid per vector by
+    squared L2, reported as a (true label × assigned centroid) count
+    matrix — the clustering-quality confusion table.
+
+    Scale shape: centroids are |labels|·dim aggregates (broadcast);
+    the corpus streams through the distance cross-join once; the argmin
+    is a single min(struct) shuffle with map-side partials
+    (functions.similarity.assign_nearest_centroid); the final count
+    matrix is ≤ |labels|² rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb)
+    assigned = similarity.assign_nearest_centroid(
+        emb.select("vec_id", "label", "embedding"), cents
+    )
+    return assigned.groupBy("label", "assigned").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —
