@@ -40,6 +40,10 @@ def connected_components(
     the minimum node id reachable from ``id`` (= the cluster's canonical
     id). Raises if not converged within ``max_iter`` rounds (diameter
     bound; near-dup graphs converge in a handful)."""
+    # Pre-partition the (static) symmetric edge list on the join key and
+    # persist: every round's edges ⋈ labels then re-shuffles ONLY the
+    # labels side — the edge shuffle (the big one: |edges| ≫ |nodes|) is
+    # paid once, not once per round.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -58,19 +62,15 @@ def connected_components(
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # One join per round serves BOTH the new label table and the
+        # convergence check — no separate old ⋈ new pass.
+        joined = labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
         # least() skips nulls, so isolated-this-round nodes keep their label
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
-            .select("id", F.least("label", "nbr_label").alias("label"))
-            .persist()
-        )
+        new_labels = joined.select(
+            "id", F.least("label", "nbr_label").alias("label")
+        ).persist()
         # labels only ever decrease → strict inequality detects change
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        changed = joined.filter(F.col("nbr_label") < F.col("label")).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -44,6 +44,44 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.get(F.transform(F.array(tokens(text)), grams_of), 0)
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ ``min_overlap``
+    distinct n-gram shingles with ANY benchmark document (the standard
+    test-set-overlap removal step before LLM training; the public
+    GPT-3/PaLM reports describe exactly this n-gram collision rule).
+
+    Returns (doc_id, n_overlap) for contaminated docs — join-back and
+    anti-filter to drop them.
+
+    Scale shape: UNLIKE the near-dup self-joins (which must never
+    broadcast — both sides corpus-sized), the benchmark side here is an
+    eval suite: small by nature and *deliberately broadcast*, so the
+    corpus streams through map-side once with no shuffle until the tiny
+    per-doc count aggregate. ``shingles`` returns distinct grams per
+    doc, so a plain count is the distinct-overlap count.
+    """
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

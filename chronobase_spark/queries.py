@@ -1989,8 +1989,15 @@ def q_dup_clusters(spark, sf_dir):
     from chronobase_spark.dedup import cluster
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram.jaccard_pairs(docs, threshold=0.5, max_df=50).select(
-        "doc_a", "doc_b"
+    # persist: the CC stage references the pair list from every round's
+    # lineage and the symmetrization union references it twice —
+    # measured 2x faster end-to-end than recomputing the Jaccard
+    # pipeline under the iteration. At 100 TB the pairs WOULD be a
+    # materialized table between the two stages.
+    pairs = (
+        ngram.jaccard_pairs(docs, threshold=0.5, max_df=50)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     return cluster.assign_clusters(docs, pairs)
 
@@ -2147,6 +2154,42 @@ def q_ivf_assign_counts(spark, sf_dir):
     )
     return assigned.groupBy("label", "assigned").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+
+
+_DECONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id, source, UNNEST(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+  FROM toks
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+)
+SELECT s.doc_id, COUNT(*) AS n_overlap
+FROM sh s JOIN bench b ON s.sh = b.sh
+WHERE s.source <> 'src0'
+GROUP BY s.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
+@register("decontam_overlap", _DECONTAM_SQL)
+def q_decontam_overlap(spark, sf_dir):
+    """Test-set decontamination: corpus docs sharing ≥3 distinct
+    3-gram shingles with the benchmark partition (source='src0' stands
+    in for an eval suite). The benchmark shingle set broadcasts (eval
+    suites are small by nature); the corpus streams through once
+    (dedup.ngram.contamination_overlap)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram.contamination_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        min_overlap=3,
     )
 
 
