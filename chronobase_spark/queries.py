@@ -2193,6 +2193,80 @@ def q_decontam_overlap(spark, sf_dir):
     )
 
 
+_FUNNEL_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT lang,
+         len(tk) AS n,
+         CAST(len(list_filter(tk, x -> x IN
+              ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+           / CAST(greatest(len(tk), 1) AS DOUBLE) AS stop_r,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE CAST(list_max(list_transform(list_distinct(tk),
+                     t2 -> len(list_filter(tk, x -> x = t2)))) AS DOUBLE)
+                   / CAST(len(tk) AS DOUBLE) END AS top_r
+  FROM t
+)
+SELECT lang,
+       CASE WHEN n < 25 THEN 'too_short'
+            WHEN top_r > 0.125 THEN 'low_diversity'
+            WHEN stop_r > 0.12 THEN 'stopword_heavy'
+            ELSE 'keep' END AS verdict,
+       COUNT(*) AS n_docs
+FROM s
+GROUP BY lang, verdict
+"""
+
+
+@register("quality_filter_funnel", _FUNNEL_SQL)
+def q_quality_filter_funnel(spark, sf_dir):
+    """The composed pre-training quality funnel: every document gets its
+    first-failing rule (length floor → repetition ceiling → stopword
+    ceiling, the Gopher-rule ordering) and the result is the per-language
+    keep/drop report a pipeline operator reads before materializing the
+    filtered corpus.
+
+    Scale shape: one explode + two partial-aggregated shuffles compute
+    the most-frequent-token ratio (same chain as ``doc_repetition``);
+    the stopword/length signals are per-row expressions; the verdict is
+    a CASE over already-computed columns, and the report is a tiny
+    (lang × verdict) aggregate. All thresholds are plain comparisons on
+    bit-identical IEEE division results, so the oracle splits rows
+    identically."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    top = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.inline(F.array(text.token_features(F.col("text")))),
+    )
+    n = F.coalesce(F.col("n_tok"), F.lit(0))
+    top_r = F.when(
+        n > 0, F.col("top_c").cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    verdict = (
+        F.when(n < 25, F.lit("too_short"))
+        .when(top_r > 0.125, F.lit("low_diversity"))
+        .when(F.col("stop_ratio") > 0.12, F.lit("stopword_heavy"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        feats.join(top, "doc_id", "left")
+        .select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —
