@@ -1,0 +1,114 @@
+"""Streaming document intake — the LLM-pipeline operators (SURVEY §2.4)
+on the streaming surface.
+
+A training corpus is not a one-shot batch: crawls and feeds arrive
+continuously. This module runs the same quality gates and content dedup
+the batch queries implement (``quality_filter_funnel``,
+``dedup_normalized``) as a Structured Streaming stage:
+
+* **quality gating is stateless** — token/repetition/stopword signals
+  are pure codegen expressions per document, so the stream stays fully
+  pipelined (no state store, no shuffle);
+* **exact dedup keys on a content fingerprint with bounded state** —
+  ``dropDuplicatesWithinWatermark`` on the xxhash64 of the normalized
+  text: the state store holds 8-byte digests (never document bodies —
+  the 100 TB concern), and fingerprints older than the watermark are
+  evicted, so state is bounded by arrival rate × horizon.
+
+The reference's streaming analog is its insert path's TTL-at-arrival
+gate (reference internal/storage/table.go:93-96) — this extends the
+same admit-or-drop shape to content-quality admission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from chronobase_spark.dedup.exact import normalize
+from chronobase_spark.functions import text
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("ingest_ts", TimestampType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, src_dir: str, max_files: int = 4
+) -> DataFrame:
+    """File-source document stream (parquet drops into ``src_dir``)."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+
+
+def quality_gate(
+    stream: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_stop_ratio: float = 0.12,
+) -> DataFrame:
+    """Admit documents passing the stateless quality rules (length floor
+    + stopword ceiling — the per-row subset of the batch funnel; the
+    most-frequent-token rule needs a per-doc token aggregate, which the
+    bigram/array expressions compute per row without any stream state).
+    """
+    feats = text.token_features(F.col(text_col))
+    return (
+        stream.withColumn("_f", feats)
+        .filter(
+            (F.col("_f.n_tokens") >= min_tokens)
+            & (F.col("_f.stop_ratio") <= max_stop_ratio)
+        )
+        .drop("_f")
+    )
+
+
+def content_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the normalized-content fingerprint.
+    State holds (fingerprint → seen) digests only, evicted past the
+    watermark; a fingerprint collision (xxhash64, ~2^-64 per pair)
+    drops one real document — acceptable for corpus intake, and the
+    batch near-dup pass behind it is content-exact anyway."""
+    return (
+        stream.withColumn(
+            "fingerprint", F.xxhash64(normalize(F.col(text_col)))
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def document_intake(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    min_tokens: int = 25,
+    max_stop_ratio: float = 0.12,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The composed intake stage: quality gate → content dedup. Gate
+    first — rejected documents never enter the dedup state store."""
+    gated = quality_gate(stream, text_col, min_tokens, max_stop_ratio)
+    return content_dedup(gated, text_col, ts_col, watermark)

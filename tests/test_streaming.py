@@ -396,3 +396,49 @@ def test_dynamic_partition_overwrite_is_scoped(spark, event_source, tmp_path):
         F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
     ).collect()[0]["s"]
     assert float(untouched) == float(base)
+
+
+def test_streaming_document_intake_filters_and_dedups(spark, tmp_path):
+    """The streaming corpus-intake stage must (a) drop documents failing
+    the stateless quality gate, (b) emit each normalized content exactly
+    once within the watermark, and (c) agree with the batch equivalents
+    (token_features filter + dedup on normalized text)."""
+    from chronobase_spark.dedup.exact import normalize
+    from chronobase_spark.functions import text as textfn
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "docsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(120)
+        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+    )
+    # duplicate every doc (same text, shifted ids) so dedup has work
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    base.union(dup).repartition(3).write.parquet(src)
+
+    out_sink = str(tmp_path / "doc_sink")
+    q = (
+        docstream.document_intake(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out_sink)
+        .option("checkpointLocation", str(tmp_path / "doc_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(out_sink)
+
+    # (b) one row per content fingerprint
+    assert out.count() == out.select("fingerprint").distinct().count()
+    # (a) every surviving doc passes the gate
+    feats = out.select(F.inline(F.array(textfn.token_features(F.col("text")))))
+    bad = feats.filter((F.col("n_tokens") < 25) | (F.col("stop_ratio") > 0.12))
+    assert bad.count() == 0
+    # (c) batch equivalence: same number of distinct passing contents
+    batch = base.union(dup).withColumn(
+        "_f", textfn.token_features(F.col("text"))
+    ).filter((F.col("_f.n_tokens") >= 25) & (F.col("_f.stop_ratio") <= 0.12))
+    expected = batch.select(normalize(F.col("text")).alias("n")).distinct().count()
+    assert out.count() == expected
