@@ -2193,6 +2193,58 @@ def q_decontam_overlap(spark, sf_dir):
     )
 
 
+_OHLC_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+       COUNT(*) AS n_events
+FROM ranked GROUP BY event_type, bucket_ts
+"""
+
+
+@register("ohlc_hourly", _OHLC_SQL)
+def q_ohlc_hourly(spark, sf_dir):
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    classic TSDB downsampling rollup. Open/close are argmin/argmax over
+    event time, implemented as min/max of struct(ts, event_id, value):
+    lexicographic struct extrema ARE argmin/argmax with a deterministic
+    (ts, event_id) tie-break, they are associative (map-side partial
+    aggregation), so the whole bar is ONE shuffle on (type, hour) — no
+    window sort, no second pass. The oracle's double-ROW_NUMBER
+    formulation would pay two window sorts."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.groupBy(F.col("event_type"), bucket.alias("bucket_ts"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("_o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_c"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.col("_o.value").alias("open_v"),
+            "high_v",
+            "low_v",
+            F.col("_c.value").alias("close_v"),
+            "n_events",
+        )
+    )
+
+
 _FUNNEL_SQL = """
 WITH t AS (
   SELECT doc_id, lang,

@@ -105,6 +105,35 @@ def run(spark, factors: list[int]) -> list[dict]:
         ).mode("overwrite").save()
         timings["latest_per_key"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        tok = docs.select(
+            "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+        )
+        (
+            tok.groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["repetition"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cents = similarity.label_centroids(emb)
+        similarity.assign_nearest_centroid(
+            emb.select("vec_id", "label", "embedding"), cents
+        ).write.format("noop").mode("overwrite").save()
+        timings["ivf_assign"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        from chronobase_spark.dedup import ngram
+
+        bench_docs = docs.filter(F.col("doc_id") % 100 == 0)
+        ngram.contamination_overlap(
+            docs.filter(F.col("doc_id") % 100 != 0), bench_docs
+        ).write.format("noop").mode("overwrite").save()
+        timings["decontam"] = time.perf_counter() - t0
+
         rows.append({"factor": factor, **{k: round(v, 2) for k, v in timings.items()}})
         print(f"factor {factor}: {rows[-1]}", flush=True)
     return rows
