@@ -2245,6 +2245,74 @@ def q_ohlc_hourly(spark, sf_dir):
     )
 
 
+_EWMA_SQL = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, ts, value, rn, value AS ewma FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+         0.5 * o.value + 0.5 * r.ewma
+  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, ts, value, ewma FROM r
+"""
+
+
+@register("ewma_user_value", _EWMA_SQL)
+def q_ewma_user_value(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of value (α=0.5)
+    — exponential smoothing, the time-series operator SQL windows can't
+    express (each output depends on the previous OUTPUT, not a frame of
+    inputs).
+
+    Spark shape: group-collect each user's history sorted by
+    (ts, event_id), run the recurrence as one sequential ``aggregate``
+    fold per user, zip the smoothed array back against the inputs and
+    explode — sequential where the math is sequential, parallel across
+    users (the only distribution an order-dependent recurrence admits).
+    Each user's history must fit an executor; at 100 TB you'd segment
+    histories by time window and carry the boundary EWMA forward.
+
+    α = 0.5 makes every step (halving + add) exact in binary floating
+    point, so the DuckDB recursive-CTE oracle (same recurrence, rn
+    order) matches bit-for-bit — the output is deliberately UNrounded:
+    rounding would break the match, because the exact recurrence often
+    lands precisely on a 5e-7 boundary where Spark (half-up) and DuckDB
+    (half-even) round apart."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    g = ev.groupBy("user_id").agg(seq.alias("_seq"))
+    ew = F.aggregate(
+        F.col("_seq"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) > 0,
+                    F.lit(0.5) * x["value"] + F.lit(0.5) * F.element_at(acc, -1),
+                ).otherwise(x["value"])
+            ),
+        ),
+    )
+    zipped = F.zip_with(
+        F.col("_seq"),
+        ew,
+        lambda s, e: F.struct(
+            s["event_id"].alias("event_id"),
+            s["ts"].alias("ts"),
+            s["value"].alias("value"),
+            e.alias("ewma"),
+        ),
+    )
+    return g.select("user_id", F.explode(zipped).alias("_r")).select(
+        "user_id", "_r.*"
+    )
+
+
 _FUNNEL_SQL = """
 WITH t AS (
   SELECT doc_id, lang,
