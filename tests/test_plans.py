@@ -72,6 +72,11 @@ def test_star_join_broadcasts_every_dimension(spark):
         "ivf_topk_cosine",
         "event_pairs_within_gap",
         "asof_last_error",
+        "doc_repetition",
+        "decontam_overlap",
+        "quality_filter_funnel",
+        "ewma_user_value",
+        "ohlc_hourly",
     ],
 )
 def test_scale_path_ops_have_no_quadratic_join(spark, name):
