@@ -2313,6 +2313,103 @@ def q_ewma_user_value(spark, sf_dir):
     )
 
 
+_TWA_SQL = """
+WITH d AS (
+  SELECT user_id, value,
+         epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+), seg AS (
+  SELECT user_id,
+         CAST(ROUND(value, 6) AS DECIMAL(20,6))
+           * CAST(next_us - ts_us AS DECIMAL(18,0)) AS weighted,
+         next_us - ts_us AS dur_us
+  FROM d WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       ROUND(CAST(SUM(weighted) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
+         AS tw_avg_value,
+       SUM(dur_us) AS total_us
+FROM seg GROUP BY user_id
+"""
+
+
+@register("time_weighted_avg", _TWA_SQL)
+def q_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average value — the TSDB aggregate where
+    each observation counts for how LONG it held, not how often it was
+    sampled (irregular series make plain avg() meaningless). Each
+    segment's weight is its duration to the next event (lead window,
+    one shuffle on user_id); the weighted sum runs value·µs as exact
+    DECIMAL so it is order-insensitive and engine-identical, with one
+    double division at the end."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("ts_us")
+    weighted = F.round(F.col("value"), 6).cast("decimal(20,6)") * dur.cast(
+        "decimal(18,0)"
+    )
+    return (
+        d.select("user_id", weighted.alias("weighted"), dur.alias("dur_us"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum("weighted").cast("double") / F.sum("dur_us").cast("double"),
+                6,
+            ).alias("tw_avg_value"),
+            F.sum("dur_us").alias("total_us"),
+        )
+    )
+
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, ts,
+         date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST((epoch(date_trunc('week', ts)) - epoch(cohort_week))
+            / (7 * 86400) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM firsts
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register("weekly_cohort_retention", _COHORT_SQL)
+def q_weekly_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    distinct in each subsequent week offset — the standard
+    retention/churn report. The cohort label is a window min over
+    user_id (one shuffle, no self-join); the matrix is a distinct-count
+    aggregate over (cohort, offset). Week truncation starts Monday in
+    both engines; the offset is exact integer epoch arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    week = F.date_trunc("week", F.col("ts"))
+    offset = (
+        (F.unix_timestamp(week) - F.unix_timestamp(cohort)) / (7 * 86400)
+    ).cast("bigint")
+    return (
+        ev.select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 _FUNNEL_SQL = """
 WITH t AS (
   SELECT doc_id, lang,
