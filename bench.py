@@ -43,7 +43,11 @@ def run() -> dict:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in q.queries().items():
+    # name-sorted, NOT registry order: the registry reorders by grading
+    # priority each round, which would shuffle which queries absorb the
+    # JVM/codegen warm-up and make per-query timings incomparable
+    # across rounds.
+    for name, fn in sorted(q.queries().items()):
         t0 = time.perf_counter()
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
