@@ -47,14 +47,15 @@ def register(name: str, sql: str | None):
     return deco
 
 
-def _recorded_green() -> tuple[int, set[str]]:
-    """Scan the repo's recorded ``CORRECTNESS_r*.json`` files for queries
-    that already hold green driver evidence.
+def _recorded_evidence() -> tuple[int, set[str], set[str]]:
+    """Scan the repo's recorded ``CORRECTNESS_r*.json`` files.
 
-    Green = value-hash match against the DuckDB oracle, or a completed
-    rows-only check for the (documented) no-oracle queries. Returns
-    ``(rounds_seen, green_names)``; tolerant of missing/corrupt files so
-    a fresh checkout degrades to plain registration order.
+    Returns ``(rounds_seen, green, failed)``: green = value-hash match
+    against the DuckDB oracle or a completed rows-only check for the
+    (documented) no-oracle queries; failed = attempted by the driver
+    and errored (regression candidates). A name that later turns green
+    leaves ``failed``. Tolerant of missing/corrupt files so a fresh
+    checkout degrades to plain registration order.
     """
     import glob
     import json
@@ -62,6 +63,7 @@ def _recorded_green() -> tuple[int, set[str]]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
+    failed: set[str] = set()
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     for path in files:
         try:
@@ -76,31 +78,69 @@ def _recorded_green() -> tuple[int, set[str]]:
                 rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
             ):
                 green.add(name)
-    return len(files), green
+            elif rec.get("err"):
+                failed.add(name)
+    return len(files), green, failed - green
+
+
+def _recorded_green() -> tuple[int, set[str]]:
+    rounds, green, _ = _recorded_evidence()
+    return rounds, green
+
+
+# Families whose driver evidence matters most while slots are scarce
+# (the LLM-pipeline and late-registered operators that a bounded grading
+# prefix would otherwise reach last).
+_GRADE_PRIORITY = (
+    "doc_token_stats",
+    "tfidf_top_terms",
+    "dup_clusters",
+    "dedup_canonical_map",
+    "gap_fill_locf",
+    "multimodal_payload_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+    "doc_repetition",
+    "quality_filter_funnel",
+    "decontam_overlap",
+    "embedding_centroids",
+    "ivf_assign_counts",
+    "ewma_user_value",
+    "ohlc_hourly",
+)
 
 
 def _ordered_names() -> list[str]:
     """Registry order = grading priority.
 
     The driver grades a bounded prefix of ``queries()`` (50 entries in
-    round 1, vs 86 registered), so plain registration order starves the
-    tail forever. Order instead by need: queries with no green evidence
-    in any recorded round first (registration order preserved within the
-    group), already-green queries last — rotated by round count so
-    regression re-checks cycle through the green set over successive
-    rounds rather than re-grading the same prefix.
+    round 1, vs 86+ registered), so plain registration order starves the
+    tail forever. Order by need:
+
+    1. previously attempted and FAILED (prove the regression fixed);
+    2. never-graded queries from ``_GRADE_PRIORITY`` (the operator
+       families whose evidence is most valuable);
+    3. remaining never-graded, in registration order;
+    4. already-green queries last, rotated by round count so regression
+       re-checks cycle through the green set across rounds.
 
     This is a scheduling concern only: both dicts stay name-keyed and
     complete, so nothing about pairing or semantics changes.
     """
     names = list(_REGISTRY)
-    rounds, green = _recorded_green()
-    pending = [n for n in names if n not in green]
+    rounds, green, failed = _recorded_evidence()
+    prio = set(_GRADE_PRIORITY)
+    p_failed = [n for n in names if n in failed]
+    p_boost = [n for n in names if n not in green and n not in failed and n in prio]
+    p_rest = [
+        n for n in names if n not in green and n not in failed and n not in prio
+    ]
     done = [n for n in names if n in green]
     if done:
         k = (rounds * 13) % len(done)  # coprime-ish stride for coverage
         done = done[k:] + done[:k]
-    return pending + done
+    return p_failed + p_boost + p_rest + done
 
 
 def queries() -> dict[str, QueryFn]:
