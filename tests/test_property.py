@@ -153,3 +153,99 @@ def test_gap_fill_locf_matches_bruteforce(spark, rows):
             want.add((key, b, n, last))
             b += dt.timedelta(minutes=1)
     assert got == want
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewma_matches_pandas(spark, rows):
+    """The collect-fold-explode EWMA recurrence must agree with pandas'
+    ewm(alpha=0.5, adjust=False) — an independent reference
+    implementation of the same recurrence — on arbitrary inputs
+    including duplicate timestamps (tie-broken by event_id)."""
+    import pandas as pd
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [
+            (int(i), int(k), BASE + dt.timedelta(seconds=s), float(v))
+            for i, (k, s, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    g = df.groupBy("user_id").agg(seq.alias("_seq"))
+    ew = F.aggregate(
+        F.col("_seq"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) > 0,
+                    F.lit(0.5) * x["value"] + F.lit(0.5) * F.element_at(acc, -1),
+                ).otherwise(x["value"])
+            ),
+        ),
+    )
+    zipped = F.zip_with(
+        F.col("_seq"),
+        ew,
+        lambda s, e: F.struct(s["event_id"].alias("event_id"), e.alias("ewma")),
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in g.select(F.explode(zipped).alias("_r")).select("_r.*").collect()
+    }
+
+    pdf = pd.DataFrame(
+        [
+            {"event_id": i, "user_id": k, "s": s, "value": float(v)}
+            for i, (k, s, v) in enumerate(rows)
+        ]
+    ).sort_values(["user_id", "s", "event_id"])
+    expected = {}
+    for _, grp in pdf.groupby("user_id"):
+        ew_vals = grp["value"].ewm(alpha=0.5, adjust=False).mean()
+        for eid, val in zip(grp["event_id"], ew_vals):
+            expected[eid] = val
+    assert set(got) == set(expected)
+    for eid in got:
+        assert got[eid] == expected[eid], (eid, got[eid], expected[eid])
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ohlc_struct_extrema_match_bruteforce(spark, rows):
+    """min/max(struct(ts, event_id, value)) must pick exactly the
+    first/last value under (ts, event_id) order — including duplicate
+    timestamps where the event_id tie-break decides."""
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [
+            (int(i), int(k), BASE + dt.timedelta(seconds=s), float(v))
+            for i, (k, s, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["user_id"]: (r["open_v"], r["close_v"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("_o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_c"),
+        )
+        .select(
+            "user_id",
+            F.col("_o.value").alias("open_v"),
+            F.col("_c.value").alias("close_v"),
+        )
+        .collect()
+    }
+    by_key: dict[int, list] = {}
+    for i, (k, s, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((s, i, float(v)))
+    for k, items in by_key.items():
+        items.sort()
+        assert got[k] == (items[0][2], items[-1][2]), k
