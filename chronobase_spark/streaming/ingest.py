@@ -183,6 +183,78 @@ def streaming_user_running_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_user_ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Per-user EWMA maintained incrementally across micro-batches — the
+    streaming form of the batch ``ewma_user_value`` recurrence.
+
+    State per user is ONE double (the last smoothed value). Each batch
+    sorts its rows by (ts, event_id) and runs the recurrence vectorized
+    (pandas ``ewm(adjust=False)`` seeded by prepending the state value),
+    so arithmetic is identical to the batch fold: with α=0.5 the two
+    agree bit-for-bit. Emits every input row once (append semantics).
+
+    Ordering contract: the recurrence is order-dependent, so rows must
+    arrive in event-time order ACROSS batches per user (in-batch order
+    is handled here). A source that can deliver late data needs a
+    watermark-buffered variant in front — same trade the reference's
+    in-order memtable insert path assumes implicitly (table.go:78-119).
+    """
+    import pandas as pd  # local import: only this operator needs pandas
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("prev", DoubleType())])
+
+    def update(key, pdfs, state: GroupState):
+        prev = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            values = pdf["value"].astype("float64")
+            if prev is not None:
+                seeded = pd.concat(
+                    [pd.Series([prev], dtype="float64"), values],
+                    ignore_index=True,
+                )
+                ew = (
+                    seeded.ewm(alpha=alpha, adjust=False)
+                    .mean()
+                    .iloc[1:]
+                    .reset_index(drop=True)
+                )
+            else:
+                ew = values.ewm(alpha=alpha, adjust=False).mean()
+            prev = float(ew.iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "ts": pdf["ts"],
+                    "value": values,
+                    "ewma": ew,
+                }
+            )
+        if prev is not None:
+            state.update((prev,))
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_hourly_rollup(
     stream: DataFrame,
     rollup_dir: str,

@@ -442,3 +442,70 @@ def test_streaming_document_intake_filters_and_dedups(spark, tmp_path):
     ).filter((F.col("_f.n_tokens") >= 25) & (F.col("_f.stop_ratio") <= 0.12))
     expected = batch.select(normalize(F.col("text")).alias("n")).distinct().count()
     assert out.count() == expected
+
+
+def test_streaming_ewma_matches_batch_recurrence(spark, tmp_path):
+    """Streaming per-user EWMA across several in-order micro-batches must
+    equal the batch collect-fold recurrence bit-for-bit (alpha=0.5 makes
+    every step exact)."""
+    src = str(tmp_path / "ewma_src")
+    ev = (
+        catalog.table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(600)
+    )
+    rows = ev.collect()
+    # three time-sliced files written in order -> file source delivers
+    # in-order micro-batches (the operator's documented contract)
+    import os as _os
+
+    for i in range(3):
+        chunk = spark.createDataFrame(rows[i * 200 : (i + 1) * 200], ev.schema)
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "ewma_sink")
+
+    q = (
+        ingest.streaming_user_ewma(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["event_id"]: r["ewma"] for r in spark.read.parquet(sink).collect()}
+
+    # batch truth: same recurrence via the sequential fold
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    g = spark.createDataFrame(rows, ev.schema).groupBy("user_id").agg(seq.alias("_seq"))
+    ew = F.aggregate(
+        F.col("_seq"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) > 0,
+                    F.lit(0.5) * x["value"] + F.lit(0.5) * F.element_at(acc, -1),
+                ).otherwise(x["value"])
+            ),
+        ),
+    )
+    zipped = F.zip_with(
+        F.col("_seq"), ew,
+        lambda s, e: F.struct(s["event_id"].alias("event_id"), e.alias("ewma")),
+    )
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in g.select(F.explode(zipped).alias("_r")).select("_r.*").collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[k] == want[k] for k in want)
