@@ -2353,6 +2353,52 @@ def q_ewma_user_value(spark, sf_dir):
     )
 
 
+_OUTLIER_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+         SQRT((CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1)) AS std_v
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mean_v) / s.std_v, 6) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS((e.value - s.mean_v) / s.std_v) > 2.5
+"""
+
+
+@register("value_outliers_by_type", _OUTLIER_SQL)
+def q_value_outliers_by_type(spark, sf_dir):
+    """Z-score outlier detection per event type — the aggregate-then-
+    join-back anomaly scan. Per-type mean/std come from the
+    order-insensitive exact-decimal moments (same machinery as
+    ``moment_stats_by_type``, so both engines derive bit-identical
+    statistics); the tiny stats table broadcasts back onto the corpus
+    (one scan, no second shuffle) and the z threshold compares
+    identical doubles."""
+    ev = _t(spark, sf_dir, "events")
+    dx = F.col("value").cast("decimal(18,2)")
+    sum_x = F.sum(dx).cast("double")
+    sum_x2 = F.sum(dx * dx).cast("double")
+    n = F.count(F.lit(1))
+    var = (sum_x2 - sum_x * sum_x / n) / (n - F.lit(1))
+    stats = ev.groupBy("event_type").agg(
+        (sum_x / n).alias("mean_v"), F.sqrt(var).alias("std_v")
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 6).alias("zscore")
+        )
+    )
+
+
 _TWA_SQL = """
 WITH d AS (
   SELECT user_id, value,
