@@ -54,7 +54,11 @@ def parse_duration(value: float | int | str) -> float:
 
 
 def format_duration(seconds: float) -> str:
-    """Seconds → compact Go-style string (inverse of :func:`parse_duration`)."""
+    """Seconds → compact Go-style string (inverse of :func:`parse_duration`).
+
+    Fractional seconds render fixed-point, never scientific notation —
+    ``f"{1e-05}s"`` would produce ``"1e-05s"``, which the parser rejects
+    and which would make a saved config unreadable."""
     if seconds == int(seconds):
         n = int(seconds)
         if n % 3600 == 0 and n:
@@ -62,7 +66,7 @@ def format_duration(seconds: float) -> str:
         if n % 60 == 0 and n:
             return f"{n // 60}m"
         return f"{n}s"
-    return f"{seconds}s"
+    return f"{seconds:.9f}".rstrip("0") + "s"
 
 
 @dataclass
@@ -188,9 +192,13 @@ def save_config(cfg: EngineConfig, path: str) -> None:
 
 
 def get_spark_from_config(path: str, **kwargs):
-    """One-call bootstrap: config file → tuned SparkSession."""
+    """One-call bootstrap: config file → tuned SparkSession. Explicit
+    ``extra_conf`` entries passed by the caller win over config-file
+    values, and the caller's dict is never mutated."""
     from chronobase_spark.session import get_spark
 
     cfg = load_config(path)
-    kwargs.setdefault("extra_conf", {}).update(cfg.to_spark_conf())
+    merged = dict(cfg.to_spark_conf())
+    merged.update(kwargs.get("extra_conf") or {})
+    kwargs["extra_conf"] = merged
     return get_spark(**kwargs)

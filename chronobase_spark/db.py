@@ -97,7 +97,7 @@ class ChronoSpark:
         import os
 
         path = self.root / self._LOCK
-        for _ in range(2):  # second attempt after stale-lock reclaim
+        for _ in range(3):  # retries after stale-lock reclaim races
             try:
                 fd = os.open(str(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, str(os.getpid()).encode())
@@ -113,7 +113,20 @@ class ChronoSpark:
                     raise DBLockedError(
                         f"{self.root} is locked by live pid {pid}"
                     )
-                path.unlink(missing_ok=True)  # stale — reclaim
+                # Atomic reclaim: RENAME the stale lock aside before
+                # deleting. rename succeeds for exactly one contender —
+                # a plain unlink here would let a second process delete
+                # a lock the first just re-created (TOCTOU double
+                # acquisition). The loser's rename raises and it simply
+                # retries against whatever lock now exists.
+                claimed = path.with_name(
+                    f"{self._LOCK}.stale.{os.getpid()}"
+                )
+                try:
+                    path.rename(claimed)
+                except OSError:
+                    continue  # someone else reclaimed first — retry
+                claimed.unlink(missing_ok=True)
         raise DBLockedError(f"could not acquire lock at {path}")
 
     def _release_lock(self) -> None:

@@ -56,23 +56,37 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    prev_cache = labels  # the persisted frame backing `labels`
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["a"] == labels["id"])
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # One join per round serves BOTH the new label table and the
-        # convergence check — no separate old ⋈ new pass.
-        joined = labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
-        # least() skips nulls, so isolated-this-round nodes keep their label
-        new_labels = joined.select(
-            "id", F.least("label", "nbr_label").alias("label")
-        ).persist()
-        # labels only ever decrease → strict inequality detects change
-        changed = joined.filter(F.col("nbr_label") < F.col("label")).count()
-        labels.unpersist()
-        labels = new_labels
+        # One persisted frame per round carries BOTH the new label and
+        # the changed flag: the convergence-count action below
+        # materializes it, so next round's lineage bottoms out HERE —
+        # not back through the (about to be unpersisted) old labels.
+        # Counting on an unpersisted sibling plan instead would leave
+        # the new labels uncached and each round would recompute every
+        # prior round (O(rounds²) work, unbounded lineage).
+        # least() skips nulls, so isolated-this-round nodes keep their label.
+        tagged = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                "id",
+                F.least("label", "nbr_label").alias("label"),
+                # labels only ever decrease → strict inequality = change
+                (F.col("nbr_label") < F.col("label"))
+                .cast("int")
+                .alias("_chg"),
+            )
+            .persist()
+        )
+        changed = tagged.agg(F.sum("_chg")).collect()[0][0] or 0
+        prev_cache.unpersist()
+        prev_cache = tagged
+        labels = tagged.select("id", "label")
         if changed == 0:
             break
     else:

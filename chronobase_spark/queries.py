@@ -2357,16 +2357,17 @@ _OUTLIER_SQL = """
 WITH stats AS (
   SELECT event_type,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
-         SQRT((CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-               - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                 * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-              / (COUNT(*) - 1)) AS std_v
+         CASE WHEN COUNT(*) > 1 THEN
+           SQRT((CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) END AS std_v
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
        ROUND((e.value - s.mean_v) / s.std_v, 6) AS zscore
 FROM events e JOIN stats s ON e.event_type = s.event_type
-WHERE ABS((e.value - s.mean_v) / s.std_v) > 2.5
+WHERE s.std_v > 0 AND ABS((e.value - s.mean_v) / s.std_v) > 2.5
 """
 
 
@@ -2378,7 +2379,13 @@ def q_value_outliers_by_type(spark, sf_dir):
     ``moment_stats_by_type``, so both engines derive bit-identical
     statistics); the tiny stats table broadcasts back onto the corpus
     (one scan, no second shuffle) and the z threshold compares
-    identical doubles."""
+    identical doubles.
+
+    ANSI hardening: the driver's session runs Spark 4 default-ANSI,
+    where double division by zero THROWS. Singleton groups (n−1 = 0)
+    and zero-variance groups are guarded out identically in both
+    engines (the oracle's CASE/WHERE mirror the when/filter), so a
+    corpus with such groups drops their rows instead of erroring."""
     ev = _t(spark, sf_dir, "events")
     dx = F.col("value").cast("decimal(18,2)")
     sum_x = F.sum(dx).cast("double")
@@ -2386,8 +2393,9 @@ def q_value_outliers_by_type(spark, sf_dir):
     n = F.count(F.lit(1))
     var = (sum_x2 - sum_x * sum_x / n) / (n - F.lit(1))
     stats = ev.groupBy("event_type").agg(
-        (sum_x / n).alias("mean_v"), F.sqrt(var).alias("std_v")
-    )
+        (sum_x / n).alias("mean_v"),
+        F.sqrt(F.when(n > 1, var)).alias("std_v"),
+    ).filter(F.col("std_v") > 0)
     z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
     return (
         ev.select("event_id", "event_type", "value")
@@ -2414,8 +2422,9 @@ WITH d AS (
   FROM d WHERE next_us IS NOT NULL
 )
 SELECT user_id,
-       ROUND(CAST(SUM(weighted) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
-         AS tw_avg_value,
+       CASE WHEN SUM(dur_us) > 0 THEN
+         ROUND(CAST(SUM(weighted) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
+       END AS tw_avg_value,
        SUM(dur_us) AS total_us
 FROM seg GROUP BY user_id
 """
@@ -2429,7 +2438,9 @@ def q_time_weighted_avg(spark, sf_dir):
     segment's weight is its duration to the next event (lead window,
     one shuffle on user_id); the weighted sum runs value·µs as exact
     DECIMAL so it is order-insensitive and engine-identical, with one
-    double division at the end."""
+    double division at the end — guarded for the all-duplicate-ts user
+    whose total duration is zero (ANSI division would throw; both
+    engines emit NULL instead)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.select(
@@ -2446,9 +2457,13 @@ def q_time_weighted_avg(spark, sf_dir):
         d.select("user_id", weighted.alias("weighted"), dur.alias("dur_us"))
         .groupBy("user_id")
         .agg(
-            F.round(
-                F.sum("weighted").cast("double") / F.sum("dur_us").cast("double"),
-                6,
+            F.when(
+                F.sum("dur_us") > 0,
+                F.round(
+                    F.sum("weighted").cast("double")
+                    / F.sum("dur_us").cast("double"),
+                    6,
+                ),
             ).alias("tw_avg_value"),
             F.sum("dur_us").alias("total_us"),
         )

@@ -215,36 +215,43 @@ def streaming_user_ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         prev = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-            values = pdf["value"].astype("float64")
-            if prev is not None:
-                seeded = pd.concat(
-                    [pd.Series([prev], dtype="float64"), values],
-                    ignore_index=True,
-                )
-                ew = (
-                    seeded.ewm(alpha=alpha, adjust=False)
-                    .mean()
-                    .iloc[1:]
-                    .reset_index(drop=True)
-                )
-            else:
-                ew = values.ewm(alpha=alpha, adjust=False).mean()
-            prev = float(ew.iloc[-1])
-            yield pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"],
-                    "event_id": pdf["event_id"],
-                    "ts": pdf["ts"],
-                    "value": values,
-                    "ewma": ew,
-                }
-            )
+        # Concatenate the WHOLE micro-batch before sorting: Arrow hands
+        # a group's batch as multiple chunks (split at
+        # maxRecordsPerBatch) with no cross-chunk ordering guarantee —
+        # sorting chunks independently would run the order-dependent
+        # recurrence out of time order for groups spanning chunks.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        values = pdf["value"].astype("float64")
         if prev is not None:
-            state.update((prev,))
+            seeded = pd.concat(
+                [pd.Series([prev], dtype="float64"), values],
+                ignore_index=True,
+            )
+            ew = (
+                seeded.ewm(alpha=alpha, adjust=False)
+                .mean()
+                .iloc[1:]
+                .reset_index(drop=True)
+            )
+        else:
+            ew = values.ewm(alpha=alpha, adjust=False).mean()
+        state.update((float(ew.iloc[-1]),))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"],
+                "value": values,
+                "ewma": ew,
+            }
+        )
 
     return stream.groupBy("user_id").applyInPandasWithState(
         update,

@@ -49,14 +49,23 @@ def compact_partition(
     """
     root = Path(table_dir)
     part_dir = root / f"{partition_col}={partition_value}"
-    if not part_dir.exists():
-        return 0
     staged = root / f".compact_new_{partition_col}={partition_value}"
     old = root / f".compact_old_{partition_col}={partition_value}"
-    # reclaim leftovers from a previously crashed run
-    for leftover in (staged, old):
-        if leftover.exists():
-            shutil.rmtree(leftover)
+    # Crash recovery, in dependency order. A previous run can only have
+    # died in one of three states:
+    #  * after rename-old but before rename-new: part_dir missing, the
+    #    ONLY live copy is `old` → restore it (never delete it);
+    #  * after rename-new but before delete-old: part_dir present AND
+    #    `old` present → old is a superseded copy, safe to drop;
+    #  * mid-write of `staged`: staged is incomplete → safe to drop.
+    if not part_dir.exists() and old.exists():
+        old.rename(part_dir)
+    if part_dir.exists() and old.exists():
+        shutil.rmtree(old)
+    if staged.exists():
+        shutil.rmtree(staged)
+    if not part_dir.exists():
+        return 0
     df = spark.read.parquet(str(part_dir))
     n = df.count()
     (

@@ -509,3 +509,40 @@ def test_streaming_ewma_matches_batch_recurrence(spark, tmp_path):
     }
     assert set(got) == set(want)
     assert all(got[k] == want[k] for k in want)
+
+
+def test_compaction_crash_recovery_restores_partition(spark, event_source, tmp_path):
+    """A crash between rename-old and rename-new leaves the partition
+    only in the dot-prefixed backup dir; the next compaction run must
+    RESTORE it (not delete it) and complete normally."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from chronobase_spark.streaming import maintenance
+
+    tdir = str(tmp_path / "crash_table")
+    ev = spark.read.parquet(event_source).limit(300)
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(tdir)
+    root = _Path(tdir)
+    part = sorted(p for p in root.iterdir() if p.name.startswith("event_date="))[0]
+    value = part.name.split("=", 1)[1]
+    n_before = spark.read.parquet(str(part)).count()
+
+    # simulate the mid-swap crash state: partition renamed aside, no new copy
+    part.rename(root / f".compact_old_event_date={value}")
+    assert not part.exists()
+
+    n = maintenance.compact_partition(spark, tdir, value)
+    assert n == n_before
+    assert part.exists()
+    assert spark.read.parquet(str(part)).count() == n_before
+    assert not (root / f".compact_old_event_date={value}").exists()
+    assert not (root / f".compact_new_event_date={value}").exists()
+
+    # superseded-old state: both present -> old dropped, data intact
+    _shutil.copytree(part, root / f".compact_old_event_date={value}")
+    n2 = maintenance.compact_partition(spark, tdir, value)
+    assert n2 == n_before
+    assert not (root / f".compact_old_event_date={value}").exists()
