@@ -204,6 +204,77 @@ def gap_fill_locf(
     )
 
 
+def gap_fill_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-bucket densification + linear interpolation — the companion
+    to :func:`gap_fill_locf` for continuous signals (LOCF for step
+    signals, interpolation for sampled ones; the reference's (key, ts)
+    model, row.go:6-10, implies both reads but its scan exposes
+    neither, table.go:122-163). Per key: hourly aggregate, full bucket
+    spine between the key's min and max bucket, then each empty bucket
+    gets ``prev + (next - prev) * elapsed/span`` from its neighboring
+    observed buckets.
+
+    The spine is bounded by *observed* buckets, so every empty bucket
+    has both a previous and a next observation — no extrapolation
+    branch. The backward (prev) and forward (next) scans are two frames
+    over the same (key, bucket) sort, so Catalyst reuses one shuffle +
+    one sort for all four window expressions. Inputs are rounded once
+    (summation-order-sensitive AVG); the interpolation itself is
+    bit-identical arithmetic on both engines and stays unrounded
+    (FIXTURES.md rounding-boundary rule).
+    """
+    bucketed = df.groupBy(
+        key_col, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.round(F.avg(value_col), 6).alias("avg_value"))
+    step = F.expr(f"interval 1 {bucket}")
+    spine = (
+        df.groupBy(key_col)
+        .agg(
+            F.date_trunc(bucket, F.min(ts_col)).alias("b0"),
+            F.date_trunc(bucket, F.max(ts_col)).alias("b1"),
+        )
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("b0"), F.col("b1"), step)).alias("bucket_ts"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("avg_value").isNotNull(), F.col("bucket_ts"))
+    joined = (
+        spine.join(bucketed, [key_col, "bucket_ts"], "left")
+        .withColumn("prev_v", F.last("avg_value", ignorenulls=True).over(w_prev))
+        .withColumn("prev_t", F.last(obs_ts, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("avg_value", ignorenulls=True).over(w_next))
+        .withColumn("next_t", F.first(obs_ts, ignorenulls=True).over(w_next))
+    )
+    ratio = (
+        F.unix_timestamp("bucket_ts") - F.unix_timestamp("prev_t")
+    ) / (F.unix_timestamp("next_t") - F.unix_timestamp("prev_t"))
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * ratio
+    )
+    return joined.select(
+        key_col,
+        "bucket_ts",
+        interp.alias("avg_value_interp"),
+    )
+
+
 def latest_per_key(
     df: DataFrame, key_col: str, ts_col: str = "ts", tiebreak_col: str = "event_id"
 ) -> DataFrame:

@@ -145,3 +145,38 @@ def range_frame_sum(
     )
     val = F.col(value_col).cast(f"decimal(18,{scale})")
     return df.withColumn(alias, F.sum(val).over(w).cast("double"))
+
+
+def counter_rate(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key counter delta and per-second rate with reset handling —
+    the monitoring-TSDB read (PromQL ``increase``/``rate``) over the
+    reference's (key, ts) rows (row.go:6-10). Per partition key, in
+    (ts, key) order: ``increase`` is the value delta since the previous
+    sample, except a negative delta means the counter reset and the raw
+    value is the increase; ``rate_per_s`` divides by the whole-second
+    gap (NULL for the first sample and for same-second pairs, where a
+    rate is undefined).
+
+    One shuffle on the partition key; lag/rate are all codegen'd window
+    expressions, deterministic under the (ts, key) total order. Division
+    happens once on identical operands in both engines, so the result is
+    bit-identical and intentionally unrounded (FIXTURES.md rule).
+    """
+    w = Window.partitionBy(partition_col).orderBy(F.col(ts_col), F.col(key_col))
+    prev_v = F.lag(F.col(value_col)).over(w)
+    sec = F.unix_timestamp(F.col(ts_col))
+    gap = sec - F.lag(sec).over(w)
+    delta = F.col(value_col) - prev_v
+    increase = F.when(prev_v.isNull(), F.lit(None)).when(
+        delta >= 0, delta
+    ).otherwise(F.col(value_col))
+    rate = F.when(prev_v.isNull() | (gap <= 0), F.lit(None)).otherwise(
+        increase / gap
+    )
+    return df.withColumn("increase", increase).withColumn("rate_per_s", rate)

@@ -1562,6 +1562,86 @@ def q_gap_fill_locf(spark, sf_dir):
 
 
 @register(
+    "gap_fill_interp",
+    """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                  ROUND(AVG(value), 6) AS avg_value
+           FROM events GROUP BY 1, 2
+       ), spine AS (
+           SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_ts
+           FROM (SELECT event_type, date_trunc('hour', MIN(ts)) AS b0,
+                        date_trunc('hour', MAX(ts)) AS b1
+                 FROM events GROUP BY 1)
+       ), filled AS (
+           SELECT s.event_type, s.bucket_ts, h.avg_value,
+                  last_value(h.avg_value IGNORE NULLS) OVER (
+                      PARTITION BY s.event_type ORDER BY s.bucket_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                  last_value(CASE WHEN h.avg_value IS NOT NULL THEN s.bucket_ts END
+                             IGNORE NULLS) OVER (
+                      PARTITION BY s.event_type ORDER BY s.bucket_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+                  first_value(h.avg_value IGNORE NULLS) OVER (
+                      PARTITION BY s.event_type ORDER BY s.bucket_ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                  first_value(CASE WHEN h.avg_value IS NOT NULL THEN s.bucket_ts END
+                              IGNORE NULLS) OVER (
+                      PARTITION BY s.event_type ORDER BY s.bucket_ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+           FROM spine s
+           LEFT JOIN hourly h
+             ON s.event_type = h.event_type AND s.bucket_ts = h.bucket_ts
+       )
+       SELECT event_type, bucket_ts,
+              CASE WHEN avg_value IS NOT NULL THEN avg_value
+                   ELSE prev_v + (next_v - prev_v)
+                        * ((epoch(bucket_ts) - epoch(prev_t))
+                           / (epoch(next_t) - epoch(prev_t)))
+              END AS avg_value_interp
+       FROM filled""",
+)
+def q_gap_fill_interp(spark, sf_dir):
+    """Gap fill with linear interpolation — the continuous-signal
+    companion to gap_fill_locf. Empty hourly buckets get
+    prev + (next-prev) * elapsed/span from the neighboring observed
+    buckets; spine bounds are observed buckets so no extrapolation.
+    AVG is rounded once (summation order), the interpolation itself is
+    bit-identical arithmetic on both engines and stays unrounded."""
+    return timeseries.gap_fill_interp(_t(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "counter_rate",
+    """WITH x AS (
+           SELECT event_id, value,
+                  LAG(value) OVER w AS prev_v,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+                    - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       )
+       SELECT event_id,
+              CASE WHEN prev_v IS NULL THEN NULL
+                   WHEN value - prev_v >= 0 THEN value - prev_v
+                   ELSE value END AS increase,
+              CASE WHEN prev_v IS NULL OR gap_s <= 0 THEN NULL
+                   ELSE (CASE WHEN value - prev_v >= 0 THEN value - prev_v
+                              ELSE value END) / gap_s
+              END AS rate_per_s
+       FROM x""",
+)
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style increase/rate per user: value delta since the
+    previous sample with counter-reset handling (negative delta → the
+    raw value is the increase), divided by the whole-second gap. The
+    monitoring read implied by the reference's (key, ts) counter rows;
+    single window shuffle, no rounding (bit-identical single division,
+    FIXTURES.md rule)."""
+    df = windows.counter_rate(_t(spark, sf_dir, "events"), "user_id")
+    return df.select("event_id", "increase", "rate_per_s")
+
+
+@register(
     "multimodal_resize_meta",
     """SELECT doc_id,
               CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes_resized,

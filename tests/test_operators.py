@@ -269,3 +269,50 @@ def test_gap_fill_locf_spine_and_carry(spark):
     assert [r.avg_value_locf for r in a] == [1.0, 1.0, 1.0, 5.0]
     b = [r for r in rows if r.key == "b"]
     assert len(b) == 1 and b[0].n_events == 1 and b[0].avg_value_locf == 2.0
+
+
+def test_gap_fill_interp_linear_between_neighbors(spark):
+    """Interpolation gap fill: empty buckets get the linear blend of the
+    neighboring observed buckets (1.0 at hour 0, 7.0 at hour 3 → 3.0 and
+    5.0 at hours 1-2); observed buckets keep their own aggregate; a
+    single-bucket key interpolates to itself."""
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 03:20:00", 7.0),  # hours 1-2 are gaps
+            ("b", "2024-01-01 01:00:00", 2.0),
+        ],
+        "key string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = timeseries.gap_fill_interp(df, "key").orderBy("key", "bucket_ts")
+    rows = out.collect()
+    a = [r for r in rows if r.key == "a"]
+    assert [r.bucket_ts.hour for r in a] == [0, 1, 2, 3]
+    assert [r.avg_value_interp for r in a] == [1.0, 3.0, 5.0, 7.0]
+    b = [r for r in rows if r.key == "b"]
+    assert len(b) == 1 and b[0].avg_value_interp == 2.0
+
+
+def test_counter_rate_resets_and_gaps(spark):
+    """Counter rate: positive delta → increase=delta, rate=delta/gap;
+    negative delta → counter reset, increase=raw value; first sample per
+    key → NULLs; same-second successor → increase set, rate NULL."""
+    from chronobase_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 00:00:00", 10.0),
+            (2, "u1", "2024-01-01 00:00:10", 14.0),  # +4 over 10s
+            (3, "u1", "2024-01-01 00:00:20", 3.0),   # reset → increase=3
+            (4, "u1", "2024-01-01 00:00:20", 5.0),   # same second → rate NULL
+            (5, "u2", "2024-01-01 00:00:00", 9.0),
+        ],
+        "event_id long, user_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = W.counter_rate(df, "user_id")
+    got = {r.event_id: (r.increase, r.rate_per_s) for r in out.collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (4.0, 0.4)
+    assert got[3] == (3.0, 0.3)
+    assert got[4] == (2.0, None)
+    assert got[5] == (None, None)
