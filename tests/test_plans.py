@@ -77,6 +77,8 @@ def test_star_join_broadcasts_every_dimension(spark):
         "quality_filter_funnel",
         "ewma_user_value",
         "ohlc_hourly",
+        "gap_fill_interp",
+        "counter_rate",
     ],
 )
 def test_scale_path_ops_have_no_quadratic_join(spark, name):
@@ -109,7 +111,8 @@ def test_window_queries_are_partitioned(spark):
     """No window operator may run unpartitioned (a global Window.orderBy
     funnels the dataset through one task)."""
     for name in ["top3_events_per_user", "event_gap_seconds", "moving_value_sum",
-                 "user_sessions", "rank_lead_purchases"]:
+                 "user_sessions", "rank_lead_purchases", "counter_rate",
+                 "gap_fill_interp"]:
         plan = _plan(spark, name)
         # every Window node must have a non-empty partition spec -> its
         # Exchange is hashpartitioning; SinglePartition anywhere in these
