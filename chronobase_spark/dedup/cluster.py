@@ -41,13 +41,16 @@ def connected_components(
     id). Raises if not converged within ``max_iter`` rounds (diameter
     bound; near-dup graphs converge in a handful)."""
     # Pre-partition the (static) symmetric edge list on the join key and
-    # persist: every round's edges ⋈ labels then re-shuffles ONLY the
-    # labels side — the edge shuffle (the big one: |edges| ≫ |nodes|) is
-    # paid once, not once per round.
+    # persist: every round's edges ⋈ labels re-shuffles ONLY the labels
+    # side — the edge shuffle (the big one: |edges| ≫ |nodes|) is paid
+    # once, not once per round. (distinct() alone leaves the cache
+    # partitioned on (a, b), which the per-round join on `a` cannot
+    # reuse.)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition("a")
         .persist()
     )
     labels = (
@@ -56,39 +59,43 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    # Each round is ONE join + ONE aggregate: a node's new label is the
+    # min over {its own label} ∪ {neighbors' labels}, expressed as
+    # union + min-groupBy (vs the textbook join-groupBy-join-back, which
+    # pays a second shuffle-join per round). The labels side carries a
+    # shuffle_hash hint: at scale it is corpus-derived (every node in a
+    # near-dup pair), so a Catalyst size misestimate must never promote
+    # it to a broadcast build (SCALING.md, same class as the LSH band
+    # join OOM).
+    #
+    # Convergence: labels only ever decrease, so the exact sum of all
+    # labels is strictly monotone decreasing until the fixpoint — one
+    # DECIMAL(38,0) aggregate per round replaces a changed-row count,
+    # with no join back to the previous generation. The per-round
+    # persist also bounds lineage: the sum action materializes the new
+    # generation, so the next round's plan bottoms out in the cache
+    # instead of replaying every prior round.
     prev_cache = labels  # the persisted frame backing `labels`
+    total_prev = None
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["a"] == labels["id"])
-            .groupBy(F.col("b").alias("nid"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # One persisted frame per round carries BOTH the new label and
-        # the changed flag: the convergence-count action below
-        # materializes it, so next round's lineage bottoms out HERE —
-        # not back through the (about to be unpersisted) old labels.
-        # Counting on an unpersisted sibling plan instead would leave
-        # the new labels uncached and each round would recompute every
-        # prior round (O(rounds²) work, unbounded lineage).
-        # least() skips nulls, so isolated-this-round nodes keep their label.
-        tagged = (
-            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
-            .select(
-                "id",
-                F.least("label", "nbr_label").alias("label"),
-                # labels only ever decrease → strict inequality = change
-                (F.col("nbr_label") < F.col("label"))
-                .cast("int")
-                .alias("_chg"),
-            )
+        contrib = sym.join(
+            labels.hint("shuffle_hash"), sym["a"] == labels["id"]
+        ).select(F.col("b").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(contrib)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = tagged.agg(F.sum("_chg")).collect()[0][0] or 0
+        total = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         prev_cache.unpersist()
-        prev_cache = tagged
-        labels = tagged.select("id", "label")
-        if changed == 0:
+        prev_cache = new_labels
+        labels = new_labels
+        if total == total_prev:
             break
+        total_prev = total
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     sym.unpersist()
@@ -106,9 +113,10 @@ def assign_clusters(
     id (its own id when it is in no pair) — the join-back table the
     pipeline filters on (keep rows where doc_id == cluster_id)."""
     labels = connected_components(edges, src, dst)
+    # labels is corpus-derived (every paired doc) — never broadcast it.
     return (
         all_ids.select(id_col)
-        .join(labels, all_ids[id_col] == labels["id"], "left")
+        .join(labels.hint("shuffle_hash"), all_ids[id_col] == labels["id"], "left")
         .select(
             id_col,
             F.coalesce("label", F.col(id_col)).alias("cluster_id"),
