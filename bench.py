@@ -41,6 +41,18 @@ def run() -> dict:
     # measure the queries, not session bootstrap.
     q.flagship(spark, SF_DIR).collect()
 
+    # Warm the Python/Arrow worker pool too: otherwise the
+    # alphabetically-first pandas-UDF query absorbs ~CPUS worker forks
+    # in its timing (measured ~4s of the 4.8s multimodal_decode run).
+    # mapInPandas: no type-hint inference (module uses postponed
+    # annotations, which breaks pandas_udf signature resolution here).
+    def _warm(batches):
+        yield from batches
+
+    spark.range(1024).repartition(CPUS).mapInPandas(_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # name-sorted, NOT registry order: the registry reorders by grading
