@@ -249,3 +249,63 @@ def test_ohlc_struct_extrema_match_bruteforce(spark, rows):
     for k, items in by_key.items():
         items.sort()
         assert got[k] == (items[0][2], items[-1][2]), k
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_gap_fill_interp_matches_bruteforce(spark, rows):
+    """Interpolation gap-fill: observed buckets keep their (rounded)
+    average; every empty bucket between a key's first and last bucket
+    gets the linear blend of its neighboring observed buckets, with the
+    weight taken from whole-second bucket distances."""
+    df = _df(spark, rows, ["k", "t", "v"])
+    out = timeseries.gap_fill_interp(df, "k", ts_col="t", value_col="v", bucket="minute")
+    got = {(r["k"], r["bucket_ts"], r["avg_value_interp"]) for r in out.collect()}
+
+    per: dict[tuple[int, dt.datetime], list[float]] = {}
+    for k, s, v in rows:
+        b = (BASE + dt.timedelta(seconds=s)).replace(second=0, microsecond=0)
+        per.setdefault((k, b), []).append(float(v))
+    want = set()
+    for key in {k for k, _ in per}:
+        buckets = sorted(b for kk, b in per if kk == key)
+        obs = {b: round(sum(per[(key, b)]) / len(per[(key, b)]), 6) for b in buckets}
+        b, end = buckets[0], buckets[-1]
+        while b <= end:
+            if b in obs:
+                want.add((key, b, obs[b]))
+            else:
+                prev_b = max(x for x in buckets if x < b)
+                next_b = min(x for x in buckets if x > b)
+                ratio = (b - prev_b).total_seconds() / (next_b - prev_b).total_seconds()
+                want.add((key, b, obs[prev_b] + (obs[next_b] - obs[prev_b]) * ratio))
+            b += dt.timedelta(minutes=1)
+    assert got == want
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_counter_rate_matches_bruteforce(spark, rows):
+    """Counter rate: per key in (ts, rid) order — increase is the delta
+    when non-negative, the raw value on a reset, NULL for the first
+    sample; rate divides by the whole-second gap, NULL when the gap is
+    zero."""
+    df = _df(spark, rows, ["k", "t", "v"])
+    out = windows.counter_rate(df, "k", ts_col="t", key_col="rid", value_col="v")
+    got = {r["rid"]: (r["increase"], r["rate_per_s"]) for r in out.collect()}
+
+    by_key: dict[int, list[tuple[int, int, float]]] = {}
+    for i, (k, s, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((s, i, float(v)))
+    for k, evs in by_key.items():
+        evs.sort()
+        prev = None
+        for s, rid, v in evs:
+            if prev is None:
+                assert got[rid] == (None, None), f"rid {rid}"
+            else:
+                ps, pv = prev
+                inc = v - pv if v - pv >= 0 else v
+                rate = inc / (s - ps) if s - ps > 0 else None
+                assert got[rid] == (inc, rate), f"rid {rid}: {got[rid]} != {(inc, rate)}"
+            prev = (s, v)
