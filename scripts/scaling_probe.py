@@ -134,6 +134,20 @@ def run(spark, factors: list[int]) -> list[dict]:
         ).write.format("noop").mode("overwrite").save()
         timings["decontam"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        from chronobase_spark.dedup import cluster as cc
+
+        pairs = (
+            ngram.jaccard_pairs(docs, threshold=0.5, max_df=50)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        cc.assign_clusters(docs, pairs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        pairs.unpersist()
+        timings["dup_cluster"] = time.perf_counter() - t0
+
         rows.append({"factor": factor, **{k: round(v, 2) for k, v in timings.items()}})
         print(f"factor {factor}: {rows[-1]}", flush=True)
     return rows
