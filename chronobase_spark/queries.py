@@ -1185,9 +1185,40 @@ def q_doc_chunks_udtf(spark, sf_dir):
     )
 
 
-@register("lang_id_pred", None)  # heuristic marker logic, Spark-side only
+@register(
+    "lang_id_pred",
+    """WITH tk AS (
+           SELECT lang, text,
+                  list_filter(
+                      string_split_regex(
+                          trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+                          '\\s+'),
+                      t -> t <> '') AS toks
+           FROM documents
+       ), scored AS (
+           SELECT lang,
+                  list_aggregate([
+                      struct_pack(score := CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to'], t))) AS BIGINT), lang := 'en'),
+                      struct_pack(score := CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que'], t))) AS BIGINT), lang := 'es'),
+                      struct_pack(score := CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les'], t))) AS BIGINT), lang := 'fr'),
+                      struct_pack(score := CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das'], t))) AS BIGINT), lang := 'de'),
+                      struct_pack(score := CAST(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1000 ELSE 0 END AS BIGINT), lang := 'zh')
+                  ], 'max') AS g
+           FROM tk
+       )
+       SELECT lang,
+              CASE WHEN g.score > 0 THEN g.lang ELSE 'unk' END AS pred,
+              COUNT(*) AS n_docs
+       FROM scored GROUP BY 1, 2""",
+)
 def q_lang_id_pred(spark, sf_dir):
-    """Language-ID heuristic: predicted vs labeled language counts."""
+    """Language-ID heuristic: predicted vs labeled language counts.
+
+    The heuristic (argmax over marker-token counts, CJK by codepoint,
+    lexicographic struct tie-break) IS cross-engine expressible —
+    Spark's array_max over struct(score, lang) and DuckDB's
+    list_aggregate(..., 'max') compare identically — so this carries a
+    full value oracle despite being a heuristic."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select("lang", text.lang_id(F.col("text")).alias("pred"))

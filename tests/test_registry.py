@@ -51,5 +51,4 @@ def test_rows_only_queries_are_documented_set():
         "approx_distinct_users",
         "approx_value_percentiles",
         "stratified_sample_langs",
-        "lang_id_pred",
     }
