@@ -218,3 +218,38 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "score")
     )
+
+
+def inverted_index(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 100,
+):
+    """Inverted-index build: one row per distinct term with its document
+    frequency and a bounded, sorted posting list (the ``max_postings``
+    lowest doc ids) — the retrieval-side complement of the posting-list
+    pruning the near-dup pipelines use internally (dedup/ngram.py).
+
+    Scale shape: explode distinct per-doc terms, ONE shuffle on term for
+    a row_number window, then an aggregate that reuses the window's
+    partitioning (no second exchange). df counts every posting, but
+    collect_list only sees rows the rank filter kept, so aggregation
+    state is bounded by ``max_postings`` per term no matter how hot the
+    term — an unbounded collect_list over a stopword's postings is the
+    100 TB failure mode this avoids.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = toks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") <= max_postings, F.col("doc_id")))
+        ).alias("postings"),
+    )

@@ -1228,6 +1228,36 @@ def q_lang_id_pred(spark, sf_dir):
 
 
 @register(
+    "inverted_index_terms",
+    """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_filter(
+                      string_split_regex(
+                          trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+                          '\\s+'),
+                      t -> t <> ''))) AS term
+           FROM documents
+       )
+       SELECT term, COUNT(*) AS df,
+              array_to_string((list_sort(list(doc_id)))[1:100], ',') AS postings
+       FROM toks GROUP BY term""",
+)
+def q_inverted_index_terms(spark, sf_dir):
+    """Inverted-index build over the documents table: term → document
+    frequency + bounded sorted posting list (100 lowest doc ids). The
+    search/retrieval-side operator the LLM pipeline uses next to the
+    dedup posting lists; aggregation state stays bounded per term
+    (functions.text.inverted_index docstring). The posting array is
+    projected to CSV for the compare harness (row-sorting over list
+    columns is undefined in pandas)."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = text.inverted_index(docs, max_postings=100)
+    return idx.select(
+        "term", "df", F.array_join("postings", ",").alias("postings")
+    )
+
+
+@register(
     "multimodal_payload_meta",
     """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
               CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames

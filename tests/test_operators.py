@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from chronobase_spark import catalog  # noqa: E402
-from chronobase_spark.functions import multimodal, similarity  # noqa: E402
+from chronobase_spark.functions import multimodal, similarity, text  # noqa: E402
 from chronobase_spark.operators import joins, timeseries  # noqa: E402
 from chronobase_spark.plans import inspect  # noqa: E402
 from tests.conftest import SF_SMOKE  # noqa: E402
@@ -316,3 +316,22 @@ def test_counter_rate_resets_and_gaps(spark):
     assert got[3] == (3.0, 0.3)
     assert got[4] == (2.0, None)
     assert got[5] == (None, None)
+
+
+def test_inverted_index_bounded_postings(spark):
+    """Inverted index: df counts every posting while the posting list
+    keeps only the max_postings lowest doc ids, sorted; per-doc term
+    dedup means a repeated word in one doc posts once."""
+    docs = spark.createDataFrame(
+        [
+            (3, "alpha beta alpha"),
+            (1, "alpha gamma"),
+            (2, "alpha delta"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {r.term: r for r in text.inverted_index(docs, max_postings=2).collect()}
+    assert idx["alpha"].df == 3
+    assert idx["alpha"].postings == [1, 2]  # capped at 2 lowest, sorted
+    assert idx["beta"].df == 1 and idx["beta"].postings == [3]
+    assert idx["gamma"].postings == [1]
