@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Runtime-injected bloom filters: a selective dimension filter
+        # seeds a bloom filter pushed into the fact-side scan — at
+        # 100 TB this prunes shuffle input for star joins that are too
+        # big to broadcast (complements AQE's strategy switching).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Columnar + Arrow for the Pandas-UDF extension path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Write posture (reference gzip blocks -> Parquet zstd).
