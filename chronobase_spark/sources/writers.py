@@ -23,11 +23,19 @@ def write_time_partitioned(
     bucket: str = "day",
     mode: str = "append",
 ) -> None:
-    """Write a time-series table in the engine's canonical layout."""
+    """Write a time-series table in the engine's canonical layout.
+
+    Sort tie-break: ``key_col`` when the schema has it, else ``key``
+    (the reference's Row.Key, row.go:6-10), else timestamp alone — the
+    facade accepts arbitrary row schemas, not just the test corpus.
+    """
+    if key_col not in df.columns:
+        key_col = "key" if "key" in df.columns else None
+    sort_cols = [ts_col] + ([key_col] if key_col else [])
     bucket_col = F.to_date(ts_col) if bucket == "day" else F.date_trunc(bucket, ts_col)
     (
         df.withColumn("_bucket", bucket_col)
-        .sortWithinPartitions(ts_col, key_col)
+        .sortWithinPartitions(*sort_cols)
         .write.mode(mode)
         .partitionBy("_bucket")
         .parquet(path)

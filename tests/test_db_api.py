@@ -197,3 +197,17 @@ def test_lock_survives_backup_restore(spark, tmp_path):
         assert not (tmp_path / "bak" / ChronoSpark._LOCK).exists()
         db.restore(str(tmp_path / "bak"))
         assert db.list_tables() == ["t"]
+
+
+def test_cli_demo_round_trip(spark, tmp_path, caplog):
+    """`python -m chronobase_spark` demo loop (reference
+    cmd/dbserver/main.go:21-121): defaults config, create table, insert,
+    query-back, stats, clean close — exit code 0 means the inserted row
+    came back from the inclusive hour-window query."""
+    from chronobase_spark.__main__ import main
+
+    rc = main(["--data-dir", str(tmp_path / "demo")], spark=spark)
+    assert rc == 0
+    # idempotent second run: table exists, still round-trips
+    rc = main(["--data-dir", str(tmp_path / "demo")], spark=spark)
+    assert rc == 0
