@@ -262,6 +262,86 @@ def streaming_user_ewma(stream: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
+def streaming_counter_rate(stream: DataFrame) -> DataFrame:
+    """Per-user counter increase/rate maintained incrementally across
+    micro-batches — the streaming form of the batch
+    ``operators.windows.counter_rate`` (PromQL increase/rate with reset
+    handling).
+
+    State per user is ONE (last whole-second timestamp, last value)
+    pair. Each batch sorts its rows by (ts, event_id), seeds the lag
+    series from state, and computes increase (delta, or the raw value on
+    a counter reset) and rate (increase / whole-second gap; NULL for the
+    first-ever sample and for same-second pairs) vectorized — identical
+    arithmetic to the batch window operator, so the two agree exactly.
+    Emits every input row once (append semantics). Same in-order
+    delivery contract as ``streaming_user_ewma``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("increase", DoubleType()),
+            StructField("rate_per_s", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_sec", LongType()), StructField("last_value", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        sec = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        vals = pdf["value"].astype("float64")
+        prev_v = vals.shift(1)
+        prev_s = sec.shift(1).astype("float64")
+        if state.exists:
+            s0, v0 = state.get
+            prev_s.iloc[0], prev_v.iloc[0] = float(s0), float(v0)
+        first = prev_v.isna()
+        delta = vals - prev_v
+        inc = pd.Series(np.where(delta >= 0, delta, vals), dtype="float64")
+        inc[first] = np.nan
+        gap = sec - prev_s
+        rate = inc / gap
+        rate[first | (gap <= 0)] = np.nan
+        state.update((int(sec.iloc[-1]), float(vals.iloc[-1])))
+        # NaN would surface as a double NaN, not SQL NULL — emit object
+        # columns with None so the sink schema carries real NULLs like
+        # the batch operator.
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"],
+                "value": vals,
+                "increase": inc.astype(object).where(inc.notna(), None),
+                "rate_per_s": rate.astype(object).where(rate.notna(), None),
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_hourly_rollup(
     stream: DataFrame,
     rollup_dir: str,

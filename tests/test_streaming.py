@@ -546,3 +546,52 @@ def test_compaction_crash_recovery_restores_partition(spark, event_source, tmp_p
     n2 = maintenance.compact_partition(spark, tdir, value)
     assert n2 == n_before
     assert not (root / f".compact_old_event_date={value}").exists()
+
+
+def test_streaming_counter_rate_matches_batch(spark, tmp_path):
+    """Streaming per-user counter increase/rate across in-order
+    micro-batches must equal the batch window operator exactly,
+    including NULLs for first samples and same-second pairs and the
+    reset branch — the state handoff at every batch boundary is the
+    part only this test exercises."""
+    from chronobase_spark.operators import windows as W
+
+    src = str(tmp_path / "cr_src")
+    ev = (
+        catalog.table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(600)
+    )
+    rows = ev.collect()
+    for i in range(3):
+        chunk = spark.createDataFrame(rows[i * 200 : (i + 1) * 200], ev.schema)
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "cr_sink")
+    q = (
+        ingest.streaming_counter_rate(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "cr_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: (r["increase"], r["rate_per_s"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    batch = W.counter_rate(spark.createDataFrame(rows, ev.schema), "user_id")
+    want = {
+        r["event_id"]: (r["increase"], r["rate_per_s"]) for r in batch.collect()
+    }
+    assert len(got) == len(want) == 600
+    assert got == want
