@@ -1227,6 +1227,31 @@ def q_lang_id_pred(spark, sf_dir):
     )
 
 
+@register("sketch_rollup_users", None)  # datasketches HLL — engine-specific
+def q_sketch_rollup_users(spark, sf_dir):
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    then one sketch-union for the whole range — the pattern a 100 TB
+    rollup uses (store a kilobyte sketch per partition, merge sketches
+    instead of re-scanning raw data; partial aggregation applies to the
+    sketch build AND the union). Estimates are deterministic for fixed
+    input but datasketches-specific, so this is rows-only;
+    tests/test_operators.py pins the estimates against exact distinct
+    counts with the configured error bound."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("bucket"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    total = daily.agg(
+        F.lit("total").alias("bucket"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    return per_day.unionByName(total)
+
+
 @register(
     "inverted_index_terms",
     """WITH toks AS (

@@ -335,3 +335,33 @@ def test_inverted_index_bounded_postings(spark):
     assert idx["alpha"].postings == [1, 2]  # capped at 2 lowest, sorted
     assert idx["beta"].df == 1 and idx["beta"].postings == [3]
     assert idx["gamma"].postings == [1]
+
+
+def test_sketch_rollup_estimates_within_bound(spark):
+    """HLL sketch rollup: per-day estimates and the sketch-union total
+    must land within 5% of exact distinct counts (default lgConfigK=12
+    gives ~1.6% standard error), and the union must NOT be the sum of
+    dailies (users recur across days)."""
+    import chronobase_spark.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r["bucket"]: r["est_users"]
+        for r in q._REGISTRY["sketch_rollup_users"][0](spark, sf).collect()
+    }
+    ev = catalog.table(spark, sf, "events")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r["bucket"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bucket")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["total"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
+    assert est["total"] < sum(v for k, v in est.items() if k != "total")
