@@ -180,3 +180,56 @@ def counter_rate(
         increase / gap
     )
     return df.withColumn("increase", increase).withColumn("rate_per_s", rate)
+
+
+def pattern_triple(
+    df: DataFrame,
+    partition_col: str,
+    pattern: tuple[str, str, str],
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    within_seconds: int = 3600,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: contiguous three-step pattern detection per
+    key. Filter the stream to the pattern's event types, then a row is a
+    match start when it and its next two rows (in (ts, key) order within
+    the filtered stream) spell the pattern and the whole span fits in
+    ``within_seconds``. Contiguity is relative to the filtered stream —
+    the standard MATCH_RECOGNIZE semantics over a pattern-relevant
+    partition.
+
+    One window shuffle on the key; lead() is codegen'd, overlapping
+    matches are all reported (per-row match-start detection has no
+    cross-match state, which is what keeps it embarrassingly parallel
+    at scale).
+    """
+    a, b, c = pattern
+    flt = df.filter(F.col(type_col).isin(a, b, c))
+    w = Window.partitionBy(partition_col).orderBy(F.col(ts_col), F.col(key_col))
+    t2 = F.lead(type_col, 1).over(w)
+    t3 = F.lead(type_col, 2).over(w)
+    out = (
+        flt.withColumn("_t2", t2)
+        .withColumn("_t3", t3)
+        .withColumn("_k2", F.lead(key_col, 1).over(w))
+        .withColumn("_k3", F.lead(key_col, 2).over(w))
+        .withColumn("_ts3", F.lead(ts_col, 2).over(w))
+    )
+    span_ok = (
+        F.unix_timestamp("_ts3") - F.unix_timestamp(ts_col)
+    ) <= within_seconds
+    return (
+        out.filter(
+            (F.col(type_col) == a) & (F.col("_t2") == b) & (F.col("_t3") == c)
+            & span_ok
+        )
+        .select(
+            F.col(partition_col),
+            F.col(key_col).alias("k_start"),
+            F.col("_k2").alias("k_mid"),
+            F.col("_k3").alias("k_end"),
+            F.col(ts_col).alias("ts_start"),
+            F.col("_ts3").alias("ts_end"),
+        )
+    )

@@ -1227,6 +1227,43 @@ def q_lang_id_pred(spark, sf_dir):
     )
 
 
+@register(
+    "pattern_view_click_purchase",
+    """WITH flt AS (
+           SELECT user_id, event_id, ts, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+       ), led AS (
+           SELECT user_id, event_id, ts, event_type,
+                  LEAD(event_type, 1) OVER w AS t2,
+                  LEAD(event_type, 2) OVER w AS t3,
+                  LEAD(event_id, 1) OVER w AS k2,
+                  LEAD(event_id, 2) OVER w AS k3,
+                  LEAD(ts, 2) OVER w AS ts3
+           FROM flt
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       )
+       SELECT user_id, event_id AS k_start, k2 AS k_mid, k3 AS k_end,
+              ts AS ts_start, ts3 AS ts_end
+       FROM led
+       WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'
+         AND CAST(floor(epoch(ts3)) AS BIGINT)
+             - CAST(floor(epoch(ts)) AS BIGINT) <= 86400""",
+)
+def q_pattern_view_click_purchase(spark, sf_dir):
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): contiguous
+    view → click → purchase runs per user within one day, over the
+    pattern-filtered stream (operators.windows.pattern_triple). One
+    window shuffle; overlapping matches all reported — per-row
+    match-start detection keeps the operator stateless across matches
+    and therefore embarrassingly parallel."""
+    return windows.pattern_triple(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        ("view", "click", "purchase"),
+        within_seconds=86400,
+    )
+
+
 @register("sketch_rollup_users", None)  # datasketches HLL — engine-specific
 def q_sketch_rollup_users(spark, sf_dir):
     """Mergeable-sketch rollup: per-day HLL sketches of distinct users,

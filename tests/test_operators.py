@@ -365,3 +365,40 @@ def test_sketch_rollup_estimates_within_bound(spark):
     for k, v in exact.items():
         assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
     assert est["total"] < sum(v for k, v in est.items() if k != "total")
+
+
+def test_pattern_triple_contiguity_and_span(spark):
+    """Pattern matching: contiguity is relative to the pattern-filtered
+    stream (an interleaved 'error' row does not break a run), the span
+    bound excludes slow runs, and overlapping matches are all
+    reported."""
+    from chronobase_spark.operators import windows as W
+
+    rows = [
+        # u1: view(1) click(2) purchase(3) inside an hour, with an
+        # ignored 'error' row interleaved -> match
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (1, 99, "2024-01-01 10:05:00", "error"),
+        (1, 2, "2024-01-01 10:10:00", "click"),
+        (1, 3, "2024-01-01 10:20:00", "purchase"),
+        # u2: pattern spelled but span > 1h -> no match
+        (2, 4, "2024-01-01 10:00:00", "view"),
+        (2, 5, "2024-01-01 10:10:00", "click"),
+        (2, 6, "2024-01-01 11:30:00", "purchase"),
+        # u3: view view click purchase -> only the SECOND view starts a
+        # contiguous match (the first view's next rows are view, click)
+        (3, 7, "2024-01-01 09:00:00", "view"),
+        (3, 8, "2024-01-01 09:10:00", "view"),
+        (3, 9, "2024-01-01 09:20:00", "click"),
+        (3, 10, "2024-01-01 09:30:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.user_id, r.k_start, r.k_mid, r.k_end)
+        for r in W.pattern_triple(
+            df, "user_id", ("view", "click", "purchase"), within_seconds=3600
+        ).collect()
+    }
+    assert got == {(1, 1, 2, 3), (3, 8, 9, 10)}
