@@ -25,4 +25,5 @@ __version__ = "0.1.0"
 
 from chronobase_spark.session import get_spark  # noqa: F401
 from chronobase_spark.catalog import TABLES, load_tables, register_views  # noqa: F401
+from chronobase_spark.config import EngineConfig, load_config  # noqa: F401
 from chronobase_spark.db import ChronoSpark  # noqa: F401
