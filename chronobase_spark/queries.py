@@ -30,7 +30,7 @@ from chronobase_spark import catalog
 from chronobase_spark.dedup import embedding as emb_dedup
 from chronobase_spark.dedup import exact as exact_dedup
 from chronobase_spark.dedup import minhash, ngram, simhash
-from chronobase_spark.functions import similarity, text
+from chronobase_spark.functions import packing, similarity, text
 from chronobase_spark.operators import aggregates as agg
 from chronobase_spark.operators import joins, setops, timeseries, windows
 
@@ -108,6 +108,8 @@ _GRADE_PRIORITY = (
     "ivf_assign_counts",
     "ewma_user_value",
     "ohlc_hourly",
+    "doc_pack_chunks",
+    "doc_split_assign",
 )
 
 
@@ -1182,6 +1184,58 @@ def q_doc_chunks_udtf(spark, sf_dir):
     return spark.sql(
         f"SELECT d.doc_id, c.chunk_idx, c.chunk_text "
         f"FROM documents d, LATERAL chunk_doc(d.text, {_CHUNK}) c"
+    )
+
+
+@register(
+    "doc_pack_chunks",
+    """WITH toks AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+       ), offs AS (
+           SELECT doc_id, shard, n_tokens,
+                  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+           FROM toks WHERE n_tokens > 0
+       )
+       SELECT doc_id, shard, n_tokens, start_off,
+              start_off // 2048 AS pack_id,
+              (start_off + n_tokens - 1) // 2048 - start_off // 2048 + 1 AS packs_spanned
+       FROM offs""",
+)
+def q_doc_pack_chunks(spark, sf_dir):
+    """Sequence packing for training batches: concat-and-chunk each
+    shard's token stream into 2048-token context windows (see
+    functions/packing.py for the scheme and why sharding keeps the
+    prefix-sum window partitioned — no global sort at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    return packing.pack_offsets(base).select(
+        "doc_id", "shard", "n_tokens", "start_off", "pack_id", "packs_spanned"
+    )
+
+
+@register(
+    "doc_split_assign",
+    """SELECT doc_id, lang,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def q_doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 nibble of the doc
+    id — content-free and stable under corpus growth (a doc's split
+    never depends on other rows), and portable hashing means a full
+    cross-engine oracle (unlike the xxhash64-based dedup family)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", packing.md5_split(F.col("doc_id")).alias("split")
     )
 
 

@@ -402,3 +402,51 @@ def test_pattern_triple_contiguity_and_span(spark):
         ).collect()
     }
     assert got == {(1, 1, 2, 3), (3, 8, 9, 10)}
+
+
+def test_pack_offsets_concat_and_chunk_invariants(spark):
+    """Packing: per-shard offsets are an exact prefix sum in doc order,
+    pack coordinates follow from integer division, and a doc crossing a
+    context boundary reports every pack it touches."""
+    from chronobase_spark.functions.packing import pack_offsets
+
+    rows = [  # (doc_id, shard, n_tokens) with ctx=10
+        (0, 0, 4),   # [0,4)   pack 0
+        (2, 0, 7),   # [4,11)  packs 0-1 (crosses)
+        (4, 0, 9),   # [11,20) pack 1
+        (6, 0, 21),  # [20,41) packs 2-4 (spans 3)
+        (1, 1, 10),  # [0,10)  exactly pack 0, does not touch pack 1
+        (3, 1, 1),   # [10,11) pack 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_tokens long")
+    got = {
+        r.doc_id: (r.start_off, r.pack_id, r.packs_spanned)
+        for r in pack_offsets(df, context_len=10).collect()
+    }
+    assert got == {
+        0: (0, 0, 1),
+        2: (4, 0, 2),
+        4: (11, 1, 1),
+        6: (20, 2, 3),
+        1: (0, 0, 1),
+        3: (10, 1, 1),
+    }
+
+
+def test_md5_split_deterministic_and_content_free(spark):
+    """Split assignment depends only on the id: identical across runs
+    and unaffected by which other rows are present; all three labels
+    appear at reasonable rates over a modest id range."""
+    from chronobase_spark.functions.packing import md5_split
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.s for r in ids.select("doc_id", md5_split(F.col("doc_id")).alias("s")).collect()}
+    subset = ids.filter(F.col("doc_id") % 3 == 0)
+    b = {r.doc_id: r.s for r in subset.select("doc_id", md5_split(F.col("doc_id")).alias("s")).collect()}
+    assert all(a[k] == v for k, v in b.items())
+    from collections import Counter
+    c = Counter(a.values())
+    # expected 75% / 12.5% / 12.5%; allow generous tolerance at n=2000
+    assert 0.70 < c["train"] / 2000 < 0.80
+    assert 0.09 < c["val"] / 2000 < 0.17
+    assert 0.09 < c["test"] / 2000 < 0.17

@@ -112,7 +112,7 @@ def test_window_queries_are_partitioned(spark):
     funnels the dataset through one task)."""
     for name in ["top3_events_per_user", "event_gap_seconds", "moving_value_sum",
                  "user_sessions", "rank_lead_purchases", "counter_rate",
-                 "gap_fill_interp"]:
+                 "gap_fill_interp", "doc_pack_chunks"]:
         plan = _plan(spark, name)
         # every Window node must have a non-empty partition spec -> its
         # Exchange is hashpartitioning; SinglePartition anywhere in these
