@@ -137,6 +137,65 @@ def assign_nearest_centroid(
     )
 
 
+def int8_quant_stats(vec: Column, round_digits: int = 6) -> Column:
+    """Symmetric int8 quantization of one embedding vector, summarized
+    as struct(qscale, q_sum, q_min, q_max, n_sat).
+
+    The 4× compression step every large ANN index applies before
+    storage: per-vector scale = max|v| / 127, code = clamp(round(v /
+    scale)) ∈ [-127, 127]. The summary exposes the scale plus exact
+    integer facts about the code vector (sum, extrema, saturation
+    count) — integers compare exactly cross-engine, so the whole
+    operator is oracle-checkable without shipping arrays through the
+    comparator.
+
+    Expression discipline: ``scale`` and the code array are each bound
+    once via single-element ``transform`` lets — referencing the Python
+    column object N times would re-evaluate the max-abs fold / the
+    quantize transform N times per row (the HOF re-evaluation trap, see
+    functions/text.with_tokens). Rounding is floor(x + 0.5) — half
+    toward +inf — because engines disagree on round()'s half-away vs
+    banker's behavior but agree exactly on floor.
+    """
+    maxabs = F.aggregate(
+        vec, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+
+    def with_codes(q: Column) -> Column:
+        return F.struct(
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+                "q_sum"
+            ),
+            F.array_min(q).alias("q_min"),
+            F.array_max(q).alias("q_max"),
+            F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias("n_sat"),
+        )
+
+    def with_scale(s: Column) -> Column:
+        codes = F.transform(
+            vec,
+            lambda v: F.when(s == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.greatest(
+                        F.lit(-127).cast("long"),
+                        F.floor(v.cast("double") / s + F.lit(0.5)),
+                    ),
+                )
+            ),
+        )
+        inner = F.get(F.transform(F.array(codes), with_codes), 0)
+        return F.struct(
+            F.round(s, round_digits).alias("qscale"),
+            inner["q_sum"].alias("q_sum"),
+            inner["q_min"].alias("q_min"),
+            inner["q_max"].alias("q_max"),
+            inner["n_sat"].alias("n_sat"),
+        )
+
+    return F.get(F.transform(F.array(maxabs / F.lit(127.0)), with_scale), 0)
+
+
 def topk_cosine(
     queries: DataFrame,
     corpus: DataFrame,

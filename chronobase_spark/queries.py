@@ -110,6 +110,7 @@ _GRADE_PRIORITY = (
     "ohlc_hourly",
     "doc_pack_chunks",
     "doc_split_assign",
+    "embedding_quant_int8",
 )
 
 
@@ -1217,6 +1218,40 @@ def q_doc_pack_chunks(spark, sf_dir):
     ).filter(F.col("n_tokens") > 0)
     return packing.pack_offsets(base).select(
         "doc_id", "shard", "n_tokens", "start_off", "pack_id", "packs_spanned"
+    )
+
+
+@register(
+    "embedding_quant_int8",
+    """WITH s AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+           FROM embeddings
+       ), q AS (
+           SELECT vec_id, sc,
+                  CASE WHEN sc = 0
+                       THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(embedding, x ->
+                            least(CAST(127 AS BIGINT),
+                                  greatest(CAST(-127 AS BIGINT),
+                                           CAST(floor(x::DOUBLE / sc + 0.5) AS BIGINT))))
+                  END AS qv
+           FROM s
+       )
+       SELECT vec_id, ROUND(sc, 6) AS qscale,
+              CAST(list_sum(qv) AS BIGINT) AS q_sum,
+              CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+              CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+              len(list_filter(qv, v -> abs(v) = 127)) AS n_sat
+       FROM q""",
+)
+def q_embedding_quant_int8(spark, sf_dir):
+    """Int8 embedding quantization (the ANN-index compression step):
+    per-vector scale + exact integer summary of the code vector. All
+    codegen column math; one map-only pass over the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.inline(F.array(similarity.int8_quant_stats(F.col("embedding"))))
     )
 
 

@@ -450,3 +450,26 @@ def test_md5_split_deterministic_and_content_free(spark):
     assert 0.70 < c["train"] / 2000 < 0.80
     assert 0.09 < c["val"] / 2000 < 0.17
     assert 0.09 < c["test"] / 2000 < 0.17
+
+
+def test_int8_quant_saturation_and_zero_vector(spark):
+    """Quantization: max-|v| element maps to ±127 exactly, a zero vector
+    quantizes to all-zero codes with scale 0, and saturation counts
+    every element at full scale."""
+    from chronobase_spark.functions.similarity import int8_quant_stats
+
+    rows = [
+        (1, [2.54, -1.27, 0.0]),   # scale 0.02: codes 127, -64 (floor(-63.5)), 0
+        (2, [0.0, 0.0, 0.0]),      # zero vector
+        (3, [-5.0, 5.0, 5.0]),     # symmetric full-scale: all saturate
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.s.q_min, r.s.q_max, r.s.n_sat, r.s.q_sum, r.s.qscale)
+        for r in df.select(
+            "vec_id", int8_quant_stats(F.col("embedding")).alias("s")
+        ).collect()
+    }
+    assert got[1] == (-63, 127, 1, 64, 0.02)
+    assert got[2] == (0, 0, 0, 0, 0.0)
+    assert got[3] == (-127, 127, 3, 127, round(5.0 / 127, 6))
