@@ -137,10 +137,16 @@ def range_frame_sum(
     SQL oracle's ``RANGE INTERVAL ... PRECEDING`` is µs-exact too); rows
     sharing a timestamp are frame peers, so no key tie-break is needed for
     a layout-independent result. Decimal-exact sum, one shuffle on the
-    partition key."""
+    partition key.
+
+    The ``cast("timestamp")`` guards the TIMESTAMP_NTZ case: the corpus'
+    ``events.ts`` is parquet TIMESTAMP(µs, isAdjustedToUTC=false), which
+    Spark reads as TIMESTAMP_NTZ — a type ``unix_micros`` rejects. With
+    the session pinned to UTC (catalog.ensure_session_conf) the cast is
+    an exact relabeling, so epoch math is identical in both engines."""
     w = (
         Window.partitionBy(partition_col)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
         .rangeBetween(-preceding_seconds * 1_000_000, Window.currentRow)
     )
     val = F.col(value_col).cast(f"decimal(18,{scale})")

@@ -1196,13 +1196,16 @@ def q_doc_chunks_udtf(spark, sf_dir):
            FROM documents
        ), offs AS (
            SELECT doc_id, shard, n_tokens,
-                  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+                  -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT, which
+                  -- pandas renders as float64 and the driver hash then
+                  -- disagrees with Spark's int64 despite equal values.
+                  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
            FROM toks WHERE n_tokens > 0
        )
        SELECT doc_id, shard, n_tokens, start_off,
-              start_off // 2048 AS pack_id,
-              (start_off + n_tokens - 1) // 2048 - start_off // 2048 + 1 AS packs_spanned
+              CAST(start_off // 2048 AS BIGINT) AS pack_id,
+              CAST((start_off + n_tokens - 1) // 2048 - start_off // 2048 + 1 AS BIGINT) AS packs_spanned
        FROM offs""",
 )
 def q_doc_pack_chunks(spark, sf_dir):
@@ -2738,8 +2741,10 @@ def q_time_weighted_avg(spark, sf_dir):
     d = ev.select(
         "user_id",
         "value",
-        F.unix_micros("ts").alias("ts_us"),
-        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+        # cast: events.ts reads as TIMESTAMP_NTZ, which unix_micros
+        # rejects; with the session pinned to UTC the cast is exact.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("next_us"),
     ).filter(F.col("next_us").isNotNull())
     dur = F.col("next_us") - F.col("ts_us")
     weighted = F.round(F.col("value"), 6).cast("decimal(20,6)") * dur.cast(
