@@ -74,6 +74,11 @@ def run() -> dict:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one bad query must not kill the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # Isolate queries: dedup/LSH pipelines persist intermediates that
+        # a lazy return can't unpersist; without this, caches accumulate
+        # across 100+ queries and later queries pay the memory pressure
+        # (r3: simhash_near_pairs drifted 3.4→10.7 s across rounds).
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -91,6 +96,35 @@ def run() -> dict:
         result["errors"] = errors
     spark.stop()
     return result
+
+
+def _fit_line(result: dict, budget: int = 1900) -> dict:
+    """Shrink ``result`` to one JSON line within ``budget`` chars.
+
+    The driver keeps only the last 2000 chars of stdout, so the full
+    100+-query timing dict cannot be printed verbatim. Keep every
+    top-level field; replace ``queries`` with the slowest timings, added
+    in descending order while the serialized line still fits. The full
+    dict lives in BENCH_FULL.json (see module docstring).
+    """
+    line = dict(result)
+    full = line.pop("queries", {}) or {}
+    line["queries"] = {}
+    line["queries_truncated"] = (
+        f"slowest-first subset of {len(full)}; full timings in BENCH_FULL.json"
+    )
+    kept: dict[str, float] = {}
+    for name, secs in sorted(full.items(), key=lambda kv: (-kv[1], kv[0])):
+        trial = dict(kept)
+        trial[name] = secs
+        line["queries"] = trial
+        if len(json.dumps(line)) > budget:
+            line["queries"] = kept
+            break
+        kept = trial
+    if len(kept) == len(full):
+        del line["queries_truncated"]
+    return line
 
 
 def main() -> None:

@@ -33,7 +33,7 @@ import json
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chronobase_spark.operators import timeseries
@@ -76,11 +76,13 @@ class ChronoSpark:
         # per-table metadata like the reference's loadExistingTables
         # (db.go:291-350).
         self._ttl: dict[str, int | None] = {}
+        self._pkeys: dict[str, list[str] | None] = {}
         self._memtable: dict[str, list[dict]] = {}
         for child in sorted(self.root.iterdir()):
             if child.is_dir() and (child / _META).exists():
                 meta = json.loads((child / _META).read_text())
                 self._ttl[child.name] = meta.get("ttl_seconds")
+                self._pkeys[child.name] = meta.get("primary_keys")
                 self._memtable[child.name] = []
 
     # -- single-writer lock (utils/fileutils.go:236-268) ---------------
@@ -142,20 +144,43 @@ class ChronoSpark:
 
     # -- table lifecycle (db.go:80-142) --------------------------------
 
-    def create_table(self, name: str, ttl_seconds: int | None = None) -> None:
+    def create_table(
+        self,
+        name: str,
+        ttl_seconds: int | None = None,
+        primary_keys: list[str] | None = None,
+    ) -> None:
+        """Reference CreateTable with TableOptions{TTL, PrimaryKeys}
+        (pkg/db/types.go:10-13). The reference declares PrimaryKeys but
+        ignores them at db.go:92; here they persist in the table
+        metadata and ``query`` enforces uniqueness (last-write-wins) —
+        see ``_enforce_primary_keys``."""
         if name in self._ttl:
             raise TableExistsError(name)
         tdir = self.root / name
         tdir.mkdir(parents=True, exist_ok=True)
-        (tdir / _META).write_text(json.dumps({"ttl_seconds": ttl_seconds}))
+        (tdir / _META).write_text(
+            json.dumps(
+                {
+                    "ttl_seconds": ttl_seconds,
+                    "primary_keys": list(primary_keys) if primary_keys else None,
+                }
+            )
+        )
         self._ttl[name] = ttl_seconds
+        self._pkeys[name] = list(primary_keys) if primary_keys else None
         self._memtable[name] = []
 
     def drop_table(self, name: str) -> None:
         self._require(name)
         shutil.rmtree(self.root / name, ignore_errors=True)
         del self._ttl[name]
+        self._pkeys.pop(name, None)
         del self._memtable[name]
+
+    def primary_keys(self, name: str) -> list[str] | None:
+        self._require(name)
+        return self._pkeys.get(name)
 
     def list_tables(self) -> list[str]:
         return sorted(self._ttl)
@@ -238,10 +263,14 @@ class ChronoSpark:
         table: str,
         start: str | dt.datetime,
         end: str | dt.datetime,
+        enforce_primary_keys: bool = True,
     ) -> DataFrame:
         """Inclusive time-range scan over buffer ∪ durable partitions —
         the reference's memtable ∪ tablets union scan with per-tablet
-        pruning (table.go:132-161; pruning 146-149 = parquet stats)."""
+        pruning (table.go:132-161; pruning 146-149 = parquet stats).
+        Tables created with ``primary_keys`` are deduplicated on read
+        (pass ``enforce_primary_keys=False`` for the raw multi-version
+        scan, which is all the reference ever returns)."""
         self._require(table)
         parts = []
         durable = self._durable(table, self._as_dt(start), self._as_dt(end))
@@ -256,7 +285,29 @@ class ChronoSpark:
         scan = parts[0]
         for p in parts[1:]:
             scan = scan.unionByName(p)
-        return timeseries.time_range_scan(scan, start, end)
+        scan = timeseries.time_range_scan(scan, start, end)
+        pkeys = self._pkeys.get(table)
+        if enforce_primary_keys and pkeys:
+            scan = self._enforce_primary_keys(scan, pkeys)
+        return scan
+
+    @staticmethod
+    def _enforce_primary_keys(df: DataFrame, pkeys: list[str]) -> DataFrame:
+        """One row per primary-key tuple, last-write-wins.
+
+        When the table has a ``ts`` column outside the key, the survivor
+        is the LATEST row per key (row_number over ts desc — one window
+        shuffle on the key, deterministic; AQE splits skewed keys).
+        Otherwise plain ``dropDuplicates`` — identical duplicate rows,
+        any survivor is canonical."""
+        if "ts" in df.columns and "ts" not in pkeys:
+            w = Window.partitionBy(*pkeys).orderBy(F.col("ts").desc())
+            return (
+                df.withColumn("_pk_rn", F.row_number().over(w))
+                .filter(F.col("_pk_rn") == 1)
+                .drop("_pk_rn")
+            )
+        return df.dropDuplicates(pkeys)
 
     def iter_query(
         self,

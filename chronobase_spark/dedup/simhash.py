@@ -64,8 +64,16 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming``, found by chunk-LSH:
     any pair within distance CHUNKS-1 shares at least one identical
-    16-bit chunk (pigeonhole), so group-join on chunks then verify."""
-    sigs = simhash(df, text_col, id_col).persist()
+    16-bit chunk (pigeonhole), so group-join on chunks then verify.
+
+    No persist: both self-join sides are the identical sub-plan, so the
+    tokenize+hash shuffle-map stage executes once and Spark's exchange
+    reuse (ReusedExchange, on by default) feeds both sides from the same
+    shuffle files — only the cheap 64-column agg re-runs per side. A
+    persist here leaked a cached signature table per call for the
+    session lifetime (r3 verdict) and bought nothing the exchange reuse
+    doesn't already provide."""
+    sigs = simhash(df, text_col, id_col)
     chunked = sigs.select(
         "doc",
         "simhash",
@@ -97,6 +105,9 @@ def simhash_near_pairs(
             F.col("b.doc").alias("doc_b"),
             hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: chunk collisions at distance > max are
+        # the common case, so the Hamming cut shrinks the dedup shuffle
+        # by its selectivity instead of shuffling every candidate pair.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

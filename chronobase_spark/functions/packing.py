@@ -89,3 +89,36 @@ def md5_split(
         .when(nib <= F.lit(val_hi), F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def md5_stratified_keep(id_col: Column, strata_col: Column, fractions: dict) -> Column:
+    """Deterministic stratified-sampling predicate: keep a row iff its
+    md5 bucket falls under its stratum's fraction.
+
+    The bucket is the first 4 hex chars of ``md5(cast(id as string))``
+    — a uniform 16-bit value — compared lexicographically against the
+    fixed-width hex encoding of ``floor(frac * 65536)`` (fixed-width
+    lowercase hex sorts numerically, so no string→int conversion in the
+    hot path). Rows whose stratum is absent from ``fractions`` compare
+    against NULL and drop, matching ``sampleBy`` semantics.
+
+    Unlike ``sampleBy``'s seeded Bernoulli, membership is a pure
+    function of the row id: rerunnable, partition-layout-independent,
+    identical across engines (md5 is portable — same trick as
+    [[md5_split]]), so the sample is fully oracle-checkable and stable
+    as the corpus grows. Map-only: no shuffle, no collect; the
+    predicate is codegen'd and pushes nothing to Python. Fraction
+    granularity is 1/65536 — negligible against sampling noise."""
+    bucket = F.substring(F.md5(id_col.cast("string")), 1, 4)
+    thr: Column | None = None
+    for stratum, frac in sorted(fractions.items()):
+        n = int(frac * 65536)
+        # frac >= 1.0: 'g' sorts after every 4-char hex bucket (keep all);
+        # a 5-char '10000' would sort BEFORE 'ffff' and keep almost nothing.
+        hex_thr = F.lit("g" if n >= 65536 else format(n, "04x"))
+        thr = (
+            F.when(strata_col == stratum, hex_thr)
+            if thr is None
+            else thr.when(strata_col == stratum, hex_thr)
+        )
+    return bucket < thr

@@ -1680,38 +1680,59 @@ def q_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
-@register("stratified_sample_langs", None)  # seeded RNG — engine-specific, rows-only
+@register(
+    "stratified_sample_langs",
+    """SELECT lang, COUNT(*) AS n_sampled
+       FROM documents
+       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             CASE lang WHEN 'de' THEN '4000' WHEN 'en' THEN '8000'
+                       WHEN 'es' THEN '4000' WHEN 'fr' THEN '4000'
+                       WHEN 'zh' THEN '1999' END
+       GROUP BY lang""",
+)
 def q_stratified_sample_langs(spark, sf_dir):
-    """Stratified training-mix sampling: ``sampleBy(lang)`` with
-    per-stratum fractions — seeded per-partition Bernoulli, no shuffle,
-    no collect, so it scales embarrassingly. Sampled values depend on
-    Spark's RNG, so no cross-engine oracle; pytest pins the per-stratum
-    rates instead."""
+    """Stratified training-mix sampling with a DETERMINISTIC
+    hash-threshold sampler: keep a doc iff its md5 16-bit bucket falls
+    under its language's fraction (packing.md5_stratified_keep). Same
+    map-only, shuffle-free scaling as ``sampleBy``, but membership is a
+    pure function of doc_id — rerunnable, stable under corpus growth,
+    and portable md5 makes the whole sample cross-engine
+    oracle-checkable (r3 advice: the sampleBy(seed) predecessor was the
+    last fixable no-oracle row)."""
     docs = _t(spark, sf_dir, "documents")
     frac = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.1}
-    sample = docs.sampleBy("lang", frac, seed=42)
-    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    keep = packing.md5_stratified_keep(F.col("doc_id"), F.col("lang"), frac)
+    return docs.filter(keep).groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
 @register(
     "props_map_stats",
     """SELECT k.key AS prop_key, COUNT(*) AS n,
-              SUM(CAST(json_extract(props, '$."' || k.key || '"') AS BIGINT)) AS total
+              CAST(SUM(TRY_CAST(json_extract_string(props, '$."' || k.key || '"')
+                                AS BIGINT)) AS BIGINT) AS total
        FROM events, LATERAL (SELECT unnest(json_keys(props)) AS key) k
        GROUP BY k.key""",
 )
 def q_props_map_stats(spark, sf_dir):
     """Map-type functions: parse the JSON props column into a
-    map<string,bigint>, explode its entries, and aggregate per key —
+    map<string,string>, explode its entries, and aggregate per key —
     the generic path for semi-structured payloads whose key set is not
     known at query time (vs. props_typed_extract, which pins a schema).
-    from_json + explode are codegen'd; no Python in the loop."""
+    from_json + explode are codegen'd; no Python in the loop.
+
+    Values parse as strings + try_cast so both engines agree on
+    non-integer values (NULL, dropped by SUM) instead of Spark nulling
+    vs DuckDB rounding; the oracle's outer CAST collapses DuckDB's
+    HUGEINT sum (float64 via pandas — r3's hash mismatch) to BIGINT."""
     ev = _t(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
+    m = F.from_json("props", "map<string,string>")
     return (
         ev.select(F.explode(m).alias("prop_key", "pval"))
         .groupBy("prop_key")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("pval").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pval").try_cast("bigint")).alias("total"),
+        )
     )
 
 
@@ -2717,10 +2738,8 @@ WITH d AS (
   FROM d WHERE next_us IS NOT NULL
 )
 SELECT user_id,
-       CASE WHEN SUM(dur_us) > 0 THEN
-         ROUND(CAST(SUM(weighted) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
-       END AS tw_avg_value,
-       SUM(dur_us) AS total_us
+       CAST(SUM(weighted) AS VARCHAR) AS tw_weighted_sum,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us
 FROM seg GROUP BY user_id
 """
 
@@ -2732,10 +2751,15 @@ def q_time_weighted_avg(spark, sf_dir):
     sampled (irregular series make plain avg() meaningless). Each
     segment's weight is its duration to the next event (lead window,
     one shuffle on user_id); the weighted sum runs value·µs as exact
-    DECIMAL so it is order-insensitive and engine-identical, with one
-    double division at the end — guarded for the all-duplicate-ts user
-    whose total duration is zero (ANSI division would throw; both
-    engines emit NULL instead)."""
+    DECIMAL so it is order-insensitive and engine-identical. The
+    compared output is the exact numerator serialized as a fixed-scale
+    decimal string plus the BIGINT denominator — r3's hash mismatch was
+    a final rounded double division, and even a bare decimal(38,6)→
+    double cast differs by one ulp between engines (Spark rounds the
+    BigDecimal correctly; DuckDB divides int128 by 10^6 in double
+    arithmetic), so the only portable exact form is the string. The
+    caller divides tw_weighted_sum/total_us for the average (guard
+    total_us=0: the all-duplicate-ts user has no segments)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.select(
@@ -2754,14 +2778,7 @@ def q_time_weighted_avg(spark, sf_dir):
         d.select("user_id", weighted.alias("weighted"), dur.alias("dur_us"))
         .groupBy("user_id")
         .agg(
-            F.when(
-                F.sum("dur_us") > 0,
-                F.round(
-                    F.sum("weighted").cast("double")
-                    / F.sum("dur_us").cast("double"),
-                    6,
-                ),
-            ).alias("tw_avg_value"),
+            F.sum("weighted").cast("string").alias("tw_weighted_sum"),
             F.sum("dur_us").alias("total_us"),
         )
     )

@@ -1,0 +1,114 @@
+"""Smoke checks for bench.py's driver-facing output protocol.
+
+Round 3's official bench artifact was a NameError traceback because an
+undefined helper survived to the bench run (BENCH_r03.json, rc=1).
+These tests statically verify every name bench.py references resolves,
+and pin _fit_line's 1900-char line contract against both synthetic and
+(when present) the previous round's real BENCH_FULL.json.
+"""
+
+import ast
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def test_no_unresolved_module_level_names():
+    """Every bare Name loaded anywhere in bench.py must be a builtin,
+    an import, or a module-level def/assign — catches the exact failure
+    class that produced round 3's rc=1 (calling an undefined helper)."""
+    import builtins
+
+    src = open(os.path.join(REPO, "bench.py")).read()
+    tree = ast.parse(src)
+    defined = set(dir(builtins)) | {"__file__", "__name__"}
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            for a in node.names:
+                defined.add((a.asname or a.name).split(".")[0])
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            defined.add(node.name)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            for t in targets:
+                for n in ast.walk(t):
+                    if isinstance(n, ast.Name):
+                        defined.add(n.id)
+        elif isinstance(node, (ast.For, ast.comprehension)):
+            for n in ast.walk(node.target):
+                if isinstance(n, ast.Name):
+                    defined.add(n.id)
+        elif isinstance(node, ast.arg):
+            defined.add(node.arg)
+        elif isinstance(node, ast.withitem) and node.optional_vars is not None:
+            for n in ast.walk(node.optional_vars):
+                if isinstance(n, ast.Name):
+                    defined.add(n.id)
+        elif isinstance(node, ast.ExceptHandler) and node.name:
+            defined.add(node.name)
+    loaded = {
+        n.id
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
+    }
+    missing = loaded - defined
+    assert not missing, f"bench.py references undefined names: {sorted(missing)}"
+
+
+def _check_line(result):
+    line = bench._fit_line(result)
+    s = json.dumps(line)
+    assert len(s) <= 1900, f"line is {len(s)} chars, over the 2000-char stdout tail"
+    parsed = json.loads(s)
+    assert parsed["metric"] == result["metric"]
+    assert parsed["value"] == result["value"]
+    # kept subset must be the slowest queries, values unaltered
+    for k, v in parsed["queries"].items():
+        assert result["queries"][k] == v
+    if len(parsed["queries"]) < len(result["queries"]):
+        assert "BENCH_FULL.json" in parsed["queries_truncated"]
+        kept_min = min(parsed["queries"].values(), default=0.0)
+        dropped = set(result["queries"]) - set(parsed["queries"])
+        assert all(result["queries"][d] <= kept_min for d in dropped)
+    return parsed
+
+
+def test_fit_line_synthetic_large():
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": 123.4,
+        "unit": "sec",
+        "queries": {f"query_with_a_fairly_long_name_{i:04d}": i / 7.0 for i in range(300)},
+        "sf": 0.1,
+        "n_queries": 300,
+        "cpus": 32,
+    }
+    parsed = _check_line(result)
+    assert 0 < len(parsed["queries"]) < 300
+
+
+def test_fit_line_small_fits_untruncated():
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"a": 0.5, "b": 0.5},
+        "sf": 0.001,
+        "n_queries": 2,
+        "cpus": 4,
+    }
+    parsed = _check_line(result)
+    assert parsed["queries"] == {"a": 0.5, "b": 0.5}
+    assert "queries_truncated" not in parsed
+
+
+def test_fit_line_previous_round_real_output():
+    path = os.path.join(REPO, "BENCH_FULL.json")
+    if not os.path.exists(path):
+        return
+    _check_line(json.load(open(path)))

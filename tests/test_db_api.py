@@ -165,6 +165,41 @@ def test_reopen_discovers_tables(spark, tmp_path):
     assert len(got.collect()) == 1
 
 
+def test_primary_keys_roundtrip_and_dedup_on_read(spark, tmp_path):
+    """pkg/db/types.go:10-13 TableOptions.PrimaryKeys: the reference
+    declares the option and drops it (db.go:92); here it persists across
+    reopen and ``query`` enforces last-write-wins per key tuple."""
+    path = str(tmp_path / "dbdata")
+    db1 = ChronoSpark(spark, path)
+    db1.create_table("metrics", ttl_seconds=None, primary_keys=["event_id"])
+    # two generations of event_id=1 (later overwrite spans flush) + one of 2
+    db1.insert("metrics", [_row(1, NOW), _row(2, NOW)], now=NOW)
+    db1.flush("metrics")
+    late = dict(_row(1, NOW + dt.timedelta(minutes=5)), value=99.0)
+    db1.insert("metrics", [late], now=NOW)
+    db1.close()
+
+    db2 = ChronoSpark(spark, path)
+    assert db2.primary_keys("metrics") == ["event_id"]
+    lo, hi = NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1)
+    rows = {r["event_id"]: r["value"] for r in db2.query("metrics", lo, hi).collect()}
+    assert rows == {1: 99.0, 2: 2.0}  # latest generation of 1 wins
+    raw = db2.query("metrics", lo, hi, enforce_primary_keys=False).collect()
+    assert len(raw) == 3  # the reference's multi-version scan, still reachable
+    db2.close()
+
+
+def test_primary_keys_default_none_keeps_duplicates(spark, tmp_path):
+    """Tables without primary_keys behave exactly as before: the scan
+    returns every inserted generation (reference behavior)."""
+    db = ChronoSpark(spark, str(tmp_path / "dbdata"))
+    db.create_table("metrics")
+    db.insert("metrics", [_row(1, NOW), _row(1, NOW)], now=NOW)
+    got = db.query("metrics", NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
+    assert len(got.collect()) == 2
+    db.close()
+
+
 def test_single_writer_lock(spark, tmp_path):
     """Reference CreateLock (utils/fileutils.go:242-256): a second opener
     of a live data dir must fail; close() releases; a stale lock from a

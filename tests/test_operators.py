@@ -160,17 +160,28 @@ def test_frame_sample_fanout(spark):
 
 
 def test_stratified_sample_rates(spark):
-    """sampleBy must hit each stratum at roughly its requested fraction
-    (seeded Bernoulli) and never emit a stratum outside the spec."""
+    """The deterministic md5-threshold sampler must hit each stratum at
+    roughly its requested fraction, never emit a stratum outside the
+    spec, and return the exact same membership on a rerun (the property
+    sampleBy's seeded Bernoulli lacks across partition layouts)."""
+    from chronobase_spark.functions import packing
+
     docs = catalog.table(spark, SF_SMOKE, "documents")
     frac = {"en": 0.5, "zh": 0.1}
-    got = docs.sampleBy("lang", frac, seed=42)
+    keep = packing.md5_stratified_keep(F.col("doc_id"), F.col("lang"), frac)
+    got = docs.filter(keep)
     totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     sampled = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(sampled) <= set(frac)
     for lang, f in frac.items():
         rate = sampled.get(lang, 0) / totals[lang]
         assert abs(rate - f) < 0.15, (lang, rate)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    again = sorted(
+        r["doc_id"]
+        for r in docs.repartition(7).filter(keep).select("doc_id").collect()
+    )
+    assert ids == again
 
 
 def test_latest_per_key_is_argmax(spark, events):

@@ -50,6 +50,5 @@ def test_rows_only_queries_are_documented_set():
         "simhash_near_pairs",
         "approx_distinct_users",
         "approx_value_percentiles",
-        "stratified_sample_langs",
         "sketch_rollup_users",
     }
