@@ -2899,6 +2899,126 @@ def q_quality_filter_funnel(spark, sf_dir):
     )
 
 
+_SPAN_W = 8
+
+_REPEATED_SPANS_SQL = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+                   '\\s+'),
+               t -> t <> '') AS toks
+    FROM documents
+), sp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ')) AS span_hash
+    FROM tk, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(toks) - {_SPAN_W - 1}, 0))) AS i
+    ) g
+)
+SELECT span_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM sp GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("repeated_spans", _REPEATED_SPANS_SQL)
+def q_repeated_spans(spark, sf_dir):
+    """Substring-level (span) dedup signal, the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring family re-expressed relationally: every 8-token rolling
+    span is hashed (portable md5, so fully oracle-checkable) and spans
+    occurring in ≥2 distinct documents surface with their doc- and
+    occurrence-counts — the candidate set a span-removal pass consumes.
+
+    Scale: each token starts at most one span, so the explode is
+    token-linear (~1× the corpus token count, no shingle blowup). The
+    distinct-doc count expands to two partial-agged exchanges — first
+    on (span_hash, doc_id), then on span_hash, both well-spread
+    128-bit-hash keys — and the ≥2-docs filter rides the final agg; no
+    joins anywhere. At 100 TB this is the candidate stage of the
+    ExactSubstr pipeline, with the suffix-array replaced by hash
+    aggregation that AQE can re-balance."""
+    docs = _t(spark, sf_dir, "documents")
+    # guard: Spark's sequence(1, n) is DESCENDING for n < 1 (would emit
+    # phantom spans for docs shorter than the window); DuckDB's
+    # generate_series is empty there, so gate explicitly.
+    spans = F.expr(
+        f"""CASE WHEN size(toks) >= {_SPAN_W}
+                 THEN transform(sequence(1, size(toks) - {_SPAN_W - 1}),
+                                i -> md5(array_join(slice(toks, i, {_SPAN_W}), ' ')))
+                 ELSE array() END"""
+    )
+    return (
+        docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(spans).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_SOURCE_MIX_SQL = """
+WITH per_source AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(
+               string_split_regex(
+                   trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+                   '\\s+'),
+               t -> t <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           COUNT(*) AS n_sources
+    FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE) / total_docs AS actual_frac,
+       (CAST(total_docs AS DOUBLE) / n_sources) / n_docs AS mix_weight
+FROM per_source, tot
+"""
+
+
+@register("source_mix_weights", _SOURCE_MIX_SQL)
+def q_source_mix_weights(spark, sf_dir):
+    """Training-mix rebalancing: per-source document and token counts,
+    the source's actual share of the corpus, and the resampling weight
+    that flattens it to a uniform target mix (weight = target_frac /
+    actual_frac) — the number a sampler multiplies per-doc keep
+    probabilities by when composing a corpus from skewed sources.
+
+    All arithmetic is exact-integer until two final IEEE double
+    divisions (int÷int is correctly rounded and engine-identical —
+    unlike decimal→double casts, see time_weighted_avg). Scale: one
+    partial-agged groupBy on source plus a broadcast of the single
+    global-totals row; token counting is the same map-side expression
+    as doc_token_stats."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(text.tokens(F.col("text")))).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("total_docs"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("total_docs")).alias("actual_frac"),
+        (
+            (F.col("total_docs").cast("double") / F.col("n_sources"))
+            / F.col("n_docs")
+        ).alias("mix_weight"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

@@ -87,6 +87,17 @@ def run(spark, factors: list[int]) -> list[dict]:
         timings["minhash_dedup"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        from chronobase_spark.dedup import simhash as sh
+
+        sh.simhash_near_pairs(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["simhash_pairs"] = time.perf_counter() - t0
+        # same replication caveat as minhash below: every doc is a
+        # factor-way exact duplicate, so within-clique candidate pairs
+        # grow ~quadratically with the factor — the slope overstates.
+
+        t0 = time.perf_counter()
         probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
         similarity.topk_cosine(probes, emb, k=10).write.format("noop").mode(
             "overwrite"
