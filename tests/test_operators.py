@@ -184,6 +184,20 @@ def test_stratified_sample_rates(spark):
     assert ids == again
 
 
+def test_stratified_sample_full_fraction_keeps_all(spark):
+    """frac >= 1.0 must keep every row of the stratum ('g' sentinel
+    sorts after all hex buckets; a naive 5-char '10000' threshold would
+    sort before 'ffff' and drop nearly everything)."""
+    from chronobase_spark.functions import packing
+
+    docs = catalog.table(spark, SF_SMOKE, "documents")
+    keep = packing.md5_stratified_keep(
+        F.col("doc_id"), F.col("lang"), {"en": 1.0}
+    )
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert docs.filter(keep).count() == n_en
+
+
 def test_latest_per_key_is_argmax(spark, events):
     """latest_per_key returns exactly one row per key, and it is the
     (ts, event_id)-max row of that key."""
