@@ -3117,35 +3117,46 @@ _QUALITY_TOPQ_SQL = """
 WITH scored AS (
     SELECT doc_id, lang,
            len(list_distinct(list_filter(string_split(trim(lower(text)), ' '),
-                                         x -> x <> ''))) AS n_distinct
+                                         x -> x <> ''))) AS score
     FROM documents
-), ranked AS (
-    SELECT lang, doc_id, n_distinct,
-           percent_rank() OVER (PARTITION BY lang
-                                ORDER BY n_distinct DESC, doc_id) AS pr
-    FROM scored
+), hist AS (
+    SELECT lang, score, COUNT(*) AS n FROM scored GROUP BY lang, score
+), cum AS (
+    SELECT lang, score, n,
+           CAST(SUM(n) OVER (PARTITION BY lang ORDER BY score DESC) AS BIGINT)
+               AS n_ge,
+           CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+    FROM hist
+), thresholds AS (
+    SELECT lang, MAX(score) AS thr
+    FROM cum WHERE n_ge * 2 >= total GROUP BY lang
 )
-SELECT lang,
+SELECT s.lang,
        COUNT(*) AS n_kept,
-       CAST(SUM(n_distinct) AS BIGINT) AS kept_distinct_sum,
-       MIN(n_distinct) AS kept_min_score
-FROM ranked WHERE pr <= 0.5 GROUP BY lang
+       CAST(SUM(s.score) AS BIGINT) AS kept_distinct_sum,
+       MIN(s.score) AS kept_min_score
+FROM scored s JOIN thresholds t ON s.lang = t.lang AND s.score >= t.thr
+GROUP BY s.lang
 """
 
 
 @register("quality_topq_filter", _QUALITY_TOPQ_SQL)
 def q_quality_topq_filter(spark, sf_dir):
-    """Dynamic quality thresholding: keep the top half of each
-    language's documents by lexical diversity (distinct-token count) —
-    the per-stratum percentile cut a curated training mix applies when
-    absolute quality thresholds don't transfer across languages.
-    Deterministic tie-break on doc_id makes the kept set — and so the
-    oracle hash — exact across engines; percent_rank is integer
-    arithmetic (rank-1)/(n-1), identical in both.
+    """Dynamic quality thresholding: keep each language's top half of
+    documents by lexical diversity (distinct-token count), ties at the
+    boundary score kept inclusively — the per-stratum percentile cut a
+    curated training mix applies when absolute quality thresholds don't
+    transfer across languages.
 
-    Scale: one window shuffle per language partition (languages are
-    few but large — AQE splits the skew), then a partial-agged rollup.
-    The score is a codegen'd expression; no Python."""
+    Scale: the naive formulation (percent_rank windowed over lang)
+    dies at 100 TB — a window partition is ATOMIC, so one dominant
+    language becomes one task sorting its whole corpus slice, and AQE
+    cannot split it. Instead the quantile is found on the per-(lang,
+    score) HISTOGRAM: one partial-agged groupBy shrinks the corpus to
+    |langs|·|score values| rows, the cumulative count and threshold
+    (largest score whose ≥-count covers half the stratum) are windowed
+    over that tiny table, and the threshold broadcast-joins back for a
+    map-side filter + rollup. All-integer arithmetic ⇒ exact oracle."""
     docs = _t(spark, sf_dir, "documents")
     n_distinct = F.size(
         F.array_distinct(
@@ -3155,16 +3166,38 @@ def q_quality_topq_filter(spark, sf_dir):
             )
         )
     )
-    w = Window.partitionBy("lang").orderBy(F.col("n_distinct").desc(), "doc_id")
+    scored = docs.select("lang", n_distinct.alias("score"))
+    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("n"))
+    w_ge = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "score",
+        F.sum("n").over(w_ge).alias("n_ge"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    thresholds = (
+        cum.filter(F.col("n_ge") * 2 >= F.col("total"))
+        .groupBy("lang")
+        .agg(F.max("score").alias("thr"))
+    )
+    s, t = scored.alias("s"), thresholds.alias("t")
     return (
-        docs.select("doc_id", "lang", n_distinct.alias("n_distinct"))
-        .withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") <= 0.5)
+        s.join(
+            F.broadcast(t),
+            (F.col("s.lang") == F.col("t.lang"))
+            & (F.col("s.score") >= F.col("t.thr")),
+        )
+        .select(F.col("s.lang").alias("lang"), F.col("s.score").alias("score"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.sum("n_distinct").alias("kept_distinct_sum"),
-            F.min("n_distinct").alias("kept_min_score"),
+            F.sum("score").alias("kept_distinct_sum"),
+            F.min("score").alias("kept_min_score"),
         )
     )
 

@@ -151,3 +151,44 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+# Queries allowed to plan a nested-loop join or a SinglePartition
+# exchange, each for a reviewed reason. Everything else in the registry
+# must plan neither — this is the registry-wide "no new scale-killers"
+# gate (the per-name tests above pin the positive properties; this
+# sweep catches a regression in ANY query, including future ones).
+_SCALE_FLAG_ALLOWLIST = {
+    # global-scalar aggregates: the SinglePartition exchange carries one
+    # map-side partial row per task, never the data
+    "funnel_stage_counts": {"single-partition"},
+    "orders_above_avg": {"single-partition"},  # scalar AVG subquery
+    "profile_columns": {"single-partition"},
+    "sketch_rollup_users": {"single-partition"},  # HLL union to one row
+    "table_stats": {"single-partition"},
+    # intended broadcasts of tiny sides (probes / centroids / totals)
+    "topk_cosine": {"bnlj"},  # brute-force baseline over ~3 probe rows
+    "ivf_assign_counts": {"bnlj"},  # |labels| centroid rows broadcast
+    "tfidf_top_terms": {"bnlj", "single-partition"},  # doc-count scalar
+    "source_mix_weights": {"bnlj", "single-partition"},  # 1-row totals
+}
+
+
+def test_registry_sweep_no_unreviewed_scale_flags(spark):
+    """Plan every registered query and assert no CartesianProduct,
+    BroadcastNestedLoopJoin, or SinglePartition exchange outside the
+    reviewed allowlist — and that the allowlist itself stays exact, so
+    an entry whose plan improves gets pruned rather than rotting."""
+    flagged: dict[str, set[str]] = {}
+    for name, fn in sorted(q.queries().items()):
+        plan = inspect._executed_plan(fn(spark, SF_SMOKE))
+        f = set()
+        if "CartesianProduct" in plan:
+            f.add("cartesian")
+        if "BroadcastNestedLoopJoin" in plan:
+            f.add("bnlj")
+        if "SinglePartition" in plan:
+            f.add("single-partition")
+        if f:
+            flagged[name] = f
+    assert flagged == _SCALE_FLAG_ALLOWLIST
