@@ -182,6 +182,20 @@ class ChronoSpark:
         self._require(name)
         return self._pkeys.get(name)
 
+    def get_table(self, name: str) -> dict:
+        """Reference GetTable (db.go:102-117) returns the live table
+        handle; the Spark-native analog is the table's configuration
+        and storage facts — callers read data through ``query`` (a
+        DataFrame IS the handle)."""
+        self._require(name)
+        return {
+            "name": name,
+            "ttl_seconds": self._ttl[name],
+            "primary_keys": self._pkeys.get(name),
+            "path": str(self.root / name),
+            "buffered_rows": len(self._memtable[name]),
+        }
+
     def list_tables(self) -> list[str]:
         return sorted(self._ttl)
 
@@ -264,13 +278,20 @@ class ChronoSpark:
         start: str | dt.datetime,
         end: str | dt.datetime,
         enforce_primary_keys: bool = True,
+        limit: int | None = None,
+        ascending: bool | None = None,
     ) -> DataFrame:
         """Inclusive time-range scan over buffer ∪ durable partitions —
         the reference's memtable ∪ tablets union scan with per-tablet
         pruning (table.go:132-161; pruning 146-149 = parquet stats).
         Tables created with ``primary_keys`` are deduplicated on read
         (pass ``enforce_primary_keys=False`` for the raw multi-version
-        scan, which is all the reference ever returns)."""
+        scan, which is all the reference ever returns). ``limit`` /
+        ``ascending`` complete the reference Query struct
+        (pkg/db/types.go:16-21): an ordered limit plans
+        TakeOrderedAndProject (per-partition heaps, no global sort);
+        ``ascending`` alone orders by (ts, key) like the in-tablet sort
+        rule (tablet.go:124-132)."""
         self._require(table)
         parts = []
         durable = self._durable(table, self._as_dt(start), self._as_dt(end))
@@ -289,6 +310,14 @@ class ChronoSpark:
         pkeys = self._pkeys.get(table)
         if enforce_primary_keys and pkeys:
             scan = self._enforce_primary_keys(scan, pkeys)
+        if limit is not None or ascending is not None:
+            key = next((c for c in scan.columns if c != "ts"), "ts")
+            scan = timeseries.scan_ordered(
+                scan,
+                key_col=key,
+                ascending=True if ascending is None else ascending,
+                limit=limit,
+            )
         return scan
 
     @staticmethod

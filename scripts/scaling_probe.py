@@ -98,6 +98,30 @@ def run(spark, factors: list[int]) -> list[dict]:
         # grow ~quadratically with the factor — the slope overstates.
 
         t0 = time.perf_counter()
+        from pyspark.sql import functions as _F
+
+        from chronobase_spark.functions import text as _text
+
+        spans = _F.expr(
+            """CASE WHEN size(toks) >= 8
+                    THEN transform(sequence(1, size(toks) - 7),
+                                   i -> md5(array_join(slice(toks, i, 8), ' ')))
+                    ELSE array() END"""
+        )
+        (
+            docs.select("doc_id", _text.tokens(_F.col("text")).alias("toks"))
+            .select("doc_id", _F.explode(spans).alias("span_hash"))
+            .groupBy("span_hash")
+            .agg(
+                _F.countDistinct("doc_id").alias("n_docs"),
+                _F.count(_F.lit(1)).alias("n_occ"),
+            )
+            .filter(_F.col("n_docs") >= 2)
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["repeated_spans"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
         probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
         similarity.topk_cosine(probes, emb, k=10).write.format("noop").mode(
             "overwrite"

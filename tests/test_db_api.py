@@ -189,6 +189,35 @@ def test_primary_keys_roundtrip_and_dedup_on_read(spark, tmp_path):
     db2.close()
 
 
+def test_query_limit_ascending(db):
+    """pkg/db/types.go:16-21 Query{Limit, Ascending}: ordered inclusive
+    scan with a row cap, descending returns the newest first."""
+    rows = [_row(i, NOW + dt.timedelta(seconds=i)) for i in range(10)]
+    db.create_table("metrics")
+    db.insert("metrics", rows, now=NOW)
+    lo, hi = NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1)
+    newest = db.query("metrics", lo, hi, limit=3, ascending=False).collect()
+    assert [r["event_id"] for r in newest] == [9, 8, 7]
+    oldest = db.query("metrics", lo, hi, limit=3).collect()
+    assert [r["event_id"] for r in oldest] == [0, 1, 2]
+    ordered = db.query("metrics", lo, hi, ascending=True).collect()
+    assert [r["event_id"] for r in ordered] == list(range(10))
+
+
+def test_get_table_returns_config(spark, tmp_path):
+    """db.go:102-117 GetTable: a handle for an existing table, an error
+    for a missing one."""
+    db = ChronoSpark(spark, str(tmp_path / "dbdata"))
+    db.create_table("metrics", ttl_seconds=60, primary_keys=["event_id"])
+    db.insert("metrics", [_row(1, NOW)], now=NOW)
+    t = db.get_table("metrics")
+    assert t["name"] == "metrics" and t["ttl_seconds"] == 60
+    assert t["primary_keys"] == ["event_id"] and t["buffered_rows"] == 1
+    with pytest.raises(TableNotFoundError):
+        db.get_table("nope")
+    db.close()
+
+
 def test_primary_keys_default_none_keeps_duplicates(spark, tmp_path):
     """Tables without primary_keys behave exactly as before: the scan
     returns every inserted generation (reference behavior)."""
