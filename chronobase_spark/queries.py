@@ -3202,6 +3202,31 @@ def q_quality_topq_filter(spark, sf_dir):
     )
 
 
+_BRAND_ABOVE_AVG_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE CAST(p_retailprice AS DECIMAL(12,2))
+      * (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+      > (SELECT SUM(CAST(p_retailprice AS DECIMAL(12,2)))
+         FROM part p2 WHERE p2.p_brand = p.p_brand)
+"""
+
+
+@register("sql_brand_above_avg", _BRAND_ABOVE_AVG_SQL)
+def q_sql_brand_above_avg(spark, sf_dir):
+    """The engine's SQL surface end-to-end: registers the corpus as
+    views and runs a correlated-scalar-subquery query VERBATIM through
+    ``spark.sql`` — Catalyst decorrelates both subqueries into one
+    brand-level aggregate joined back (no per-row re-execution, which
+    is how the same text scales to 100 TB). The above-average
+    comparison is cross-multiplied (price·count > sum) in exact
+    DECIMAL, so no division/rounding can differ between engines —
+    doubles summed in arbitrary partition order would flip boundary
+    rows."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_BRAND_ABOVE_AVG_SQL)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

@@ -309,3 +309,105 @@ def test_counter_rate_matches_bruteforce(spark, rows):
                 rate = inc / (s - ps) if s - ps > 0 else None
                 assert got[rid] == (inc, rate), f"rid {rid}: {got[rid]} != {(inc, rate)}"
             prev = (s, v)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    f_small=st.sampled_from([0.1, 0.25, 0.5]),
+    f_big=st.sampled_from([0.6, 0.8, 1.0]),
+)
+@SETTINGS
+def test_stratified_sampler_is_nested_and_matches_model(spark, ids, f_small, f_big):
+    """md5_stratified_keep must (a) equal the trivial Python model —
+    keep iff the first 4 md5 hex chars of str(id) sort below the
+    fraction's 4-hex threshold — and (b) be NESTED: every id kept at a
+    smaller fraction is also kept at a larger one (the property that
+    lets a pipeline down-sample a previously sampled corpus without
+    resampling churn; seeded Bernoulli has no such guarantee across
+    fractions)."""
+    import hashlib
+
+    from chronobase_spark.functions import packing
+
+    df = spark.createDataFrame([(i, "en") for i in ids], ["doc_id", "lang"])
+
+    def model(frac):
+        n = int(frac * 65536)
+        thr = "g" if n >= 65536 else format(n, "04x")
+        return {
+            i
+            for i in ids
+            if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr
+        }
+
+    got = {}
+    for frac in (f_small, f_big):
+        keep = packing.md5_stratified_keep(
+            F.col("doc_id"), F.col("lang"), {"en": frac}
+        )
+        got[frac] = {r["doc_id"] for r in df.filter(keep).collect()}
+        assert got[frac] == model(frac), frac
+    assert got[f_small] <= got[f_big]
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_repeated_spans_counts_match_bruteforce(spark, texts):
+    """The span explode must emit exactly max(0, n_tokens - W + 1) spans
+    per document, and the cross-document span aggregation must equal
+    the brute-force Python count over the same 8-token windows
+    (including the short-document guard: Spark's descending
+    sequence(1, n<1) must never leak phantom spans)."""
+    from collections import Counter, defaultdict
+
+    from chronobase_spark import queries as q
+
+    W = q._SPAN_W
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    spans_per_doc = defaultdict(set)
+    occ = Counter()
+    for i, toks in enumerate(texts):
+        for j in range(max(0, len(toks) - W + 1)):
+            span = " ".join(toks[j : j + W])
+            spans_per_doc[span].add(i)
+            occ[span] += 1
+    expect = {
+        (len(d), occ[s])
+        for s, d in spans_per_doc.items()
+        if len(d) >= 2
+    }
+
+    # same pipeline as the registered query, bound to our generated df
+    # (the registered callable is tied to the corpus tables)
+    from chronobase_spark.functions import text as text_fns
+
+    spans_expr = F.expr(
+        f"""CASE WHEN size(toks) >= {W}
+                 THEN transform(sequence(1, size(toks) - {W - 1}),
+                                i -> array_join(slice(toks, i, {W}), ' '))
+                 ELSE array() END"""
+    )
+    agg = (
+        df.select("doc_id", text_fns.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(spans_expr).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    )
+    assert {(r["n_docs"], r["n_occ"]) for r in agg} == expect
