@@ -53,10 +53,16 @@ def connected_components(
         .repartition("a")
         .persist()
     )
+    # Initialize labels at the ROUND-1 fixpoint state directly:
+    # label₀(v) = min({v} ∪ neighbors(v)) is exactly what one
+    # propagation round over labels=id computes, so folding it into the
+    # init is one aggregate over the (already partitioned) edge cache
+    # instead of a full join+agg round — measured ~1 s off dup_clusters
+    # at sf0.1, same fixpoint by induction.
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.select(F.col("a").alias("id"), F.least("a", "b").alias("label"))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
         .persist()
     )
     # Each round is ONE join + ONE aggregate: a node's new label is the
