@@ -112,3 +112,41 @@ def document_intake(
     first — rejected documents never enter the dedup state store."""
     gated = quality_gate(stream, text_col, min_tokens, max_stop_ratio)
     return content_dedup(gated, text_col, ts_col, watermark)
+
+
+def signature_stage(
+    stream: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Per-row MinHash signatures computed IN the stream — so documents
+    land in storage already carrying the signature column and the batch
+    LSH banding (dedup.minhash.lsh_candidates) never re-tokenizes the
+    corpus.
+
+    Stateless by construction: lane i = min over the row's shingles of
+    xxhash64(xxhash64(shingle), i), a pure higher-order-function fold
+    per document — no explode, no groupBy, no state store, so the
+    stream stays fully pipelined. This is the SAME value the batch
+    formulation produces (dedup.minhash.minhash_signature: explode +
+    num_perm min-agg lanes — exact-equality pinned in
+    tests/test_streaming.py), just arranged for the streaming
+    constraint. The batch engine keeps its explode+agg shape because
+    HOF lambdas are interpreted, not codegen'd (measured 5-20× slower
+    for a full-corpus pass, amortized fine per arriving row). Docs with
+    no shingles get a NULL signature (they cannot near-duplicate
+    anything)."""
+    from chronobase_spark.dedup.ngram import shingles as _shingles
+
+    sh = _shingles(F.col(text_col), n)
+    lanes = [
+        F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(F.xxhash64(g), F.lit(i)))
+        )
+        for i in range(num_perm)
+    ]
+    return stream.withColumn(
+        "minhash_sig",
+        F.when(F.size(sh) > 0, F.array(*lanes)),
+    )

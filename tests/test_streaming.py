@@ -595,3 +595,56 @@ def test_streaming_counter_rate_matches_batch(spark, tmp_path):
     }
     assert len(got) == len(want) == 600
     assert got == want
+
+
+def test_streaming_signature_stage_matches_batch_minhash(spark, tmp_path):
+    """The stateless per-row MinHash stage must emit BIT-IDENTICAL
+    signatures to the batch explode+agg formulation (same lane formula:
+    min over shingles of xxhash64(xxhash64(shingle), lane)), and docs
+    too short to shingle must carry NULL. Run through a real stream so
+    the stage is proven stateless (no watermark, no state store)."""
+    from chronobase_spark.dedup import minhash
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "sigsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    # one un-shingleable doc exercises the NULL branch
+    short = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit("too short")
+    )
+    base.union(short).repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "sig_sink")
+    q = (
+        docstream.signature_stage(
+            docstream.read_document_stream(spark, src), num_perm=16
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "sig_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+
+    got = {r["doc_id"]: r["minhash_sig"] for r in out.collect()}
+    assert got[999999] is None
+    batch = {
+        r["doc"]: r["sig"]
+        for r in minhash.minhash_signature(
+            spark.read.parquet(src), num_perm=16
+        ).collect()
+    }
+    # every shingleable doc: streaming signature == batch signature
+    assert set(batch) == set(k for k, v in got.items() if v is not None)
+    for doc, sig in batch.items():
+        assert got[doc] == sig, doc
