@@ -101,11 +101,14 @@ def _recorded_green() -> tuple[int, set[str]]:
 
 # Queries whose implementation changed materially after their latest
 # green driver row — front-run the rotation so the new code gets fresh
-# evidence next round (a recorded green for superseded code is stale).
-# Prune entries once re-graded.
+# evidence (a recorded green for superseded code is stale). Each entry
+# maps to the number of CORRECTNESS_r*.json files that existed when the
+# change shipped: once MORE files exist (the driver has graded a round
+# with the new code), the entry expires on its own.
 _FORCE_REGRADE = {
-    "stratified_sample_langs",  # r4: sampleBy -> md5-threshold, oracle added
-    "simhash_near_pairs",  # r4: persist dropped, filter-before-distinct
+    "stratified_sample_langs": 3,  # r4: sampleBy -> md5-threshold + oracle
+    "simhash_near_pairs": 3,  # r4: persist dropped, filter-before-distinct
+    "dup_clusters": 3,  # r4: CC round-1 folded into label init
 }
 
 # Families whose driver evidence matters most while slots are scarce
@@ -154,7 +157,10 @@ def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     rounds, green, failed = _recorded_evidence()
     prio = set(_GRADE_PRIORITY)
-    force = {n for n in _FORCE_REGRADE if n in green}
+    force = {
+        n for n, shipped_at in _FORCE_REGRADE.items()
+        if n in green and rounds <= shipped_at
+    }
     p_failed = [n for n in names if n in failed]
     p_force = [n for n in names if n in force]
     p_boost = [
