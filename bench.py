@@ -108,6 +108,15 @@ def _fit_line(result: dict, budget: int = 1900) -> dict:
     dict lives in BENCH_FULL.json (see module docstring).
     """
     line = dict(result)
+    # errors must survive truncation-by-the-driver too: keep the first
+    # few (sorted for determinism), count the rest. A breakage round is
+    # exactly when the printed line matters most.
+    errs = line.pop("errors", None)
+    if errs:
+        keep_errs = dict(sorted(errs.items())[:3])
+        if len(errs) > len(keep_errs):
+            keep_errs["..."] = f"{len(errs) - len(keep_errs)} more in BENCH_FULL.json"
+        line["errors"] = keep_errs
     full = line.pop("queries", {}) or {}
     line["queries"] = {}
     line["queries_truncated"] = (

@@ -112,3 +112,25 @@ def test_fit_line_previous_round_real_output():
     if not os.path.exists(path):
         return
     _check_line(json.load(open(path)))
+
+
+def test_fit_line_survives_large_error_dict():
+    """A breakage round (many errored queries with long messages) must
+    still fit the budget — errors are capped to a sorted few plus a
+    count, not dropped."""
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.1 for i in range(80)},
+        "errors": {f"query_{i:03d}": "SomeException: " + "x" * 180 for i in range(60)},
+        "sf": 0.1,
+        "n_queries": 80,
+        "cpus": 32,
+    }
+    line = bench._fit_line(result)
+    s = json.dumps(line)
+    assert len(s) <= 1900
+    parsed = json.loads(s)
+    assert len([k for k in parsed["errors"] if k != "..."]) == 3
+    assert "57 more" in parsed["errors"]["..."]
