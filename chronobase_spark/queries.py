@@ -47,15 +47,17 @@ def register(name: str, sql: str | None):
     return deco
 
 
-def _recorded_evidence() -> tuple[int, set[str], set[str]]:
+def _recorded_evidence() -> tuple[int, set[str], set[str], dict[str, int]]:
     """Scan the repo's recorded ``CORRECTNESS_r*.json`` files.
 
-    Returns ``(rounds_seen, green, failed)``: green = value-hash match
-    against the DuckDB oracle or a completed rows-only check for the
-    (documented) no-oracle queries; failed = attempted by the driver
-    and errored (regression candidates). A name that later turns green
-    leaves ``failed``. Tolerant of missing/corrupt files so a fresh
-    checkout degrades to plain registration order.
+    Returns ``(rounds_seen, green, failed, last_round)``: green =
+    value-hash match against the DuckDB oracle or a completed rows-only
+    check for the (documented) no-oracle queries; failed = attempted by
+    the driver and red (regression candidates); last_round[name] = the
+    1-based index of the newest file mentioning the name, used to
+    re-grade the STALEST green evidence first. A name that later turns
+    green leaves ``failed``. Tolerant of missing/corrupt files so a
+    fresh checkout degrades to plain registration order.
     """
     import glob
     import json
@@ -64,8 +66,9 @@ def _recorded_evidence() -> tuple[int, set[str], set[str]]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
     failed: set[str] = set()
+    last_round: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    for path in files:
+    for i, path in enumerate(files, start=1):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -74,6 +77,7 @@ def _recorded_evidence() -> tuple[int, set[str], set[str]]:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
+            last_round[name] = i
             if rec.get("hash_match") is True or (
                 rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
             ):
@@ -91,11 +95,11 @@ def _recorded_evidence() -> tuple[int, set[str], set[str]]:
                 # only err-type failures reached this bucket).
                 failed.add(name)
                 green.discard(name)
-    return len(files), green, failed
+    return len(files), green, failed, last_round
 
 
 def _recorded_green() -> tuple[int, set[str]]:
-    rounds, green, _ = _recorded_evidence()
+    rounds, green, _, _ = _recorded_evidence()
     return rounds, green
 
 
@@ -155,7 +159,7 @@ def _ordered_names() -> list[str]:
     complete, so nothing about pairing or semantics changes.
     """
     names = list(_REGISTRY)
-    rounds, green, failed = _recorded_evidence()
+    rounds, green, failed, last_round = _recorded_evidence()
     prio = set(_GRADE_PRIORITY)
     force = {
         n for n, shipped_at in _FORCE_REGRADE.items()
@@ -171,10 +175,14 @@ def _ordered_names() -> list[str]:
     p_rest = [
         n for n in names if n not in green and n not in failed and n not in prio
     ]
-    done = [n for n in names if n in green and n not in force]
-    if done:
-        k = (rounds * 13) % len(done)  # coprime-ish stride for coverage
-        done = done[k:] + done[:k]
+    # Stalest evidence first (stable on registration order within a
+    # round): with a 50-query window this bounds any green row's age to
+    # ceil(n/window) rounds — the blind stride rotation it replaces
+    # could re-grade fresh rows while r1 evidence aged indefinitely.
+    done = sorted(
+        (n for n in names if n in green and n not in force),
+        key=lambda n: last_round.get(n, 0),
+    )
     return p_failed + p_force + p_boost + p_rest + done
 
 
