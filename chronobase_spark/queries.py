@@ -3241,6 +3241,78 @@ def q_sql_brand_above_avg(spark, sf_dir):
     return spark.sql(_BRAND_ABOVE_AVG_SQL)
 
 
+_SEASONAL_OUTLIER_SQL = """
+WITH q AS (
+    SELECT event_type, hour(ts) AS hod,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.75) AS q3
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_type, hour(e.ts) AS hod,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MIN(q.q1 - 1.5 * (q.q3 - q.q1)) AS lo_fence,
+       MAX(q.q3 + 1.5 * (q.q3 - q.q1)) AS hi_fence
+FROM events e
+JOIN q ON e.event_type = q.event_type AND hour(e.ts) = q.hod
+GROUP BY 1, 2
+"""
+
+
+@register("seasonal_outlier_counts", _SEASONAL_OUTLIER_SQL)
+def q_seasonal_outlier_counts(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: Tukey fences per
+    (event_type, hour-of-day) stratum — the TSDB pattern where "normal"
+    depends on the time of day, so a global z-score (see
+    value_outliers_by_type) misfires on daily-cycled series. Exact
+    interpolated quartiles (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` produce bit-identical linear interpolation —
+    verified empirically) make the fences and counts hash-exact.
+
+    Scale: one partial-agged shuffle builds the |types|·24-row quantile
+    table (percentile's per-group state is the value multiset — bounded
+    per stratum here; at unbounded cardinality swap in approx_percentile
+    and drop the oracle); it broadcasts back for a map-side fence test +
+    rollup. No window over raw rows."""
+    ev = _t(spark, sf_dir, "events")
+    hod = F.hour("ts")
+    q = ev.groupBy("event_type", hod.alias("hod")).agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    e, qq = ev.alias("e"), q.alias("q")
+    return (
+        e.join(
+            F.broadcast(qq),
+            (F.col("e.event_type") == F.col("q.event_type"))
+            & (F.hour("e.ts") == F.col("q.hod")),
+        )
+        .select(
+            F.col("e.event_type").alias("event_type"),
+            F.hour("e.ts").alias("hod"),
+            F.col("e.value").alias("value"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.min("lo").alias("lo_fence"),
+            F.max("hi").alias("hi_fence"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —
