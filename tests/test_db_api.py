@@ -229,6 +229,30 @@ def test_primary_keys_default_none_keeps_duplicates(spark, tmp_path):
     db.close()
 
 
+def test_backup_restore_preserves_primary_keys(spark, tmp_path):
+    """db.go:353-419 backup/restore copies table metadata too — the
+    primary-key option must survive the round trip and keep enforcing
+    dedup-on-read in the restored database."""
+    src, bkp, dst = (str(tmp_path / d) for d in ("src", "bkp", "dst"))
+    db1 = ChronoSpark(spark, src)
+    db1.create_table("metrics", primary_keys=["event_id"])
+    db1.insert("metrics", [_row(1, NOW), _row(2, NOW)], now=NOW)
+    db1.flush("metrics")
+    late = dict(_row(1, NOW + dt.timedelta(minutes=1)), value=42.0)
+    db1.insert("metrics", [late], now=NOW)
+    db1.flush("metrics")
+    db1.backup(bkp)
+    db1.close()
+
+    db2 = ChronoSpark(spark, dst)
+    db2.restore(bkp)
+    assert db2.primary_keys("metrics") == ["event_id"]
+    lo, hi = NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1)
+    rows = {r["event_id"]: r["value"] for r in db2.query("metrics", lo, hi).collect()}
+    assert rows == {1: 42.0, 2: 2.0}
+    db2.close()
+
+
 def test_single_writer_lock(spark, tmp_path):
     """Reference CreateLock (utils/fileutils.go:242-256): a second opener
     of a live data dir must fail; close() releases; a stale lock from a
