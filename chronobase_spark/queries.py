@@ -3241,6 +3241,50 @@ def q_sql_brand_above_avg(spark, sf_dir):
     return spark.sql(_BRAND_ABOVE_AVG_SQL)
 
 
+_COUNTER_RESETS_SQL = """
+WITH x AS (
+    SELECT user_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_v IS NOT NULL AND value < prev_v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_deltas
+FROM x GROUP BY user_id
+"""
+
+
+@register("counter_resets", _COUNTER_RESETS_SQL)
+def q_counter_resets(spark, sf_dir):
+    """PromQL ``resets()`` per series: how many times the counter value
+    dropped between consecutive samples — the companion read to
+    counter_rate (a counter that resets often is restarting or being
+    scraped from multiple instances, and its rate() output is suspect).
+    Pure integer comparison on the same lag window counter_rate uses,
+    then a per-key rollup: one window shuffle on user_id reused by the
+    aggregation's partitioning, nothing engine-specific."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("prev_v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_v").isNotNull() & (F.col("value") < F.col("prev_v")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_resets"),
+            (F.count(F.lit(1)) - 1).alias("n_deltas"),
+        )
+    )
+
+
 _SEASONAL_OUTLIER_SQL = """
 WITH q AS (
     SELECT event_type, hour(ts) AS hod,
