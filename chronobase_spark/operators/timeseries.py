@@ -292,3 +292,163 @@ def latest_per_key(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_EWMA_CHAIN_STATE = "array<struct<seg:timestamp,yin:double,a_tot:double,b_end:double>>"
+
+
+def segmented_ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    bucket: str = "day",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key via associative
+    affine-segment composition — bounded state at every stage.
+
+    Each EWMA step is the affine map y -> (1-α)·y + α·v; affine maps
+    compose associatively, so per-key histories are segmented by a
+    calendar bucket of ``ts_col`` and each segment folds independently
+    to a zero-start prefix b_j (the segment's EWMA as if entered with
+    y = 0) and decay a_j = (1-α)^j. A second fold over the tiny
+    per-segment summary list (one row per bucket, never per event)
+    chains the entry value yin(k) = a_tot·yin(k-1) + b_end, and every
+    row's output is then one multiply-add ewma_j = a_j·yin + b_j.
+
+    Memory per task is one (key, bucket) group — pick ``bucket`` to
+    match per-key density at the target scale; no stage ever holds a
+    full history (the r1–r4 formulation collect_list'ed each key's
+    whole history into one executor array, the one scale-killer the
+    round-4 audit flagged).
+
+    With α = 0.5 every multiply is by a power of two (exact in IEEE
+    754 binary), so the result is a well-defined association of the
+    exact recurrence: an oracle that mirrors the same op DAG (zero-
+    start segment fold, boundary-chain multiply-add, final combine)
+    matches bit-for-bit on any engine with IEEE doubles. The first row
+    stays exact because yin(first segment) = v_1 and
+    0.5·v_1 + 0.5·v_1 = v_1.
+
+    Output: (key_col, tiebreak_col, ts_col, value_col, ewma), one row
+    per input row.
+    """
+    a = float(alpha)
+    ev = df.select(
+        key_col,
+        tiebreak_col,
+        ts_col,
+        value_col,
+        F.date_trunc(bucket, F.col(ts_col)).alias("_seg"),
+    )
+    seq = F.array_sort(
+        F.collect_list(F.struct(ts_col, tiebreak_col, value_col))
+    )
+    # Zero-start prefix fold within one bounded (key, bucket) segment:
+    # b_j = α v_j + (1-α) b_{j-1} (b_0 = 0), a_j = (1-α) a_{j-1} (a_0 = 1).
+    fold = F.aggregate(
+        F.col("_seq"),
+        F.struct(
+            F.array().cast("array<double>").alias("a"),
+            F.array().cast("array<double>").alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["a"],
+                F.array(
+                    F.when(
+                        F.size(acc["a"]) > 0,
+                        F.lit(1.0 - a) * F.element_at(acc["a"], -1),
+                    ).otherwise(F.lit(1.0 - a))
+                ),
+            ).alias("a"),
+            F.concat(
+                acc["b"],
+                F.array(
+                    F.when(
+                        F.size(acc["b"]) > 0,
+                        F.lit(a) * x[value_col]
+                        + F.lit(1.0 - a) * F.element_at(acc["b"], -1),
+                    ).otherwise(F.lit(a) * x[value_col])
+                ),
+            ).alias("b"),
+        ),
+    )
+    seg_df = (
+        ev.groupBy(key_col, "_seg")
+        .agg(seq.alias("_seq"))
+        .withColumn("_f", fold)
+        .select(
+            key_col,
+            "_seg",
+            "_seq",
+            F.col("_f.a").alias("_a"),
+            F.col("_f.b").alias("_b"),
+        )
+    )
+    summ = seg_df.select(
+        key_col,
+        "_seg",
+        F.element_at("_a", -1).alias("a_tot"),
+        F.element_at("_b", -1).alias("b_end"),
+        F.col("_seq")[0][value_col].alias("first_v"),
+    )
+    # Boundary chain over per-segment summaries — bounded at the number
+    # of buckets per key (e.g. calendar days), never event count.
+    segs = F.array_sort(
+        F.collect_list(F.struct("_seg", "a_tot", "b_end", "first_v"))
+    )
+    chain_fold = F.aggregate(
+        F.col("_segs"),
+        F.array().cast(_EWMA_CHAIN_STATE),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["_seg"].alias("seg"),
+                    F.when(
+                        F.size(acc) > 0,
+                        F.element_at(acc, -1)["a_tot"]
+                        * F.element_at(acc, -1)["yin"]
+                        + F.element_at(acc, -1)["b_end"],
+                    )
+                    .otherwise(s["first_v"])
+                    .alias("yin"),
+                    s["a_tot"].alias("a_tot"),
+                    s["b_end"].alias("b_end"),
+                )
+            ),
+        ),
+    )
+    chain = (
+        summ.groupBy(key_col)
+        .agg(segs.alias("_segs"))
+        .select(key_col, F.explode(chain_fold).alias("_c"))
+        .select(
+            key_col,
+            F.col("_c.seg").alias("_seg"),
+            F.col("_c.yin").alias("yin"),
+        )
+    )
+    return (
+        seg_df.join(chain, [key_col, "_seg"])
+        .select(
+            key_col,
+            F.explode(
+                F.transform(
+                    "_seq",
+                    lambda s, i: F.struct(
+                        s[tiebreak_col].alias(tiebreak_col),
+                        s[ts_col].alias(ts_col),
+                        s[value_col].alias(value_col),
+                        (
+                            F.get("_a", i) * F.col("yin") + F.get("_b", i)
+                        ).alias("ewma"),
+                    ),
+                )
+            ).alias("_r"),
+        )
+        .select(key_col, "_r.*")
+    )

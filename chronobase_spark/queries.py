@@ -107,12 +107,13 @@ def _recorded_green() -> tuple[int, set[str]]:
 # green driver row — front-run the rotation so the new code gets fresh
 # evidence (a recorded green for superseded code is stale). Each entry
 # maps to the number of CORRECTNESS_r*.json files that existed when the
-# change shipped: once MORE files exist (the driver has graded a round
-# with the new code), the entry expires on its own.
+# change shipped; it expires only once the NAME APPEARS in a newer file
+# (the driver actually re-graded the new code), not merely once more
+# rounds exist — a crashed or shrunken grading round must not silently
+# drop a pending re-grade (r4 advisor note).
 _FORCE_REGRADE = {
-    "stratified_sample_langs": 3,  # r4: sampleBy -> md5-threshold + oracle
-    "simhash_near_pairs": 3,  # r4: persist dropped, filter-before-distinct
-    "dup_clusters": 3,  # r4: CC round-1 folded into label init
+    "ewma_user_value": 4,  # r5: collect-fold -> affine-segment composition
+    "multimodal_decode_features": 4,  # r5: stub decode -> real PPM decoder
 }
 
 # Families whose driver evidence matters most while slots are scarce
@@ -163,7 +164,7 @@ def _ordered_names() -> list[str]:
     prio = set(_GRADE_PRIORITY)
     force = {
         n for n, shipped_at in _FORCE_REGRADE.items()
-        if n in green and rounds <= shipped_at
+        if n in green and last_round.get(n, 0) <= shipped_at
     }
     p_failed = [n for n in names if n in failed]
     p_force = [n for n in names if n in force]
@@ -2644,18 +2645,36 @@ def q_ohlc_hourly(spark, sf_dir):
 _EWMA_SQL = """
 WITH RECURSIVE o AS (
   SELECT user_id, event_id, ts, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         DATE_TRUNC('day', ts) AS seg,
+         ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('day', ts)
+                            ORDER BY ts, event_id) AS rn
   FROM events
-), r AS (
-  SELECT user_id, event_id, ts, value, rn, value AS ewma FROM o WHERE rn = 1
+), pre AS (
+  SELECT user_id, seg, rn, event_id, ts, value,
+         0.5 * value AS bj, CAST(0.5 AS DOUBLE) AS aj
+  FROM o WHERE rn = 1
   UNION ALL
-  SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
-         0.5 * o.value + 0.5 * r.ewma
-  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+  SELECT o.user_id, o.seg, o.rn, o.event_id, o.ts, o.value,
+         0.5 * o.value + 0.5 * pre.bj, 0.5 * pre.aj
+  FROM o JOIN pre ON o.user_id = pre.user_id AND o.seg = pre.seg
+                 AND o.rn = pre.rn + 1
+), summ AS (
+  SELECT user_id, seg,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seg) AS k,
+         ARG_MAX(aj, rn) AS a_tot,
+         ARG_MAX(bj, rn) AS b_end,
+         ARG_MIN(value, rn) AS first_v
+  FROM pre GROUP BY user_id, seg
+), chain AS (
+  SELECT user_id, seg, k, first_v AS yin, a_tot, b_end
+  FROM summ WHERE k = 1
+  UNION ALL
+  SELECT s.user_id, s.seg, s.k, c.a_tot * c.yin + c.b_end, s.a_tot, s.b_end
+  FROM summ s JOIN chain c ON s.user_id = c.user_id AND s.k = c.k + 1
 )
-SELECT user_id, event_id, ts, value, ewma FROM r
+SELECT p.user_id, p.event_id, p.ts, p.value, p.aj * c.yin + p.bj AS ewma
+FROM pre p JOIN chain c ON p.user_id = c.user_id AND p.seg = c.seg
 """
-
 
 @register("ewma_user_value", _EWMA_SQL)
 def q_ewma_user_value(spark, sf_dir):
@@ -2664,48 +2683,33 @@ def q_ewma_user_value(spark, sf_dir):
     express (each output depends on the previous OUTPUT, not a frame of
     inputs).
 
-    Spark shape: group-collect each user's history sorted by
-    (ts, event_id), run the recurrence as one sequential ``aggregate``
-    fold per user, zip the smoothed array back against the inputs and
-    explode — sequential where the math is sequential, parallel across
-    users (the only distribution an order-dependent recurrence admits).
-    Each user's history must fit an executor; at 100 TB you'd segment
-    histories by time window and carry the boundary EWMA forward.
+    Spark shape — associative affine-segment composition, bounded state
+    everywhere (replaces the r1–r4 full-history collect_list fold):
+    each EWMA step is the affine map y → 0.5·y + 0.5·v, and affine maps
+    compose associatively, so per-user histories are segmented by
+    calendar day and each segment folds INDEPENDENTLY to a zero-start
+    prefix (b_j = EWMA of the segment as if entered with y=0) plus the
+    exact power-of-two decay a_j = 2^-j. A per-user fold over the tiny
+    per-segment summary list (≤ #days rows, not #events) chains the
+    boundary value yin(k) = a_tot·yin(k-1) + b_end, and every row's
+    output is one multiply-add: ewma_j = a_j·yin + b_j. Memory per task
+    is one (user, day) group — at 100 TB you pick the bucket width to
+    match per-key density; no state ever holds a full history.
 
-    α = 0.5 makes every step (halving + add) exact in binary floating
-    point, so the DuckDB recursive-CTE oracle (same recurrence, rn
-    order) matches bit-for-bit — the output is deliberately UNrounded:
-    rounding would break the match, because the exact recurrence often
-    lands precisely on a 5e-7 boundary where Spark (half-up) and DuckDB
-    (half-even) round apart."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
-    g = ev.groupBy("user_id").agg(seq.alias("_seq"))
-    ew = F.aggregate(
-        F.col("_seq"),
-        F.array().cast("array<double>"),
-        lambda acc, x: F.concat(
-            acc,
-            F.array(
-                F.when(
-                    F.size(acc) > 0,
-                    F.lit(0.5) * x["value"] + F.lit(0.5) * F.element_at(acc, -1),
-                ).otherwise(x["value"])
-            ),
-        ),
-    )
-    zipped = F.zip_with(
-        F.col("_seq"),
-        ew,
-        lambda s, e: F.struct(
-            s["event_id"].alias("event_id"),
-            s["ts"].alias("ts"),
-            s["value"].alias("value"),
-            e.alias("ewma"),
-        ),
-    )
-    return g.select("user_id", F.explode(zipped).alias("_r")).select(
-        "user_id", "_r.*"
+    Bit-exactness is BY CONSTRUCTION, not luck: the DuckDB oracle
+    mirrors the identical op DAG (same zero-start fold, same
+    boundary-chain multiply-add, same final combine), every multiply is
+    by a power of two (exact in IEEE 754), and each addition appears at
+    the same point in both engines, so both round identically. The
+    first row stays exact too: yin(first segment) = v_1 gives
+    0.5·v_1 + 0.5·v_1 = v_1. In exact arithmetic this equals the plain
+    sequential recurrence; in floats it is the same well-defined
+    segmented association on both sides (a plain-sequential oracle
+    would differ by final-ulp rounding placement, so the oracle states
+    the segmented DAG explicitly). Full mechanics + scale notes:
+    operators.timeseries.segmented_ewma."""
+    return timeseries.segmented_ewma(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     )
 
 

@@ -155,13 +155,55 @@ def test_gap_fill_locf_matches_bruteforce(spark, rows):
     assert got == want
 
 
+def _segmented_ewma_model(rows):
+    """Pure-Python replica of segmented_ewma's exact FP op DAG
+    (bucket = minute, α = 0.5): zero-start prefix fold per segment,
+    boundary chain of multiply-adds, final a_j·yin + b_j per row.
+    Python floats are IEEE doubles, so agreement must be bit-exact."""
+    by_key: dict[int, list[tuple[dt.datetime, int, float]]] = {}
+    for i, (k, s, v) in enumerate(rows):
+        by_key.setdefault(k, []).append(
+            (BASE + dt.timedelta(seconds=s), i, float(v))
+        )
+    out: dict[int, float] = {}
+    for recs in by_key.values():
+        recs.sort()
+        segs: list[tuple[list[float], list[float], list[tuple]]] = []
+        cur_seg = None
+        for ts, eid, v in recs:
+            seg = ts.replace(second=0, microsecond=0)
+            if seg != cur_seg:
+                segs.append(([], [], []))
+                cur_seg = seg
+            a, b, rows_in = segs[-1]
+            a.append(0.5 * a[-1] if a else 0.5)
+            b.append(0.5 * v + 0.5 * b[-1] if b else 0.5 * v)
+            rows_in.append((ts, eid, v))
+        yin = None
+        for idx, (a, b, rows_in) in enumerate(segs):
+            if idx == 0:
+                yin = rows_in[0][2]
+            else:
+                pa, pb = segs[idx - 1][0][-1], segs[idx - 1][1][-1]
+                yin = pa * yin + pb
+            for j, (_, eid, _) in enumerate(rows_in):
+                out[eid] = a[j] * yin + b[j]
+    return out
+
+
 @given(rows=rows_strategy)
 @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_ewma_matches_pandas(spark, rows):
-    """The collect-fold-explode EWMA recurrence must agree with pandas'
-    ewm(alpha=0.5, adjust=False) — an independent reference
-    implementation of the same recurrence — on arbitrary inputs
-    including duplicate timestamps (tie-broken by event_id)."""
+def test_ewma_matches_model_and_pandas(spark, rows):
+    """segmented_ewma must (1) agree BIT-EXACTLY with a pure-Python
+    replica of its documented affine-segment op DAG — pinning the
+    determinism the DuckDB oracle relies on — and (2) agree with
+    pandas' ewm(alpha=0.5, adjust=False) sequential recurrence to
+    float tolerance (the segmented association differs from the pure
+    sequential one only in rounding placement). Minute buckets ensure
+    the 0–400 s offsets actually span multiple segments, exercising
+    the boundary chain."""
+    import math
+
     import pandas as pd
 
     if not rows:
@@ -173,30 +215,15 @@ def test_ewma_matches_pandas(spark, rows):
         ],
         "event_id long, user_id long, ts timestamp, value double",
     )
-    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
-    g = df.groupBy("user_id").agg(seq.alias("_seq"))
-    ew = F.aggregate(
-        F.col("_seq"),
-        F.array().cast("array<double>"),
-        lambda acc, x: F.concat(
-            acc,
-            F.array(
-                F.when(
-                    F.size(acc) > 0,
-                    F.lit(0.5) * x["value"] + F.lit(0.5) * F.element_at(acc, -1),
-                ).otherwise(x["value"])
-            ),
-        ),
-    )
-    zipped = F.zip_with(
-        F.col("_seq"),
-        ew,
-        lambda s, e: F.struct(s["event_id"].alias("event_id"), e.alias("ewma")),
-    )
     got = {
         r["event_id"]: r["ewma"]
-        for r in g.select(F.explode(zipped).alias("_r")).select("_r.*").collect()
+        for r in timeseries.segmented_ewma(df, bucket="minute").collect()
     }
+
+    model = _segmented_ewma_model(rows)
+    assert set(got) == set(model)
+    for eid in got:
+        assert got[eid] == model[eid], (eid, got[eid], model[eid])
 
     pdf = pd.DataFrame(
         [
@@ -209,9 +236,10 @@ def test_ewma_matches_pandas(spark, rows):
         ew_vals = grp["value"].ewm(alpha=0.5, adjust=False).mean()
         for eid, val in zip(grp["event_id"], ew_vals):
             expected[eid] = val
-    assert set(got) == set(expected)
     for eid in got:
-        assert got[eid] == expected[eid], (eid, got[eid], expected[eid])
+        assert math.isclose(got[eid], expected[eid], rel_tol=1e-9, abs_tol=1e-9), (
+            eid, got[eid], expected[eid],
+        )
 
 
 @given(rows=rows_strategy)
