@@ -8,10 +8,13 @@ internal/storage/row.go:9) — lifted to a typed Spark schema:
     payload: binary, meta: struct<media_type, n_bytes, ...>
 
 The Spark-side plumbing (schema, partition-preserving mapInPandas,
-Arrow batch shape) is real and tested; the actual codec step is stubbed
-behind ``decode_stub`` because image/audio libraries are not available
-in this environment — swap `_decode_bytes` for a real decoder (PIL /
-torchaudio / pyav) in production. Per-batch vectorized processing via
+Arrow batch shape) is real and tested, and so is the image decode:
+``decode_ppm`` parses binary PPM (P6) payloads with a pure-Python
+header tokenizer + numpy raster math and emits real pixel statistics.
+Compressed codecs (JPEG / PCM audio / video containers) would slot in
+at the same ``_decode_bytes`` boundary but their libraries are not in
+this container, so ``decode_stub`` keeps that path exercisable with
+deterministic byte math. Per-batch vectorized processing via
 mapInPandas keeps the hot path Arrow-batched, never row-at-a-time.
 """
 
@@ -19,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,10 +61,11 @@ def to_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
 
 def _decode_bytes(buf: bytes) -> dict:
-    """STUB decode. A real implementation would parse the container
-    (image header / audio frames) here; this deterministic fake derives
-    the same feature shape from the raw bytes so the pipeline is fully
-    exercisable without codec libraries."""
+    """Deterministic byte-math 'decode' for payloads whose real codec
+    (JPEG / PCM / video) is not present in this container — the real
+    decoder slots in at exactly this boundary (see ``_decode_ppm_bytes``
+    for the PPM one that IS real). Derives the same feature shape from
+    the raw bytes so the pipeline stays fully exercisable."""
     n = len(buf)
     checksum = 0
     for b in buf[:128]:
@@ -91,6 +96,125 @@ def decode_stub(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+PPM_WIDTH = 16  # fixture image width (pixels); 48 payload bytes per row
+
+PPM_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+    ]
+)
+
+
+def to_ppm_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = PPM_WIDTH
+) -> DataFrame:
+    """Encode each document as a REAL binary PPM (P6) image whose raster
+    is the document's bytes, zero-padded to ``width`` × height × 3 —
+    built entirely JVM-side (encode/concat/repeat, no Python). The
+    payload is a spec-valid netpbm file any external PPM reader can
+    open; height varies per document, exercising real header parsing
+    downstream instead of fixed-shape assumptions."""
+    data = F.encode(F.col(text_col), "UTF-8")
+    n = F.length(data)
+    h = F.greatest(F.ceil(n / F.lit(float(width * 3))).cast("int"), F.lit(1))
+    pad = (h * width * 3 - n).cast("int")
+    header = F.concat(
+        F.lit(f"P6\n{width} "), h.cast("string"), F.lit("\n255\n")
+    )
+    payload = F.concat(
+        F.encode(header, "UTF-8"),
+        data,
+        F.encode(F.repeat(F.lit("\x00"), pad), "UTF-8"),
+    )
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("media_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _parse_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary PPM (P6) header per the netpbm spec — magic, then
+    three whitespace-separated decimal tokens (width, height, maxval)
+    with ``#``-to-EOL comments allowed between tokens, then exactly one
+    whitespace byte before the raster. Returns (width, height, maxval,
+    raster)."""
+    if buf[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {buf[:2]!r})")
+    vals: list[int] = []
+    idx = 2
+    while len(vals) < 3:
+        while idx < len(buf) and buf[idx : idx + 1].isspace():
+            idx += 1
+        if buf[idx : idx + 1] == b"#":
+            while idx < len(buf) and buf[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < len(buf) and not buf[idx : idx + 1].isspace():
+            idx += 1
+        if idx == start:
+            raise ValueError("truncated PPM header")
+        vals.append(int(buf[start:idx]))
+    idx += 1  # the single whitespace byte that terminates the header
+    w, h, maxval = vals
+    raster = buf[idx : idx + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError(f"raster short: want {w * h * 3}, have {len(raster)}")
+    return w, h, maxval, raster
+
+
+def _decode_ppm_bytes(buf: bytes) -> dict:
+    """Real image decode: PPM header parse + numpy channel statistics.
+    Channel SUMS (not means) keep the features integer-exact, so the
+    SQL oracle can reproduce them without float-rounding hazards."""
+    w, h, _maxval, raster = _parse_ppm(buf)
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+    sums = px.sum(axis=0, dtype=np.int64)
+    return {
+        "width": w,
+        "height": h,
+        "r_sum": int(sums[0]),
+        "g_sum": int(sums[1]),
+        "b_sum": int(sums[2]),
+    }
+
+
+def decode_ppm(payloads: DataFrame) -> DataFrame:
+    """Vectorized REAL image decode over payload batches via
+    mapInPandas — Arrow-batched, partition-preserving (no shuffle). At
+    100 TB of media the payload bytes never leave the executor that
+    read them; only the fixed-width feature rows flow on."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_ppm_bytes(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "r_sum": [f["r_sum"] for f in feats],
+                    "g_sum": [f["g_sum"] for f in feats],
+                    "b_sum": [f["b_sum"] for f in feats],
+                }
+            )
+
+    return payloads.mapInPandas(extract, PPM_FEATURE_SCHEMA)
 
 
 def frame_sample(payloads: DataFrame, every_n_bytes: int = 100) -> DataFrame:

@@ -1472,29 +1472,41 @@ def q_multimodal_payload_meta(spark, sf_dir):
 
 @register(
     "multimodal_decode_features",
-    """SELECT doc_id,
-              'application/octet-stream' AS media_type,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames,
-              list_reduce(
-                list_prepend(CAST(0 AS BIGINT),
-                  list_transform(generate_series(1, least(length(text), 128)),
-                                 i -> CAST(ascii(text[i]) AS BIGINT))),
-                (acc, c) -> (acc * 31 + c) % 2147483647) AS checksum
-       FROM documents""",
+    """WITH d AS (
+         SELECT doc_id, text,
+                octet_length(encode(text)) AS n,
+                GREATEST(CAST(CEIL(octet_length(encode(text)) / 48.0) AS INT), 1) AS h
+         FROM documents
+       )
+       SELECT doc_id,
+              'image/x-portable-pixmap' AS media_type,
+              CAST(11 + length(CAST(h AS VARCHAR)) + h * 48 AS BIGINT) AS n_bytes,
+              CAST(16 AS INT) AS width,
+              CAST(h AS INT) AS height,
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, n),
+                     i -> CASE WHEN (i - 1) % 3 = 0 THEN ascii(text[i]) ELSE 0 END)), 0) AS BIGINT) AS r_sum,
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, n),
+                     i -> CASE WHEN (i - 1) % 3 = 1 THEN ascii(text[i]) ELSE 0 END)), 0) AS BIGINT) AS g_sum,
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, n),
+                     i -> CASE WHEN (i - 1) % 3 = 2 THEN ascii(text[i]) ELSE 0 END)), 0) AS BIGINT) AS b_sum
+       FROM d""",
 )
 def q_multimodal_decode_features(spark, sf_dir):
-    """The multimodal decode path END-TO-END: wrap text as an opaque
-    binary payload (reference Row.Data analog, row.go:9), run the
-    Arrow-batched mapInPandas 'decoder' (functions.multimodal.decode_stub
-    — deterministic byte math standing in for the codec), emit typed
-    features. The stub's checksum is a plain polynomial fold over the
-    first 128 payload bytes, so even this UDF path gets a full SQL
-    oracle. (Corpus text is ASCII, so ascii(char) == byte value.)"""
+    """The multimodal decode path END-TO-END with a REAL image decoder:
+    each document becomes a spec-valid binary PPM (P6) file built
+    JVM-side (raster = document bytes zero-padded to 16×h×3), and the
+    Arrow-batched mapInPandas decoder parses the netpbm header
+    (whitespace/comment tokenizer) and computes numpy channel
+    statistics over the raster — real pixels, no codec stub
+    (functions.multimodal.decode_ppm). Channel SUMS keep the features
+    integer-exact, so the oracle reproduces them from the text bytes:
+    byte i (ASCII corpus ⇒ ascii(char) == byte) lands in channel
+    (i-1) mod 3, padding contributes zero. The reference carries media
+    as an opaque Row.Data []byte (row.go:9) and can do none of this."""
     from chronobase_spark.functions import multimodal
 
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.decode_stub(multimodal.to_payload(docs))
+    return multimodal.decode_ppm(multimodal.to_ppm_payload(docs))
 
 
 @register(

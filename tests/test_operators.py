@@ -150,6 +150,47 @@ def test_multimodal_decode_stub_pipeline(spark):
     assert {r["doc_id"]: r["checksum"] for r in rows} == again
 
 
+def test_ppm_parser_known_pixels():
+    """_parse_ppm / _decode_ppm_bytes against a hand-written 2×2 P6
+    file with known pixel values — including a header comment and a
+    multi-digit maxval, the spec corners a fixed-offset reader gets
+    wrong."""
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    buf = b"P6\n# fixture comment\n2 2\n255\n" + raster
+    w, h, maxval, got = multimodal._parse_ppm(buf)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert got == raster
+    feats = multimodal._decode_ppm_bytes(buf)
+    assert feats == {
+        "width": 2,
+        "height": 2,
+        "r_sum": 255 + 0 + 0 + 10,
+        "g_sum": 0 + 255 + 0 + 20,
+        "b_sum": 0 + 0 + 255 + 30,
+    }
+
+
+def test_ppm_roundtrip_real_decode(spark):
+    """to_ppm_payload builds spec-valid P6 files JVM-side; decode_ppm
+    recovers the exact bytes: channel sums must equal a pure-Python
+    fold over each document's UTF-8 bytes (padding is zero)."""
+    docs = catalog.table(spark, SF_SMOKE, "documents").limit(25)
+    payloads = multimodal.to_ppm_payload(docs)
+    # every payload is independently parseable by the strict parser
+    for r in payloads.collect():
+        w, h, maxval, raster = multimodal._parse_ppm(bytes(r["payload"]))
+        assert (w, maxval) == (16, 255) and len(raster) == 48 * h
+        assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
+    got = {r["doc_id"]: r for r in multimodal.decode_ppm(payloads).collect()}
+    for doc in docs.select("doc_id", "text").collect():
+        b = doc["text"].encode("utf-8")
+        want = [sum(b[c::3]) for c in range(3)]
+        row = got[doc["doc_id"]]
+        assert [row["r_sum"], row["g_sum"], row["b_sum"]] == want
+        assert row["height"] == max(-(-len(b) // 48), 1)
+        assert row["media_type"] == "image/x-portable-pixmap"
+
+
 def test_frame_sample_fanout(spark):
     docs = catalog.table(spark, SF_SMOKE, "documents").limit(10)
     payloads = multimodal.to_payload(docs)
