@@ -311,7 +311,15 @@ class ChronoSpark:
         if enforce_primary_keys and pkeys:
             scan = self._enforce_primary_keys(scan, pkeys)
         if limit is not None or ascending is not None:
-            key = next((c for c in scan.columns if c != "ts"), "ts")
+            # (ts, key) tie-break: prefer declared primary-key metadata;
+            # fall back to first non-ts column only for tables that
+            # never declared keys (schema-position guessing is
+            # column-order-sensitive, so it is the fallback, not the
+            # rule — r4 advisor note).
+            key = next(
+                (c for c in (pkeys or []) if c != "ts"),
+                next((c for c in scan.columns if c != "ts"), "ts"),
+            )
             scan = timeseries.scan_ordered(
                 scan,
                 key_col=key,
@@ -326,11 +334,20 @@ class ChronoSpark:
 
         When the table has a ``ts`` column outside the key, the survivor
         is the LATEST row per key (row_number over ts desc — one window
-        shuffle on the key, deterministic; AQE splits skewed keys).
+        shuffle on the key; AQE splits skewed keys). Two generations of
+        a key sharing the same ts are tie-broken by every remaining
+        column descending — a total order over full rows, so the
+        survivor is identical across runs and partition layouts (ts
+        alone left the survivor to scan order — r4 advisor note).
         Otherwise plain ``dropDuplicates`` — identical duplicate rows,
         any survivor is canonical."""
         if "ts" in df.columns and "ts" not in pkeys:
-            w = Window.partitionBy(*pkeys).orderBy(F.col("ts").desc())
+            tiebreak = [
+                F.col(c).desc()
+                for c in df.columns
+                if c not in pkeys and c != "ts"
+            ]
+            w = Window.partitionBy(*pkeys).orderBy(F.col("ts").desc(), *tiebreak)
             return (
                 df.withColumn("_pk_rn", F.row_number().over(w))
                 .filter(F.col("_pk_rn") == 1)

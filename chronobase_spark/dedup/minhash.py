@@ -87,7 +87,27 @@ def lsh_candidates(
     key would widen the shuffle and block codegen'd hashing at scale).
     A band-hash collision only creates a spurious candidate, which the
     exact-Jaccard verify stage removes.
-    """
+
+    Signatures MUST carry exactly ``bands × rows_per_band`` lanes: a
+    shorter array would make every band past its end slice [] and hash
+    identically, silently degenerating the band join toward all-pairs
+    (scale death, not a wrong answer — the Jaccard verify would still
+    filter). The lane count is checked per row and raises instead.
+    NULL signatures (docs with no shingles, e.g. from the streaming
+    signature_stage) are dropped up front: xxhash64 hashes a NULL
+    input to the SEED, not to NULL, so leaving them in would band
+    every sig-less doc into one giant all-pairs bucket."""
+    signatures = signatures.filter(F.col("sig").isNotNull())
+    lanes_ok = F.size("sig") == F.lit(bands * rows_per_band)
+    lanes_err = F.concat(
+        F.lit("lsh_candidates: signature has "),
+        F.size("sig").cast("string"),
+        F.lit(
+            f" lanes, expected {bands * rows_per_band} "
+            "(bands*rows_per_band) — align num_perm in "
+            "minhash_signature/signature_stage with the banding scheme"
+        ),
+    )
     banded = signatures.select(
         "doc",
         F.explode(
@@ -95,9 +115,14 @@ def lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_val"),
+                    F.when(
+                        lanes_ok,
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ),
+                    )
+                    .otherwise(F.raise_error(lanes_err))
+                    .alias("band_val"),
                 ),
             )
         ).alias("band"),

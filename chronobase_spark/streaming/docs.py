@@ -117,7 +117,7 @@ def document_intake(
 def signature_stage(
     stream: DataFrame,
     text_col: str = "text",
-    num_perm: int = 32,
+    num_perm: int = 128,
     n: int = 3,
 ) -> DataFrame:
     """Per-row MinHash signatures computed IN the stream — so documents
@@ -136,7 +136,14 @@ def signature_stage(
     HOF lambdas are interpreted, not codegen'd (measured 5-20× slower
     for a full-corpus pass, amortized fine per arriving row). Docs with
     no shingles get a NULL signature (they cannot near-duplicate
-    anything)."""
+    anything).
+
+    ``num_perm`` defaults to 128 — the SAME lane count as the batch
+    ``minhash_signature`` — because ``lsh_candidates``' defaults
+    (16 bands × 8 rows) slice 128 lanes: a shorter signature would make
+    every band past the array's end hash an empty slice identically,
+    collapsing the band join toward all-pairs (lsh_candidates now also
+    rejects mismatched lane counts outright)."""
     from chronobase_spark.dedup.ngram import shingles as _shingles
 
     sh = _shingles(F.col(text_col), n)

@@ -218,6 +218,32 @@ def test_get_table_returns_config(spark, tmp_path):
     db.close()
 
 
+def test_primary_keys_same_ts_tiebreak_deterministic(spark, tmp_path):
+    """Two generations of a key sharing the SAME ts must pick the same
+    survivor on every run regardless of insertion/partition order: the
+    full-row descending tie-break makes the greatest remaining-column
+    tuple canonical."""
+    path = str(tmp_path / "dbdata")
+    db = ChronoSpark(spark, path)
+    db.create_table("metrics", primary_keys=["event_id"])
+    lo, hi = NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1)
+    for order in ([7.0, 99.0], [99.0, 7.0]):
+        db.insert(
+            "metrics",
+            [dict(_row(1, NOW), value=v) for v in order],
+            now=NOW,
+        )
+        got = db.query("metrics", lo, hi).collect()
+        assert [r["value"] for r in got] == [99.0], order
+        db.flush("metrics")
+        assert [
+            r["value"] for r in db.query("metrics", lo, hi).collect()
+        ] == [99.0], ("post-flush", order)
+        db.drop_table("metrics")
+        db.create_table("metrics", primary_keys=["event_id"])
+    db.close()
+
+
 def test_primary_keys_default_none_keeps_duplicates(spark, tmp_path):
     """Tables without primary_keys behave exactly as before: the scan
     returns every inserted generation (reference behavior)."""

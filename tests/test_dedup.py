@@ -101,3 +101,17 @@ def test_connected_components_matches_union_find(spark):
         for r in cluster.connected_components(df).collect()
     }
     assert got == want
+
+
+def test_lsh_candidates_rejects_short_signatures(spark, docs):
+    """A signature shorter than bands x rows_per_band must raise, not
+    silently hash empty band slices identically (which would collapse
+    the band join toward all-pairs); NULL signatures stay allowed."""
+    sigs16 = minhash.minhash_signature(docs.limit(20), num_perm=16)
+    with pytest.raises(Exception, match="16 lanes, expected 128"):
+        minhash.lsh_candidates(sigs16).collect()  # default 16x8 banding
+    # matched banding over the same 16-lane signatures works
+    assert minhash.lsh_candidates(sigs16, bands=4, rows_per_band=4).count() >= 0
+    # NULL signatures never pair and never trip the guard
+    nulls = sigs16.withColumn("sig", F.lit(None).cast("array<bigint>"))
+    assert minhash.lsh_candidates(nulls).count() == 0
