@@ -157,3 +157,49 @@ def signature_stage(
         "minhash_sig",
         F.when(F.size(sh) > 0, F.array(*lanes)),
     )
+
+
+def simhash_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row SimHash computed IN the stream — the SimHash companion
+    to ``signature_stage``, completing the in-stream signature family
+    so near-dup detection can ride ingest instead of re-tokenizing the
+    corpus in a separate batch pass.
+
+    Stateless by construction: token hashes are a ``transform`` over
+    the row's own token array, each of the 64 bit accumulators is a
+    pure HOF fold (+1/−1 by the token's bit value), and the signature
+    assembles sign bits into one BIGINT — no explode, no groupBy, no
+    state store, so the stream stays fully pipelined. Integer sums are
+    order-independent, so this is BIT-IDENTICAL to the batch
+    explode+agg formulation (dedup.simhash.simhash — equality pinned in
+    tests/test_streaming.py); the batch engine keeps its explode shape
+    because HOF lambdas are interpreted, not codegen'd (see
+    signature_stage). Docs with no tokens get a NULL signature,
+    mirroring the batch groupBy which never sees them."""
+    from chronobase_spark.dedup.simhash import BITS
+
+    toks = text.tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_sum(i: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(BITS):
+        bit_sum = _bit_sum(i)
+        # bit 63 is the sign bit of a 64-bit long: its set-value wraps
+        # to long.min in two's complement (same literal as the batch).
+        bit_val = (1 << i) if i < BITS - 1 else -(1 << (BITS - 1))
+        sig = sig + F.when(bit_sum > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return stream.withColumn(
+        "simhash", F.when(F.size(toks) > 0, sig)
+    )

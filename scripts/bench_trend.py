@@ -1,0 +1,120 @@
+"""Bench trend guard: fail when any query regresses >2x vs the last
+recorded round.
+
+The r3→r4 post-mortem motivator: simhash_near_pairs drifted 3.4 → 5.2
+→ 10.7 s across two rounds and nothing compared rounds, so the drift
+shipped twice before a human noticed. This script diffs the freshest
+bench result (BENCH_FULL.json, written by every `python bench.py` run)
+against the newest committed driver artifact (BENCH_r*.json) and exits
+non-zero on:
+
+* any per-query time > REG_FACTOR x its baseline AND above ABS_FLOOR
+  seconds (sub-second queries jitter 2x on a warm/cold JVM — absolute
+  floor keeps noise out);
+* total wall > REG_FACTOR x baseline total;
+* any query that errored in the current run.
+
+Scale factors must match to compare (a sf0.001 smoke vs the sf0.1
+round artifact says nothing); mismatches are reported and skipped, not
+failed. Run it after a full `python bench.py` at the round's SF:
+
+    python bench.py && python scripts/bench_trend.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REG_FACTOR = 2.0
+ABS_FLOOR = 0.75  # seconds; below this, 2x is JVM/GC jitter, not drift
+
+# Reviewed intentional slowdowns (query -> why), same contract as the
+# plan-sweep allowlist: an entry must name the round's deliberate
+# trade-off, and it expires naturally once the next round's artifact
+# records the new baseline. An UNREVIEWED regression still fails.
+INTENTIONAL = {
+    "ewma_user_value": (
+        "r5: full-history collect_list fold replaced by bounded-state "
+        "affine-segment composition — ~3 small shuffles instead of one "
+        "monolithic group-fold; the scale-killer removal is worth the "
+        "local-mode second"
+    ),
+}
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(path: str) -> dict:
+    with open(path) as fh:
+        data = json.load(fh)
+    # Driver round artifacts wrap the bench line under "parsed" (None
+    # when that round's bench crashed — r3's NameError round).
+    if "parsed" in data:
+        return data["parsed"] or {}
+    return data
+
+
+def main() -> int:
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, "BENCH_FULL.json")
+    rounds = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    base_path = next(
+        (p for p in reversed(rounds) if _load(p).get("queries")), None
+    )
+    if base_path is None:
+        print("bench_trend: no parseable BENCH_r*.json baseline — nothing to compare")
+        return 0
+    try:
+        cur, base = _load(cur_path), _load(base_path)
+    except (OSError, ValueError) as exc:
+        print(f"bench_trend: cannot load artifacts: {exc}")
+        return 1
+
+    cur_q = cur.get("queries") or {}
+    base_q = base.get("queries") or {}
+    errs = {k: v for k, v in (cur.get("errors") or {}).items()}
+    if errs:
+        print(f"bench_trend: FAIL — {len(errs)} queries errored: {sorted(errs)[:5]}")
+        return 1
+    if cur.get("sf") != base.get("sf"):
+        print(
+            f"bench_trend: sf mismatch (current {cur.get('sf')} vs baseline "
+            f"{base.get('sf')} in {os.path.basename(base_path)}) — skipping compare"
+        )
+        return 0
+
+    regressions = []
+    for name, t in sorted(cur_q.items()):
+        b = base_q.get(name)
+        if b is None or not isinstance(b, (int, float)) or b <= 0:
+            continue  # new query this round — no baseline yet
+        if t > REG_FACTOR * b and t > ABS_FLOOR:
+            if name in INTENTIONAL:
+                print(f"  intentional {name}: {b:.2f}s -> {t:.2f}s ({INTENTIONAL[name][:60]}...)")
+                continue
+            regressions.append((name, b, t))
+    tot_b, tot_c = base.get("value"), cur.get("value")
+    total_reg = (
+        isinstance(tot_b, (int, float))
+        and isinstance(tot_c, (int, float))
+        and tot_c > REG_FACTOR * tot_b
+    )
+
+    print(
+        f"bench_trend: {len(cur_q)} queries vs {os.path.basename(base_path)} "
+        f"({len(base_q)} baseline): total {tot_b} -> {tot_c} s"
+    )
+    for name, b, t in regressions:
+        print(f"  REGRESSION {name}: {b:.2f}s -> {t:.2f}s ({t / b:.1f}x)")
+    if total_reg:
+        print(f"  REGRESSION total: {tot_b:.2f}s -> {tot_c:.2f}s")
+    if regressions or total_reg:
+        return 1
+    print("bench_trend: no query regressed >2x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -183,6 +183,77 @@ def run(spark, factors: list[int]) -> list[dict]:
         pairs.unpersist()
         timings["dup_cluster"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        from pyspark.sql import Window as _W
+
+        sp = (
+            docs.select("doc_id", _text.tokens(_F.col("text")).alias("toks"))
+            .select("doc_id", _F.explode(spans).alias("span_hash"))
+            .distinct()
+        )
+        (
+            sp.withColumn(
+                "canonical_doc", _F.min("doc_id").over(_W.partitionBy("span_hash"))
+            )
+            .groupBy("doc_id")
+            .agg(
+                _F.count(_F.lit(1)).alias("n_spans"),
+                _F.sum(
+                    _F.when(_F.col("canonical_doc") < _F.col("doc_id"), 1).otherwise(0)
+                ).alias("n_removable"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["span_assign"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # quality_topq shape: histogram-based per-lang median cut (the
+        # windows only ever see the |langs|x|scores| histogram)
+        n_distinct = _F.size(
+            _F.array_distinct(
+                _F.filter(
+                    _F.split(_F.trim(_F.lower(_F.col("text"))), " "),
+                    lambda x: x != _F.lit(""),
+                )
+            )
+        )
+        scored = docs.select("lang", n_distinct.alias("score"))
+        hist = scored.groupBy("lang", "score").agg(_F.count(_F.lit(1)).alias("n"))
+        w_ge = (
+            _W.partitionBy("lang")
+            .orderBy(_F.col("score").desc())
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        )
+        cum = hist.select(
+            "lang",
+            "score",
+            _F.sum("n").over(w_ge).alias("n_ge"),
+            _F.sum("n").over(_W.partitionBy("lang")).alias("total"),
+        )
+        thr = (
+            cum.filter(_F.col("n_ge") * 2 >= _F.col("total"))
+            .groupBy("lang")
+            .agg(_F.max("score").alias("thr"))
+        )
+        (
+            scored.alias("s")
+            .join(
+                _F.broadcast(thr.alias("t")),
+                (_F.col("s.lang") == _F.col("t.lang"))
+                & (_F.col("s.score") >= _F.col("t.thr")),
+            )
+            .groupBy("s.lang")
+            .agg(_F.count(_F.lit(1)).alias("n_kept"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["quality_topq"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        timeseries.segmented_ewma(
+            ev.select("user_id", "event_id", "ts", "value")
+        ).write.format("noop").mode("overwrite").save()
+        timings["ewma_segmented"] = time.perf_counter() - t0
+
         rows.append({"factor": factor, **{k: round(v, 2) for k, v in timings.items()}})
         print(f"factor {factor}: {rows[-1]}", flush=True)
     return rows

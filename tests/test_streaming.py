@@ -648,3 +648,51 @@ def test_streaming_signature_stage_matches_batch_minhash(spark, tmp_path):
     assert set(batch) == set(k for k, v in got.items() if v is not None)
     for doc, sig in batch.items():
         assert got[doc] == sig, doc
+
+
+def test_streaming_simhash_stage_matches_batch(spark, tmp_path):
+    """The stateless per-row SimHash stage must emit BIT-IDENTICAL
+    64-bit signatures to the batch explode+agg formulation (integer
+    bit-accumulator sums are order-independent), and token-less docs
+    must carry NULL. Run through a real stream so the stage is proven
+    stateless (no watermark, no state store)."""
+    from chronobase_spark.dedup import simhash
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "simsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    # a token-less doc exercises the NULL branch
+    empty = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit("")
+    )
+    base.union(empty).repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "sim_sink")
+    q = (
+        docstream.simhash_stage(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "sim_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+
+    got = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert got[999999] is None
+    batch = {
+        r["doc"]: r["simhash"]
+        for r in simhash.simhash(spark.read.parquet(src)).collect()
+    }
+    assert set(batch) == set(k for k, v in got.items() if v is not None)
+    for doc, sig in batch.items():
+        assert got[doc] == sig, doc
