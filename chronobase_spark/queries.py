@@ -3373,6 +3373,137 @@ def q_seasonal_outlier_counts(spark, sf_dir):
     )
 
 
+_OHLC_DAILY_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+), hourly AS (
+  SELECT event_type, bucket_ts,
+         MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+         MAX(value) AS high_v,
+         MIN(value) AS low_v,
+         MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+         COUNT(*) AS n_events
+  FROM ranked GROUP BY event_type, bucket_ts
+)
+SELECT event_type, date_trunc('day', bucket_ts) AS day_ts,
+       ARG_MIN(open_v, bucket_ts) AS open_v,
+       MAX(high_v) AS high_v,
+       MIN(low_v) AS low_v,
+       ARG_MAX(close_v, bucket_ts) AS close_v,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM hourly GROUP BY event_type, date_trunc('day', bucket_ts)
+"""
+
+
+@register("ohlc_daily_rollup", _OHLC_DAILY_SQL)
+def q_ohlc_daily_rollup(spark, sf_dir):
+    """Continuous-aggregate rollup: DAILY OHLC bars computed FROM the
+    hourly bars, not from raw events — the hypertable pattern
+    (TimescaleDB continuous aggregates / Druid rollup): materialize the
+    fine-grained bar once, answer every coarser window from it. At
+    100 TB the daily query reads |types|·24 hourly rows per day instead
+    of re-scanning raw events — here expressed as one chained
+    aggregation so Catalyst pipelines both levels (the hourly shuffle
+    output IS partitioned by a prefix-compatible key, and both levels
+    are min/max(struct) argmin/argmax partial aggs; day open/close =
+    the earliest/latest HOUR's open/close, bucket_ts is unique per
+    (type, hour) so struct extrema are deterministic)."""
+    hourly = q_ohlc_hourly(spark, sf_dir)
+    day = F.date_trunc("day", F.col("bucket_ts"))
+    return (
+        hourly.groupBy(F.col("event_type"), day.alias("day_ts"))
+        .agg(
+            F.min(F.struct("bucket_ts", "open_v")).alias("_o"),
+            F.max(F.struct("bucket_ts", "close_v")).alias("_c"),
+            F.max("high_v").alias("high_v"),
+            F.min("low_v").alias("low_v"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "day_ts",
+            F.col("_o.open_v").alias("open_v"),
+            "high_v",
+            "low_v",
+            F.col("_c.close_v").alias("close_v"),
+            "n_events",
+        )
+    )
+
+
+_VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(FLOOR(value / 25.0) AS INT) AS bucket,
+       CAST(FLOOR(value / 25.0) AS INT) * 25.0 AS bucket_lo,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, CAST(FLOOR(value / 25.0) AS INT)
+"""
+
+
+@register("value_histogram_by_type", _VALUE_HISTOGRAM_SQL)
+def q_value_histogram_by_type(spark, sf_dir):
+    """Fixed-width value histogram PER EVENT TYPE — the observability
+    heatmap primitive (Grafana heatmap rows; the existing global
+    `value_histogram` keeps the single-distribution profile, this one
+    is the per-series stratification). Bucketing is a map-side expression, so the whole histogram
+    is ONE partial-agged shuffle whose cardinality is |types|·|buckets|
+    regardless of corpus size — the aggregation state, not the data,
+    bounds memory at 100 TB. value/25.0 and floor round identically in
+    IEEE doubles on both engines, so the bucket ids are exact."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(25.0)).cast("int")
+    return (
+        ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * F.lit(25.0)).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+_PIVOT_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day_ts,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY date_trunc('day', ts)
+"""
+
+
+@register("pivot_daily_event_counts", _PIVOT_DAILY_SQL)
+def q_pivot_daily_event_counts(spark, sf_dir):
+    """PIVOT: long→wide reshaping of the per-day event-type counts —
+    the relational operator every BI layer reaches for and the
+    reference's single-scan surface cannot express. The pivot VALUES
+    are declared explicitly, which is the 100 TB-safe form: Spark skips
+    the extra distinct-values collection pass and plans one partial-
+    agged aggregation with |values| conditional counts (exactly the
+    oracle's FILTER clauses) — schema is static, no data-dependent
+    column explosion."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = wide.select(
+        "day_ts", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+    return renamed
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —
