@@ -231,3 +231,110 @@ def topk_cosine(
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def pq_assign(
+    df: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011): split each
+    vector into ``m`` contiguous subvectors, build one codebook per
+    subspace, and assign every subvector its nearest code — the
+    compression layer an IVF index pairs with at scale (IVF routes to a
+    bucket, PQ stores 8 bytes per vector instead of 256).
+
+    Codebooks are label-seeded (per-subspace per-label decimal-exact
+    means — the same deterministic "update" step as label_centroids),
+    so the whole operator stays cross-engine oracle-checkable instead
+    of depending on k-means iteration order. Components and centroids
+    are quantized to 1e-6 integers BEFORE the distance math, so every
+    squared distance is an exact BIGINT (micro² units): the argmin and
+    any downstream error sum are integer arithmetic with no float
+    rounding boundary anywhere (summing 6-dp-rounded DOUBLE distances
+    flaked 1-in-80 groups at sf0.1 — half-even vs half-up at the 5e-7
+    boundary). Scale shape: subvector explode is map-side (m rows per
+    vector, each dim/m wide); the codebook is a |labels|·dim aggregate
+    broadcast back; the argmin is one min(struct) shuffle keyed
+    (vec, subspace) with map-side partials; ties break by code id.
+
+    Returns (id, subspace, code, dist_u2: bigint) per vector-subspace.
+    """
+    d_sub = F.size(F.col(vec_col)) / m  # integral by contract
+    subs = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.slice(
+                        F.col(vec_col), (s * d_sub + 1).cast("int"), d_sub.cast("int")
+                    ).alias("subvec"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(id_col, "_lbl", "_s.subspace", "_s.subvec")
+
+    # Component quantization multiplies FIRST (round(v·1e6, 0)), never
+    # round(v, 6): Spark's round works on the value's shortest decimal
+    # string while DuckDB rounds the scaled binary, and float32
+    # components often print as exact "…5" 6-dp boundaries where the
+    # two disagree (measured: 1 group in 80 flaked at sf0.1). After the
+    # one scaled round, everything is BIGINT.
+    def _micro(col):
+        return F.round(col.cast("double") * F.lit(1000000.0), 0).cast("bigint")
+
+    ex = subs.select(
+        "subspace",
+        F.col("_lbl").alias("code"),
+        F.posexplode("subvec").alias("pos", "v"),
+    )
+    # Codebook component = round-half-up mean in micro units, computed
+    # in INTEGER arithmetic: floor((2s+n)/(2n)) — no double quotient to
+    # round, so both engines agree exactly (quotient is ≥1/(2n) away
+    # from any integer except at exact half-steps, which the formula
+    # resolves upward on both sides).
+    book = (
+        ex.groupBy("subspace", "code", "pos")
+        .agg(F.sum(_micro(F.col("v"))).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "subspace",
+            "code",
+            "pos",
+            F.floor(
+                (2 * F.col("_s") + F.col("_n")) / (2 * F.col("_n"))
+            ).cast("bigint").alias("c_u"),
+        )
+        .groupBy("subspace", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c_u"))),
+                lambda s: s["c_u"],
+            ).alias("cvec_u")
+        )
+    )
+
+    sub_u = F.transform(F.col("subvec"), _micro)
+    dist = F.aggregate(
+        F.zip_with(sub_u, F.col("cvec_u"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = subs.join(F.broadcast(book), "subspace").select(
+        id_col, "subspace", "code", dist.alias("dist_u2")
+    )
+    return (
+        pairs.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct("dist_u2", "code")).alias("_m"))
+        .select(
+            id_col,
+            "subspace",
+            F.col("_m.code").alias("code"),
+            F.col("_m.dist_u2").alias("dist_u2"),
+        )
+    )

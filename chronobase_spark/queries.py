@@ -3504,6 +3504,65 @@ def q_pivot_daily_event_counts(spark, sf_dir):
     return renamed
 
 
+_PQ_SQL = """
+WITH ex AS (
+  SELECT (i - 1) // 8 AS subspace, label AS code,
+         ((i - 1) % 8) + 1 AS pos,
+         embedding[i] AS v
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+), cent AS (
+  SELECT subspace, code, pos,
+         CAST(FLOOR((2 * CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0, 0)
+                    AS BIGINT)) AS BIGINT) + COUNT(*))
+              / (2 * COUNT(*))) AS BIGINT) AS c_u
+  FROM ex GROUP BY subspace, code, pos
+), book AS (
+  SELECT subspace, code, list(c_u ORDER BY pos) AS cvec_u
+  FROM cent GROUP BY subspace, code
+), sub AS (
+  SELECT e.vec_id, s.s AS subspace,
+         list_transform(generate_series(1, 8),
+           j -> CAST(ROUND(CAST(e.embedding[s.s * 8 + j] AS DOUBLE)
+                     * 1000000.0, 0) AS BIGINT)) AS subvec_u
+  FROM embeddings e CROSS JOIN generate_series(0, 7) AS s(s)
+), best AS (
+  SELECT u.vec_id, u.subspace, b.code,
+         list_sum(list_transform(generate_series(1, 8),
+           j -> (u.subvec_u[j] - b.cvec_u[j]) * (u.subvec_u[j] - b.cvec_u[j])))
+             AS dist_u2,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.vec_id, u.subspace
+           ORDER BY list_sum(list_transform(generate_series(1, 8),
+             j -> (u.subvec_u[j] - b.cvec_u[j]) * (u.subvec_u[j] - b.cvec_u[j]))),
+             b.code) AS rnk
+  FROM sub u JOIN book b ON u.subspace = b.subspace
+)
+SELECT subspace, code, COUNT(*) AS n_vecs,
+       CAST(SUM(dist_u2) AS BIGINT) AS err_sum_u2
+FROM best WHERE rnk = 1 GROUP BY subspace, code
+"""
+
+
+@register("pq_code_histogram", _PQ_SQL)
+def q_pq_code_histogram(spark, sf_dir):
+    """Product quantization over the embedding corpus: 8 subspaces × 8
+    dims, label-seeded per-subspace codebooks, each subvector assigned
+    its nearest code (functions.similarity.pq_assign — the compression
+    layer an IVF index pairs with: 8 code bytes per vector instead of
+    256 float bytes). Reported as the per-(subspace, code) assignment
+    histogram plus the quantization-error sum. All distance math runs
+    on 1e-6-quantized INTEGER components, so the argmin and the error
+    sum are exact BIGINT arithmetic on both engines (FIXTURES.md rule:
+    never hash a summed double — the 6-dp double-distance variant
+    flaked one group in 80 at sf0.1 on a half-even boundary)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.pq_assign(emb, m=8)
+    return assigned.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist_u2").cast("bigint").alias("err_sum_u2"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

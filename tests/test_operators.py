@@ -539,3 +539,52 @@ def test_int8_quant_saturation_and_zero_vector(spark):
     assert got[1] == (-63, 127, 1, 64, 0.02)
     assert got[2] == (0, 0, 0, 0, 0.0)
     assert got[3] == (-127, 127, 3, 127, round(5.0 / 127, 6))
+
+
+def test_pq_assign_shape_and_semantics(spark):
+    """pq_assign: every vector gets exactly m codes; each assigned code
+    truly minimizes the integer subspace distance against a brute-force
+    recomputation (with code-id tie-break); rerun is identical."""
+    emb = catalog.table(spark, SF_SMOKE, "embeddings")
+    m = 8
+    out = similarity.pq_assign(emb, m=m).collect()
+    n_vecs = emb.count()
+    assert len(out) == n_vecs * m
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert {r["code"] for r in out} <= labels
+
+    # brute-force verify on a handful of vectors
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(5).collect()}
+    import collections
+
+    def micro(x):
+        from decimal import Decimal, ROUND_HALF_UP
+        return int(
+            Decimal(repr(float(x) * 1000000.0)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    # rebuild codebook the documented way: per (subspace, label, pos)
+    # round-half-up integer mean of micro components
+    sums = collections.defaultdict(lambda: [0, 0])
+    for r in emb.collect():
+        v = list(r["embedding"])
+        for s in range(m):
+            for p in range(8):
+                key = (s, r["label"], p)
+                sums[key][0] += micro(v[s * 8 + p])
+                sums[key][1] += 1
+    book = {}
+    for (s, code, p), (tot, n) in sums.items():
+        book.setdefault((s, code), [0] * 8)[p] = (2 * tot + n) // (2 * n)
+    got = {(r["vec_id"], r["subspace"]): (r["code"], r["dist_u2"]) for r in out}
+    for vid, vec in rows.items():
+        for s in range(m):
+            sub_u = [micro(vec[s * 8 + p]) for p in range(8)]
+            best = min(
+                (
+                    (sum((a - b) ** 2 for a, b in zip(sub_u, cvec)), code)
+                    for (ss, code), cvec in book.items()
+                    if ss == s
+                ),
+            )
+            assert got[(vid, s)] == (best[1], best[0]), (vid, s)
