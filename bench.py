@@ -169,6 +169,27 @@ def main() -> None:
         )
         with open(full_path, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
+        # Trend guard (scripts/bench_trend.py): compare against the
+        # newest recorded round artifact so a >2x per-query regression
+        # is flagged the round it happens, not two rounds later. Report
+        # goes to STDERR only — stdout stays exactly one JSON line for
+        # the driver — and never changes the exit code (a regression is
+        # a loud warning here; the standalone script is the hard gate).
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import io
+            from contextlib import redirect_stdout
+
+            import bench_trend
+
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                trend_rc = bench_trend.main()
+            print(buf.getvalue(), file=sys.stderr, end="")
+            if trend_rc:
+                print("bench: TREND REGRESSION (see above)", file=sys.stderr)
+        except Exception as exc:  # the guard must never break the bench
+            print(f"bench: trend guard skipped: {exc}", file=sys.stderr)
         print(json.dumps(_fit_line(result)))
     finally:
         try:
