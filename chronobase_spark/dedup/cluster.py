@@ -82,7 +82,14 @@ def connected_components(
     # generation, so the next round's plan bottoms out in the cache
     # instead of replaying every prior round.
     prev_cache = labels  # the persisted frame backing `labels`
-    total_prev = None
+    # Seed the convergence scalar from the INIT labels: init is already
+    # the round-1 fixpoint state (label = min over {self} ∪ neighbors),
+    # so components of diameter ≤ 1 — the common near-dup clique case —
+    # converge after ONE verification round instead of two. The agg is
+    # join-free and materializes the label cache the first round reuses.
+    total_prev = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
         contrib = sym.join(
             labels.hint("shuffle_hash"), sym["a"] == labels["id"]

@@ -114,6 +114,7 @@ def _recorded_green() -> tuple[int, set[str]]:
 _FORCE_REGRADE = {
     "ewma_user_value": 4,  # r5: collect-fold -> affine-segment composition
     "multimodal_decode_features": 4,  # r5: stub decode -> real PPM decoder
+    "dup_clusters": 4,  # r5: CC convergence seeded from init labels
 }
 
 # Families whose driver evidence matters most while slots are scarce
