@@ -42,6 +42,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # A dict would silently shadow an earlier query (a duplicate
+        # registration would have replaced `value_histogram` in r5 and
+        # only a registry-count diff caught it) — duplicates are bugs.
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         _REGISTRY[name] = (fn, sql)
         return fn
     return deco
