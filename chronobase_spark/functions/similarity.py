@@ -56,27 +56,26 @@ def label_centroids(
     shuffle (|labels|·dim groups — tiny), and the array rebuild groups
     ``dim`` rows per label.
 
-    Determinism for cross-engine oracles: each float32 component is cast
-    to float64, rounded, then summed as DECIMAL — an order-insensitive
-    exact sum, so the centroid is identical under any partitioning and
-    in any engine performing the same arithmetic. Returns
+    Determinism for cross-engine oracles: each float32 component is
+    quantized to a 1e-6 integer by multiply-then-round (never
+    round(v, 6) — Spark rounds the shortest decimal STRING, DuckDB the
+    scaled binary, and they disagree on float32 "…5" boundaries), the
+    integers sum exactly, and the mean is ONE double division of
+    identical operands — order-insensitive, unrounded, identical in any
+    engine performing the same arithmetic. Returns
     (label, cvec: array<double>).
     """
+    scale = float(10 ** round_digits)
     ex = df.select(
         F.col(label_col).alias("clabel"),
         F.posexplode(vec_col).alias("pos", "v"),
     )
     per_pos = ex.groupBy("clabel", "pos").agg(
-        F.round(
-            (
-                F.sum(
-                    F.round(F.col("v").cast("double"), round_digits).cast(
-                        "decimal(28,6)"
-                    )
-                ).cast("double")
-                / F.count(F.lit(1))
-            ),
-            round_digits,
+        (
+            F.sum(
+                F.round(F.col("v").cast("double") * F.lit(scale), 0).cast("bigint")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.lit(scale))
         ).alias("avg_v")
     )
     return per_pos.groupBy("clabel").agg(

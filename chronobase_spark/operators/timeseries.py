@@ -173,11 +173,19 @@ def gap_fill_locf(
     both hash-partition on the key, and AQE handles skewed keys. State
     is O(1) per window step — no per-key materialization of history.
     """
+    # Order-insensitive exact DECIMAL sum, then ONE double division:
+    # identical operands divide identically on every engine, so the
+    # average needs no rounding. (round(AVG(..), 6) flaked 1-in-3600
+    # buckets at sf0.1: Spark rounds the quotient's shortest decimal
+    # string, DuckDB the binary — FIXTURES.md quantization rule.)
     bucketed = df.groupBy(
         key_col, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg(value_col), 6).alias("avg_value"),
+        (
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
     )
     step = F.expr(f"interval 1 {bucket}")
     spine = (
@@ -224,14 +232,19 @@ def gap_fill_interp(
     has both a previous and a next observation — no extrapolation
     branch. The backward (prev) and forward (next) scans are two frames
     over the same (key, bucket) sort, so Catalyst reuses one shuffle +
-    one sort for all four window expressions. Inputs are rounded once
-    (summation-order-sensitive AVG); the interpolation itself is
-    bit-identical arithmetic on both engines and stays unrounded
-    (FIXTURES.md rounding-boundary rule).
+    one sort for all four window expressions. The bucket average is an
+    exact DECIMAL sum divided once (deterministic, unrounded — see
+    gap_fill_locf), and the interpolation is bit-identical arithmetic
+    on both engines (FIXTURES.md rounding-boundary rule).
     """
     bucketed = df.groupBy(
         key_col, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
-    ).agg(F.round(F.avg(value_col), 6).alias("avg_value"))
+    ).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
     step = F.expr(f"interval 1 {bucket}")
     spine = (
         df.groupBy(key_col)

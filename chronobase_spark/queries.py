@@ -120,6 +120,12 @@ _FORCE_REGRADE = {
     "ewma_user_value": 4,  # r5: collect-fold -> affine-segment composition
     "multimodal_decode_features": 4,  # r5: stub decode -> real PPM decoder
     "dup_clusters": 4,  # r5: CC convergence seeded from init labels
+    # r5 sf0.1 robustness sweep: rounded double quotients replaced by
+    # exact sums + one unrounded division (values changed slightly)
+    "embedding_centroids": 4,
+    "ivf_assign_counts": 4,  # shares label_centroids
+    "gap_fill_locf": 4,
+    "gap_fill_interp": 4,
 }
 
 # Families whose driver evidence matters most while slots are scarce
@@ -1829,7 +1835,8 @@ def q_pandas_udf_norm_len(spark, sf_dir):
     "gap_fill_locf",
     """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-                  COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
            FROM events GROUP BY 1, 2
        ), spine AS (
            SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_ts
@@ -1860,7 +1867,7 @@ def q_gap_fill_locf(spark, sf_dir):
     "gap_fill_interp",
     """WITH hourly AS (
            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-                  ROUND(AVG(value), 6) AS avg_value
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
            FROM events GROUP BY 1, 2
        ), spine AS (
            SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_ts
@@ -1900,8 +1907,9 @@ def q_gap_fill_interp(spark, sf_dir):
     companion to gap_fill_locf. Empty hourly buckets get
     prev + (next-prev) * elapsed/span from the neighboring observed
     buckets; spine bounds are observed buckets so no extrapolation.
-    AVG is rounded once (summation order), the interpolation itself is
-    bit-identical arithmetic on both engines and stays unrounded."""
+    Bucket averages are exact DECIMAL sums divided once (deterministic,
+    unrounded); the interpolation itself is bit-identical arithmetic on
+    both engines and stays unrounded."""
     return timeseries.gap_fill_interp(_t(spark, sf_dir, "events"), "event_type")
 
 
@@ -2491,12 +2499,14 @@ def q_doc_repetition(spark, sf_dir):
     )
 
 
-# The decimal-exact, order-insensitive per-component mean both engines
-# compute identically (float32 → float64 cast is exact; the rounded
-# value sums exactly as DECIMAL).
+# Micro-integer exact sum, then ONE double division — identical
+# operands divide identically on both engines, so no rounding of the
+# quotient (which flaked 1-in-640 components at sf0.1) and no 6-dp
+# round of raw float32 components (Spark rounds shortest decimal
+# strings, DuckDB scaled binaries — FIXTURES.md quantization rule).
 _CENTROID_AVG_SQL = (
-    "ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) "
-    "AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)"
+    "CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) "
+    "AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0)"
 )
 
 _CENTROID_SQL = f"""
@@ -2517,11 +2527,13 @@ def q_embedding_centroids(spark, sf_dir):
     return (
         ex.groupBy("label", "pos")
         .agg(
-            F.round(
-                F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(28,6)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double") * F.lit(1000000.0), 0).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000.0))
             ).alias("avg_v")
         )
         .select("label", F.col("pos").cast("bigint").alias("pos"), "avg_v")

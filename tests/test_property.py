@@ -146,7 +146,9 @@ def test_gap_fill_locf_matches_bruteforce(spark, rows):
         while b <= end:
             vals = per.get((key, b))
             if vals:
-                last = round(sum(vals) / len(vals), 6)
+                # exact-sum-then-one-division contract (integer test
+                # values sum exactly; same op both engines, unrounded)
+                last = sum(vals) / len(vals)
                 n = len(vals)
             else:
                 n = 0
@@ -297,7 +299,7 @@ def test_gap_fill_interp_matches_bruteforce(spark, rows):
     want = set()
     for key in {k for k, _ in per}:
         buckets = sorted(b for kk, b in per if kk == key)
-        obs = {b: round(sum(per[(key, b)]) / len(per[(key, b)]), 6) for b in buckets}
+        obs = {b: sum(per[(key, b)]) / len(per[(key, b)]) for b in buckets}
         b, end = buckets[0], buckets[-1]
         while b <= end:
             if b in obs:
