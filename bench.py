@@ -67,18 +67,36 @@ def run() -> dict:
     # priority each round, which would shuffle which queries absorb the
     # JVM/codegen warm-up and make per-query timings incomparable
     # across rounds.
+    #
+    # min-of-2 per query: execution 1 absorbs that query's codegen
+    # compilation + any first-touch JVM/GC noise, execution 2 measures
+    # steady state; the min is the signal the trend guard compares
+    # (r5 post-mortem: a ~+0.2 s/query session-wide drift tripped the
+    # round-over-round total without any plan changing — single-shot
+    # timings conflate plan cost with session noise). Cache is cleared
+    # BETWEEN reps too, so rep 2 never reads rep 1's persisted
+    # intermediates (Spark's CacheManager matches canonicalized plans,
+    # so a re-built identical DataFrame WOULD silently hit the cache).
     for name, fn in sorted(q.queries().items()):
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one bad query must not kill the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-        # Isolate queries: dedup/LSH pipelines persist intermediates that
-        # a lazy return can't unpersist; without this, caches accumulate
-        # across 100+ queries and later queries pay the memory pressure
-        # (r3: simhash_near_pairs drifted 3.4→10.7 s across rounds).
-        spark.catalog.clearCache()
+        best: float | None = None
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # one bad query must not kill the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+            finally:
+                # Isolate queries AND reps: dedup/LSH pipelines persist
+                # intermediates that a lazy return can't unpersist;
+                # without this, caches accumulate across 100+ queries
+                # and later queries pay the memory pressure (r3:
+                # simhash_near_pairs drifted 3.4→10.7 s across rounds).
+                spark.catalog.clearCache()
+        if best is not None:
+            timings[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -91,6 +109,7 @@ def run() -> dict:
         "sf": sf,
         "n_queries": len(timings),
         "cpus": CPUS,
+        "reps": 2,  # min-of-2 per query; see loop comment above
     }
     if errors:
         result["errors"] = errors
@@ -184,7 +203,10 @@ def main() -> None:
 
             buf = io.StringIO()
             with redirect_stdout(buf):
-                trend_rc = bench_trend.main()
+                # Explicit path: bench_trend.main() falling back to
+                # sys.argv would misread any stray CLI arg given to
+                # bench.py itself as an artifact path (r5 advice).
+                trend_rc = bench_trend.main(full_path)
             print(buf.getvalue(), file=sys.stderr, end="")
             if trend_rc:
                 print("bench: TREND REGRESSION (see above)", file=sys.stderr)

@@ -262,7 +262,18 @@ def pq_assign(
 
     Returns (id, subspace, code, dist_u2: bigint) per vector-subspace.
     """
-    d_sub = F.size(F.col(vec_col)) / m  # integral by contract
+    d_sub = F.size(F.col(vec_col)) / m
+    # dim must divide evenly by m — checked per row, raising instead of
+    # the silent failure mode (a fractional d_sub truncates the slice
+    # width, zip_with pads the codebook compare with NULLs, distances
+    # go NULL, and the argmin quietly drops rows). Same hard-assert
+    # style as lsh_candidates' lane guard.
+    dims_ok = F.size(F.col(vec_col)) % m == 0
+    dims_err = F.concat(
+        F.lit("pq_assign: vector dim "),
+        F.size(F.col(vec_col)).cast("string"),
+        F.lit(f" is not divisible by m={m} subspaces"),
+    )
     subs = df.select(
         F.col(id_col),
         F.col(label_col).alias("_lbl"),
@@ -271,9 +282,16 @@ def pq_assign(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda s: F.struct(
                     s.alias("subspace"),
-                    F.slice(
-                        F.col(vec_col), (s * d_sub + 1).cast("int"), d_sub.cast("int")
-                    ).alias("subvec"),
+                    F.when(
+                        dims_ok,
+                        F.slice(
+                            F.col(vec_col),
+                            (s * d_sub + 1).cast("int"),
+                            d_sub.cast("int"),
+                        ),
+                    )
+                    .otherwise(F.raise_error(dims_err))
+                    .alias("subvec"),
                 ),
             )
         ).alias("_s"),

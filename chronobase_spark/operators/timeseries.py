@@ -157,6 +157,7 @@ def gap_fill_locf(
     ts_col: str = "ts",
     value_col: str = "value",
     bucket: str = "hour",
+    value_decimal: str = "decimal(18,2)",
 ) -> DataFrame:
     """Time-bucket densification + last-observation-carried-forward — the
     canonical TSDB gap-fill read over the reference's (key, timestamp)
@@ -172,6 +173,13 @@ def gap_fill_locf(
     key fans out to its own bucket range), the join and the LOCF window
     both hash-partition on the key, and AQE handles skewed keys. State
     is O(1) per window step — no per-key materialization of history.
+
+    PRECISION CONTRACT: the bucket average sums ``value_col`` as
+    ``value_decimal`` (default DECIMAL(18,2)) — inputs with more
+    fractional digits than the scale are QUANTIZED (half-up) before
+    summing, and magnitudes past the precision overflow (NULL with
+    ANSI off). The default matches the fixture's 2-dp values exactly;
+    pass a wider type (e.g. "decimal(38,9)") for finer inputs.
     """
     # Order-insensitive exact DECIMAL sum, then ONE double division:
     # identical operands divide identically on every engine, so the
@@ -183,7 +191,7 @@ def gap_fill_locf(
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         (
-            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            F.sum(F.col(value_col).cast(value_decimal)).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_value"),
     )
@@ -218,6 +226,7 @@ def gap_fill_interp(
     ts_col: str = "ts",
     value_col: str = "value",
     bucket: str = "hour",
+    value_decimal: str = "decimal(18,2)",
 ) -> DataFrame:
     """Time-bucket densification + linear interpolation — the companion
     to :func:`gap_fill_locf` for continuous signals (LOCF for step
@@ -236,12 +245,16 @@ def gap_fill_interp(
     exact DECIMAL sum divided once (deterministic, unrounded — see
     gap_fill_locf), and the interpolation is bit-identical arithmetic
     on both engines (FIXTURES.md rounding-boundary rule).
+
+    PRECISION CONTRACT: same as gap_fill_locf — ``value_decimal``
+    (default DECIMAL(18,2)) quantizes finer-grained inputs at the
+    bucket-sum step; widen it for inputs with more fractional digits.
     """
     bucketed = df.groupBy(
         key_col, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
     ).agg(
         (
-            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            F.sum(F.col(value_col).cast(value_decimal)).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_value")
     )
@@ -307,9 +320,6 @@ def latest_per_key(
     )
 
 
-_EWMA_CHAIN_STATE = "array<struct<seg:timestamp,yin:double,a_tot:double,b_end:double>>"
-
-
 def segmented_ewma(
     df: DataFrame,
     key_col: str = "user_id",
@@ -326,9 +336,10 @@ def segmented_ewma(
     compose associatively, so per-key histories are segmented by a
     calendar bucket of ``ts_col`` and each segment folds independently
     to a zero-start prefix b_j (the segment's EWMA as if entered with
-    y = 0) and decay a_j = (1-α)^j. A second fold over the tiny
-    per-segment summary list (one row per bucket, never per event)
-    chains the entry value yin(k) = a_tot·yin(k-1) + b_end, and every
+    y = 0) and decay a_j = (1-α)^j. A window over (key) ordered by
+    segment then chains the entry value yin(k) = a_tot·yin(k-1) + b_end
+    by folding each row's prefix of per-segment summaries (one struct
+    per bucket, never per event) onto the key's first value, and every
     row's output is then one multiply-add ewma_j = a_j·yin + b_j.
 
     Memory per task is one (key, bucket) group — pick ``bucket`` to
@@ -401,53 +412,54 @@ def segmented_ewma(
             F.col("_f.b").alias("_b"),
         )
     )
-    summ = seg_df.select(
-        key_col,
-        "_seg",
-        F.element_at("_a", -1).alias("a_tot"),
-        F.element_at("_b", -1).alias("b_end"),
-        F.col("_seq")[0][value_col].alias("first_v"),
-    )
     # Boundary chain over per-segment summaries — bounded at the number
-    # of buckets per key (e.g. calendar days), never event count.
-    segs = F.array_sort(
-        F.collect_list(F.struct("_seg", "a_tot", "b_end", "first_v"))
+    # of buckets per key (e.g. calendar days), never event count. One
+    # window over (key) ordered by _seg replaces the r5 groupBy-collect
+    # + explode + join-back (3 shuffles → 2: the segment groupBy plus
+    # this window's exchange; no join remains). Each row folds its
+    # PREFIX of (a_tot, b_end) summaries onto the key's first value —
+    # the identical multiply-add sequence the r5 chain fold executed,
+    # so every float rounds at the same point and the oracle that
+    # mirrors this DAG still matches bit-for-bit. Prefix re-fold is
+    # O(#buckets²) per key in summary structs (days, not events) —
+    # negligible next to the shuffle it removes; WindowExec buffers one
+    # key's segment rows (each bounded by the bucket) and spills past
+    # memory, so per-task state stays bucket-bounded.
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    chain_fold = F.aggregate(
-        F.col("_segs"),
-        F.array().cast(_EWMA_CHAIN_STATE),
-        lambda acc, s: F.concat(
-            acc,
-            F.array(
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chained = (
+        seg_df.withColumn(
+            "first_v", F.col("_seq")[0][value_col]
+        )
+        .withColumn(
+            "_prefix",
+            F.collect_list(
                 F.struct(
-                    s["_seg"].alias("seg"),
-                    F.when(
-                        F.size(acc) > 0,
-                        F.element_at(acc, -1)["a_tot"]
-                        * F.element_at(acc, -1)["yin"]
-                        + F.element_at(acc, -1)["b_end"],
-                    )
-                    .otherwise(s["first_v"])
-                    .alias("yin"),
-                    s["a_tot"].alias("a_tot"),
-                    s["b_end"].alias("b_end"),
+                    F.element_at("_a", -1).alias("a_tot"),
+                    F.element_at("_b", -1).alias("b_end"),
                 )
+            ).over(w_prev),
+        )
+        .withColumn("_y0", F.first("first_v").over(w_run))
+        .withColumn(
+            "yin",
+            F.aggregate(
+                F.col("_prefix"),
+                F.col("_y0").cast("double"),
+                lambda acc, s: s["a_tot"] * acc + s["b_end"],
             ),
-        ),
-    )
-    chain = (
-        summ.groupBy(key_col)
-        .agg(segs.alias("_segs"))
-        .select(key_col, F.explode(chain_fold).alias("_c"))
-        .select(
-            key_col,
-            F.col("_c.seg").alias("_seg"),
-            F.col("_c.yin").alias("yin"),
         )
     )
     return (
-        seg_df.join(chain, [key_col, "_seg"])
-        .select(
+        chained.select(
             key_col,
             F.explode(
                 F.transform(

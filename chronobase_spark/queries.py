@@ -2719,12 +2719,15 @@ def q_ewma_user_value(spark, sf_dir):
     compose associatively, so per-user histories are segmented by
     calendar day and each segment folds INDEPENDENTLY to a zero-start
     prefix (b_j = EWMA of the segment as if entered with y=0) plus the
-    exact power-of-two decay a_j = 2^-j. A per-user fold over the tiny
-    per-segment summary list (≤ #days rows, not #events) chains the
-    boundary value yin(k) = a_tot·yin(k-1) + b_end, and every row's
-    output is one multiply-add: ewma_j = a_j·yin + b_j. Memory per task
-    is one (user, day) group — at 100 TB you pick the bucket width to
-    match per-key density; no state ever holds a full history.
+    exact power-of-two decay a_j = 2^-j. A window over (user) ordered
+    by segment chains the boundary value yin(k) = a_tot·yin(k-1) +
+    b_end by folding each day's prefix of per-segment summaries (≤
+    #days structs, not #events — r6: this fused the r5 groupBy-collect
+    + explode + join-back into the segment groupBy plus ONE window
+    exchange), and every row's output is one multiply-add:
+    ewma_j = a_j·yin + b_j. Memory per task is one (user, day) group —
+    at 100 TB you pick the bucket width to match per-key density; no
+    state ever holds a full history.
 
     Bit-exactness is BY CONSTRUCTION, not luck: the DuckDB oracle
     mirrors the identical op DAG (same zero-start fold, same

@@ -145,6 +145,60 @@ def write_tab_file(
         fh.write(struct.pack(">q", index_offset))
 
 
+def write_tab_dir(
+    df, path: str, block_size: int = 64 * 1024, partitions: int | None = None
+) -> int:
+    """Distributed export of a DataFrame to a DIRECTORY of reference-
+    layout tablets — the scale version of :func:`write_tab_file` (which
+    buffers every row on the driver and only suits fixtures). ``df``
+    must have columns ``key: binary``, ``ts_ns: long``, ``data:
+    binary``; anything else is a caller bug and fails in the select.
+
+    Shape: range-partition on ``ts_ns`` so each tablet covers a
+    disjoint time range (the reference's flush cadence produces exactly
+    that, tablet.go:124-132 — a flushed tablet is one sorted time
+    slice), then each partition writes ONE ``part-NNNNN.tab`` via the
+    driver-side writer running ON THE EXECUTOR over its partition's
+    rows only — per-task memory is one partition, never the dataset.
+    Executors must share ``path`` (true in local mode and on any
+    cluster exporting to shared/NFS storage — the migration target is
+    the reference's own data directory, which is single-machine by
+    design, reference pkg/db/db.go).
+
+    Returns the number of rows written (also the one Spark action).
+    """
+    import os
+
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    slim = df.select("key", "ts_ns", "data")
+    if partitions:
+        slim = slim.repartitionByRange(partitions, "ts_ns")
+    else:
+        slim = slim.repartitionByRange("ts_ns")
+
+    def _write_partition(batches):
+        import pandas as pd
+
+        rows: list[tuple[bytes, int, bytes]] = []
+        for pdf in batches:
+            rows.extend(
+                (bytes(k), int(t), bytes(d))
+                for k, t, d in zip(pdf["key"], pdf["ts_ns"], pdf["data"])
+            )
+        if rows:
+            pid = TaskContext.get().partitionId()
+            write_tab_file(
+                rows, os.path.join(path, f"part-{pid:05d}.tab"), block_size
+            )
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    counts = slim.mapInPandas(_write_partition, "n long")
+    return counts.agg(F.sum("n")).collect()[0][0] or 0
+
+
 def register_tab_source(spark) -> None:
     """Register the ``chronotab`` Spark DataSource on this session.
 

@@ -31,16 +31,21 @@ import sys
 REG_FACTOR = 2.0
 ABS_FLOOR = 0.75  # seconds; below this, 2x is JVM/GC jitter, not drift
 
-# Reviewed intentional slowdowns (query -> why), same contract as the
-# plan-sweep allowlist: an entry must name the round's deliberate
-# trade-off, and it expires naturally once the next round's artifact
-# records the new baseline. An UNREVIEWED regression still fails.
-INTENTIONAL = {
+# Reviewed intentional slowdowns: query -> (shipped_round, why), same
+# self-expiry contract as queries._FORCE_REGRADE. An entry is LIVE only
+# while the newest BENCH_r*.json baseline predates shipped_round; as
+# soon as a round >= shipped_round records the new level, the entry is
+# ignored — the guard is strict again and a fresh regression vs the new
+# baseline fails. (The r5 entry for ewma_user_value expired the moment
+# BENCH_r05.json recorded 2.60 s; kept here as the format example.)
+# An UNREVIEWED regression still fails.
+INTENTIONAL: dict[str, tuple[int, str]] = {
     "ewma_user_value": (
+        5,
         "r5: full-history collect_list fold replaced by bounded-state "
         "affine-segment composition — ~3 small shuffles instead of one "
         "monolithic group-fold; the scale-killer removal is worth the "
-        "local-mode second"
+        "local-mode second",
     ),
 }
 
@@ -57,8 +62,19 @@ def _load(path: str) -> dict:
     return data
 
 
-def main() -> int:
-    cur_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT, "BENCH_FULL.json")
+def _round_number(path: str) -> int:
+    import re
+
+    m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
+def main(cur_path: str | None = None) -> int:
+    # cur_path is an explicit parameter (bench.py passes BENCH_FULL.json)
+    # — only the __main__ block consults sys.argv, so an in-process call
+    # can never misread the parent's CLI args as an artifact path.
+    if cur_path is None:
+        cur_path = os.path.join(ROOT, "BENCH_FULL.json")
     rounds = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     base_path = next(
         (p for p in reversed(rounds) if _load(p).get("queries")), None
@@ -66,6 +82,7 @@ def main() -> int:
     if base_path is None:
         print("bench_trend: no parseable BENCH_r*.json baseline — nothing to compare")
         return 0
+    base_round = _round_number(base_path)
     try:
         cur, base = _load(cur_path), _load(base_path)
     except (OSError, ValueError) as exc:
@@ -91,8 +108,11 @@ def main() -> int:
         if b is None or not isinstance(b, (int, float)) or b <= 0:
             continue  # new query this round — no baseline yet
         if t > REG_FACTOR * b and t > ABS_FLOOR:
-            if name in INTENTIONAL:
-                print(f"  intentional {name}: {b:.2f}s -> {t:.2f}s ({INTENTIONAL[name][:60]}...)")
+            shipped, why = INTENTIONAL.get(name, (None, ""))
+            if shipped is not None and base_round < shipped:
+                # Live only until a round >= shipped_round records the
+                # new baseline; after that the guard is strict again.
+                print(f"  intentional {name}: {b:.2f}s -> {t:.2f}s ({why[:60]}...)")
                 continue
             regressions.append((name, b, t))
     tot_b, tot_c = base.get("value"), cur.get("value")
@@ -117,4 +137,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else None))

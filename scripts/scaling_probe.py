@@ -254,6 +254,57 @@ def run(spark, factors: list[int]) -> list[dict]:
         ).write.format("noop").mode("overwrite").save()
         timings["ewma_segmented"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # pq_code_histogram shape: map-side subvector explode (×8) +
+        # 64-row codebook broadcast + integer argmin shuffle
+        (
+            similarity.pq_assign(emb, m=8)
+            .groupBy("subspace", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("dist_u2").cast("bigint").alias("err_sum_u2"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["pq_histogram"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # ohlc_daily_rollup shape: hourly min/max(struct) bars chained
+        # into daily bars — two pipelined partial-agg levels
+        bucket = F.date_trunc("hour", F.col("ts"))
+        hourly = (
+            ev.groupBy(F.col("event_type"), bucket.alias("bucket_ts"))
+            .agg(
+                F.min(F.struct("ts", "event_id", "value")).alias("_o"),
+                F.max(F.struct("ts", "event_id", "value")).alias("_c"),
+                F.max("value").alias("high_v"),
+                F.min("value").alias("low_v"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "event_type",
+                "bucket_ts",
+                F.col("_o.value").alias("open_v"),
+                "high_v",
+                "low_v",
+                F.col("_c.value").alias("close_v"),
+                "n_events",
+            )
+        )
+        day = F.date_trunc("day", F.col("bucket_ts"))
+        (
+            hourly.groupBy(F.col("event_type"), day.alias("day_ts"))
+            .agg(
+                F.min(F.struct("bucket_ts", "open_v")).alias("_o"),
+                F.max(F.struct("bucket_ts", "close_v")).alias("_c"),
+                F.max("high_v").alias("high_v"),
+                F.min("low_v").alias("low_v"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["ohlc_daily"] = time.perf_counter() - t0
+
         rows.append({"factor": factor, **{k: round(v, 2) for k, v in timings.items()}})
         print(f"factor {factor}: {rows[-1]}", flush=True)
     return rows

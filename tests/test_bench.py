@@ -114,6 +114,57 @@ def test_fit_line_previous_round_real_output():
     _check_line(json.load(open(path)))
 
 
+def _trend_fixture(tmp_path, monkeypatch, base_round, cur_queries,
+                   base_queries, intentional):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import bench_trend
+
+    base = {"metric": "total_query_wall_seconds", "value": sum(base_queries.values()),
+            "unit": "sec", "queries": base_queries, "sf": 0.1}
+    cur = {"metric": "total_query_wall_seconds", "value": sum(cur_queries.values()),
+           "unit": "sec", "queries": cur_queries, "sf": 0.1}
+    (tmp_path / f"BENCH_r{base_round:02d}.json").write_text(json.dumps(base))
+    cur_path = tmp_path / "BENCH_FULL.json"
+    cur_path.write_text(json.dumps(cur))
+    monkeypatch.setattr(bench_trend, "ROOT", str(tmp_path))
+    monkeypatch.setattr(bench_trend, "INTENTIONAL", intentional)
+    return bench_trend, str(cur_path)
+
+
+def test_trend_intentional_entry_live_before_baseline_round(tmp_path, monkeypatch):
+    """An intentional entry shipped in round N suppresses the failure
+    while the newest baseline predates round N..."""
+    bt, cur = _trend_fixture(
+        tmp_path, monkeypatch, base_round=4,
+        cur_queries={"q_slow": 3.0, "q_steady": 10.0},
+        base_queries={"q_slow": 1.0, "q_steady": 10.0},
+        intentional={"q_slow": (5, "reviewed trade")},
+    )
+    assert bt.main(cur) == 0
+
+
+def test_trend_intentional_entry_expires_once_baseline_records_it(tmp_path, monkeypatch):
+    """...and expires (guard strict again) once a baseline round >= N
+    has recorded the new level — a fresh regression must fail."""
+    bt, cur = _trend_fixture(
+        tmp_path, monkeypatch, base_round=5,
+        cur_queries={"q_slow": 3.0}, base_queries={"q_slow": 1.0},
+        intentional={"q_slow": (5, "reviewed trade")},
+    )
+    assert bt.main(cur) == 1
+
+
+def test_trend_explicit_cur_path_ignores_argv(tmp_path, monkeypatch):
+    """In-process callers pass cur_path explicitly; stray parent argv
+    must not be misread as an artifact path (r5 advice)."""
+    bt, cur = _trend_fixture(
+        tmp_path, monkeypatch, base_round=5,
+        cur_queries={"q": 1.0}, base_queries={"q": 1.0}, intentional={},
+    )
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--some-flag"])
+    assert bt.main(cur) == 0
+
+
 def test_fit_line_survives_large_error_dict():
     """A breakage round (many errored queries with long messages) must
     still fit the budget — errors are capped to a sorted few plus a

@@ -71,6 +71,94 @@ def test_reader_parses_hand_built_file(tmp_path):
     assert rows == [(b"k", 42, b"abc"), (b"k2", 43, b"")]
 
 
+def test_write_tab_dir_distributed_export_round_trip(spark, tmp_path):
+    """write_tab_dir: one tablet per range-partition, read back by the
+    block-parallel datasource with full fidelity."""
+    df = spark.range(1000).selectExpr(
+        "cast(concat('k', id) as binary) as key",
+        "1700000000000000000 + id * 1000000 as ts_ns",
+        "cast(concat('payload-', id) as binary) as data",
+    )
+    out = str(tmp_path / "tabs")
+    n = tabfile.write_tab_dir(df, out, partitions=4)
+    assert n == 1000
+    files = sorted(os.listdir(out))
+    assert 0 < len(files) <= 4 and all(f.endswith(".tab") for f in files)
+    got = sorted(
+        row
+        for f in files
+        for row in tabfile.read_tab_rows(os.path.join(out, f))
+    )
+    want = sorted(
+        (f"k{i}".encode(), 1_700_000_000_000_000_000 + i * 1_000_000,
+         f"payload-{i}".encode())
+        for i in range(1000)
+    )
+    assert got == want
+    # range partitioning on ts_ns => tablets cover disjoint time ranges
+    spans = sorted(
+        (min(r[1] for r in rows), max(r[1] for r in rows))
+        for f in files
+        if (rows := list(tabfile.read_tab_rows(os.path.join(out, f))))
+    )
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_migration_scale_round_trip_sf01(spark, tmp_path):
+    """VERDICT r5 #7: the migration path at real size — 1 M rows built
+    from the sf0.1 events table, exported to reference-layout tablets,
+    imported to Parquet, exported back to tablets, with row-count and
+    order-independent content-hash parity asserted at every hop. The
+    ×10 replication keeps sub-µs nanos distinct per replica, so the
+    ns-fidelity column (ts_ns) is genuinely exercised, not constant."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(src):
+        pytest.skip(f"no sf0.1 testdata at {src}")
+
+    events = spark.read.parquet(src)
+    rows = (
+        events.crossJoin(spark.range(10).withColumnRenamed("id", "r"))
+        .select(
+            F.encode(
+                F.concat_ws("#", F.col("event_id").cast("string"), F.col("r")),
+                "utf-8",
+            ).alias("key"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000 + F.col("r")).alias(
+                "ts_ns"
+            ),
+            F.encode(
+                F.to_json(F.struct("user_id", "event_type", "value")), "utf-8"
+            ).alias("data"),
+        )
+    )
+    content_hash = F.expr("bit_xor(xxhash64(key, ts_ns, data))")
+
+    tab_a = str(tmp_path / "tab_a")
+    n_a = tabfile.write_tab_dir(rows, tab_a, block_size=256 * 1024, partitions=32)
+    assert n_a == 1_000_000
+
+    tabfile.register_tab_source(spark)
+    from_a = spark.read.format("chronotab").load(tab_a)
+    pq = str(tmp_path / "roundtrip.parquet")
+    from_a.select("key", "ts_ns", "data").write.parquet(pq)
+
+    from_pq = spark.read.parquet(pq)
+    tab_b = str(tmp_path / "tab_b")
+    n_b = tabfile.write_tab_dir(from_pq, tab_b, block_size=256 * 1024, partitions=32)
+    assert n_b == 1_000_000
+
+    from_b = spark.read.format("chronotab").load(tab_b)
+    h0 = rows.agg(content_hash).collect()[0][0]
+    h_a = from_a.agg(content_hash).collect()[0][0]
+    h_b = from_b.agg(content_hash).collect()[0][0]
+    assert from_b.count() == 1_000_000
+    assert h0 == h_a == h_b
+
+
 def test_spark_datasource_scans_blocks_in_parallel(spark, tmp_path):
     """spark.read.format('chronotab') over a directory of tablets: one
     partition per block, full row fidelity (ns timestamps preserved in
