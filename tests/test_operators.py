@@ -337,6 +337,26 @@ def test_gap_fill_locf_spine_and_carry(spark):
     assert len(b) == 1 and b[0].n_events == 1 and b[0].avg_value_locf == 2.0
 
 
+def test_gap_fill_decimal_quantization_contract(spark):
+    """The documented precision contract: the bucket average sums value
+    as value_decimal (default DECIMAL(18,2)), quantizing finer inputs
+    half-up per value BEFORE the sum; widening the scale preserves
+    them. 0.125/0.375 are exact in binary, so the cast is unambiguous:
+    2-dp → (0.13+0.38)/2 = 0.255; 3-dp → (0.125+0.375)/2 = 0.25."""
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 0.125), ("a", "2024-01-01 00:20:00", 0.375)],
+        "key string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got2 = timeseries.gap_fill_locf(df, "key").collect()
+    assert len(got2) == 1 and got2[0].avg_value_locf == 0.255
+    got3 = timeseries.gap_fill_locf(df, "key", value_decimal="decimal(18,3)").collect()
+    assert len(got3) == 1 and got3[0].avg_value_locf == 0.25
+    gi = timeseries.gap_fill_interp(
+        df, "key", value_decimal="decimal(18,3)"
+    ).collect()
+    assert len(gi) == 1 and gi[0].avg_value_interp == 0.25
+
+
 def test_gap_fill_interp_linear_between_neighbors(spark):
     """Interpolation gap fill: empty buckets get the linear blend of the
     neighboring observed buckets (1.0 at hour 0, 7.0 at hour 3 → 3.0 and
@@ -539,6 +559,19 @@ def test_int8_quant_saturation_and_zero_vector(spark):
     assert got[1] == (-63, 127, 1, 64, 0.02)
     assert got[2] == (0, 0, 0, 0, 0.0)
     assert got[3] == (-127, 127, 3, 127, round(5.0 / 127, 6))
+
+
+def test_pq_assign_rejects_indivisible_dim(spark):
+    """A vector dim not divisible by m must fail loudly (the silent
+    alternative: truncated slices, NULL-padded zip_with distances, and
+    quietly dropped argmin rows)."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, 0, [0.1] * 10)], "vec_id long, label int, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        similarity.pq_assign(bad, m=8).collect()
 
 
 def test_pq_assign_shape_and_semantics(spark):
