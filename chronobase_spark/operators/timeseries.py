@@ -477,3 +477,126 @@ def segmented_ewma(
         )
         .select(key_col, "_r.*")
     )
+
+
+def ltob_downsample(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling: one representative row
+    per (key, bucket), chosen to preserve the series' visual shape —
+    the TSDB plotting primitive (TimescaleDB ships it as the lttb()
+    hyperfunction; Steinarsson's thesis "Downsampling Time Series for
+    Visual Representation", U. Iceland 2013, defines both variants).
+    The reference's scan surface (tablet.go:331-387) returns raw rows
+    only; any dashboard over it re-implements exactly this reduction.
+
+    LTOB picks, per bucket, the point with the largest triangle area
+    against the NEIGHBOR BUCKET MEANS — unlike full LTTB (whose anchor
+    is the previously SELECTED point, a sequential dependency like
+    EWMA's), LTOB is embarrassingly parallel: bucket statistics are one
+    partial-agg shuffle, neighbor means come from lag/lead over the
+    tiny per-bucket summary table (|keys|·|buckets| rows), and the
+    argmax is min/max-of-struct — associative, map-side combinable.
+
+    Cross-engine determinism: timestamps become integer µs and values
+    integer 1e-6 units (multiply-then-round, the FIXTURES.md rule), and
+    every per-bucket sum is BIGINT-exact. To keep those sums bounded at
+    any density, x is summed RELATIVE TO ITS OWN BUCKET START (≤ 3.6e9
+    µs per point for hourly buckets, overflow-free until ~2.5e9 rows
+    per bucket) and re-based onto the current bucket's origin at use
+    time via n·(start_p − start_c) — exact integer rebasing, no
+    precision loss. The triangle score multiplies out all three mean
+    denominators (positive, so the argmax is unchanged):
+
+        score = (XA·n_n − XC·n_p)·(yu·n_p − sy_p)
+              − (sy_p·n_n − sy_n·n_p)·(dx·n_p − XA)
+
+    with XA = sxr_p + n_p·(start_p − start_c) (prev-mean x numerator),
+    XC likewise for next, dx = µs offset of the candidate row, yu its
+    integer value. The final products exceed 2^53, so both engines
+    evaluate the IDENTICAL double expression tree (same operands, same
+    ops, same order → identical IEEE results); ties break on earliest
+    (ts, tiebreak). Only INTERIOR buckets (both neighbors exist) are
+    emitted — callers keep the first/last bucket's endpoints verbatim,
+    as LTTB prescribes for the series ends.
+    """
+    b_start = F.date_trunc(bucket, F.col(ts_col))
+    xu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    yu = F.round(F.col(value_col).cast("double") * F.lit(1000000.0), 0).cast(
+        "bigint"
+    )
+    start_us = F.unix_micros(F.col("bucket_ts").cast("timestamp"))
+    pts = df.select(
+        F.col(key_col),
+        b_start.alias("bucket_ts"),
+        F.col(tiebreak_col),
+        F.col(ts_col),
+        F.col(value_col),
+        xu.alias("_xu"),
+        yu.alias("_yu"),
+    ).withColumn("_dx", F.col("_xu") - start_us)
+
+    summ = pts.groupBy(key_col, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_dx").alias("sxr"),
+        F.sum("_yu").alias("sy"),
+    )
+    w = Window.partitionBy(key_col).orderBy("bucket_ts")
+    nb = (
+        summ.withColumn("_start", start_us)
+        .select(
+            key_col,
+            "bucket_ts",
+            F.lag("n").over(w).alias("n_p"),
+            F.lag("sxr").over(w).alias("sxr_p"),
+            F.lag("sy").over(w).alias("sy_p"),
+            F.lag("_start").over(w).alias("start_p"),
+            F.lead("n").over(w).alias("n_n"),
+            F.lead("sxr").over(w).alias("sxr_n"),
+            F.lead("sy").over(w).alias("sy_n"),
+            F.lead("_start").over(w).alias("start_n"),
+            F.col("_start").alias("start_c"),
+        )
+        .filter(F.col("n_p").isNotNull() & F.col("n_n").isNotNull())
+    )
+
+    j = pts.join(F.broadcast(nb), [key_col, "bucket_ts"])
+    d = lambda c: c.cast("double")  # noqa: E731 — one-symbol alias keeps
+    # the score expression readable enough to compare with the oracle
+    xa = F.col("sxr_p") + F.col("n_p") * (F.col("start_p") - F.col("start_c"))
+    xc = F.col("sxr_n") + F.col("n_n") * (F.col("start_n") - F.col("start_c"))
+    score = (
+        (d(xa) * d(F.col("n_n")) - d(xc) * d(F.col("n_p")))
+        * (d(F.col("_yu")) * d(F.col("n_p")) - d(F.col("sy_p")))
+        - (d(F.col("sy_p")) * d(F.col("n_n")) - d(F.col("sy_n")) * d(F.col("n_p")))
+        * (d(F.col("_dx")) * d(F.col("n_p")) - d(xa))
+    )
+    best = (
+        j.select(
+            key_col,
+            "bucket_ts",
+            F.struct(
+                F.abs(score).alias("score"),
+                (-F.col("_xu")).alias("neg_x"),
+                (-F.col(tiebreak_col)).alias("neg_tb"),
+                F.col(tiebreak_col).alias("tb"),
+                F.col(ts_col).alias("ts_v"),
+                F.col(value_col).alias("val"),
+            ).alias("_cand"),
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(F.max("_cand").alias("_m"))
+        .select(
+            key_col,
+            "bucket_ts",
+            F.col("_m.tb").alias(tiebreak_col),
+            F.col("_m.ts_v").alias(ts_col),
+            F.col("_m.val").alias(value_col),
+        )
+    )
+    return best

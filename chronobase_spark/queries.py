@@ -117,7 +117,10 @@ def _recorded_green() -> tuple[int, set[str]]:
 # rounds exist — a crashed or shrunken grading round must not silently
 # drop a pending re-grade (r4 advisor note).
 _FORCE_REGRADE = {
-    "ewma_user_value": 4,  # r5: collect-fold -> affine-segment composition
+    # r6: boundary chain fused into one window (bit-identical by
+    # construction and re-proven vs the oracle at sf0.01 + sf0.1 this
+    # session, but the new plan deserves fresh driver evidence)
+    "ewma_user_value": 5,
     "multimodal_decode_features": 4,  # r5: stub decode -> real PPM decoder
     "dup_clusters": 4,  # r5: CC convergence seeded from init labels
     # r5 sf0.1 robustness sweep: rounded double quotients replaced by
@@ -3581,6 +3584,189 @@ def q_pq_code_histogram(spark, sf_dir):
     return assigned.groupBy("subspace", "code").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("dist_u2").cast("bigint").alias("err_sum_u2"),
+    )
+
+
+_LTOB_SQL = """
+WITH pts AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, event_id, ts, value,
+         epoch_us(ts) AS xu,
+         CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS yu,
+         epoch_us(ts) - epoch_us(date_trunc('hour', ts)) AS dx
+  FROM events
+), summ AS (
+  SELECT event_type, bucket_ts, COUNT(*) AS n, SUM(dx) AS sxr, SUM(yu) AS sy,
+         epoch_us(bucket_ts) AS start_c
+  FROM pts GROUP BY event_type, bucket_ts
+), nb AS (
+  SELECT event_type, bucket_ts, start_c,
+         LAG(n) OVER w AS n_p, LAG(sxr) OVER w AS sxr_p,
+         LAG(sy) OVER w AS sy_p, LAG(start_c) OVER w AS start_p,
+         LEAD(n) OVER w AS n_n, LEAD(sxr) OVER w AS sxr_n,
+         LEAD(sy) OVER w AS sy_n, LEAD(start_c) OVER w AS start_n
+  FROM summ
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), scored AS (
+  SELECT p.event_type, p.bucket_ts, p.event_id, p.ts, p.value, p.xu,
+         ABS(
+           (CAST(b.sxr_p + b.n_p * (b.start_p - b.start_c) AS DOUBLE) * CAST(b.n_n AS DOUBLE)
+            - CAST(b.sxr_n + b.n_n * (b.start_n - b.start_c) AS DOUBLE) * CAST(b.n_p AS DOUBLE))
+           * (CAST(p.yu AS DOUBLE) * CAST(b.n_p AS DOUBLE) - CAST(b.sy_p AS DOUBLE))
+           - (CAST(b.sy_p AS DOUBLE) * CAST(b.n_n AS DOUBLE) - CAST(b.sy_n AS DOUBLE) * CAST(b.n_p AS DOUBLE))
+           * (CAST(p.dx AS DOUBLE) * CAST(b.n_p AS DOUBLE) - CAST(b.sxr_p + b.n_p * (b.start_p - b.start_c) AS DOUBLE))
+         ) AS score
+  FROM pts p JOIN nb b USING (event_type, bucket_ts)
+  WHERE b.n_p IS NOT NULL AND b.n_n IS NOT NULL
+)
+SELECT event_type, bucket_ts, event_id, ts, value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                                   ORDER BY score DESC, xu ASC, event_id ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@register("downsample_ltob", _LTOB_SQL)
+def q_downsample_ltob(spark, sf_dir):
+    """Largest-Triangle-One-Bucket downsampling: one shape-preserving
+    representative row per (event_type, hour) — the TSDB plotting
+    primitive (TimescaleDB's lttb() hyperfunction family; Steinarsson
+    2013). The parallel LTOB variant anchors each bucket's triangle on
+    the NEIGHBOR BUCKET MEANS, so the whole reduction is two partial-agg
+    shuffles plus a broadcast of the tiny per-bucket summary table —
+    no sequential chain. Cross-engine exactness: integer µs/1e-6-value
+    sums (bucket-relative, overflow-free at any density), mean
+    denominators multiplied out of the argmax, and the one
+    over-2^53 product evaluated as the identical double expression
+    tree on both engines. Mechanics: operators.timeseries.
+    ltob_downsample."""
+    return timeseries.ltob_downsample(
+        _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    )
+
+
+_TREND_ORIGIN_US = 1_704_067_200_000_000  # TIMESTAMP '2024-01-01' in µs
+
+_TREND_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         (epoch_us(ts) - {_TREND_ORIGIN_US}) // 1000000 AS xs,
+         CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS yu
+  FROM events
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(xs) AS DOUBLE) AS sx,
+         CAST(SUM(yu) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xs * xs AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(xs * yu AS DECIMAL(28,0))) AS DOUBLE) AS sxy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n_events,
+       (n_events * sxy - sx * sy) / (n_events * sxx - sx * sx) AS slope_uv_per_s,
+       (sy - (n_events * sxy - sx * sy) / (n_events * sxx - sx * sx) * sx)
+         / n_events AS intercept_uv
+FROM sums
+"""
+
+
+@register("value_trend_by_type", _TREND_SQL)
+def q_value_trend_by_type(spark, sf_dir):
+    """Per-type ordinary-least-squares trend of value over time — the
+    TSDB trend/forecast primitive (PromQL deriv(); TimescaleDB
+    stats_agg slope). One partial-agg shuffle: the four moment sums
+    (Σx, Σy, Σx², Σxy) are associative, so the slope is map-side
+    combinable — no window, no second pass, and the shape is identical
+    at 100 TB.
+
+    Exactness: x is integer SECONDS since 2024-01-01 (integer div of
+    exact µs — bounded so x² stays in BIGINT per row), y integer 1e-6
+    units (multiply-then-round rule); the two product sums accumulate
+    as DECIMAL(28,0)→38 so no scale overflows them; the final
+    slope/intercept are computed in DOUBLE from identically-rounded
+    operands via the identical expression tree on both engines, and
+    emitted UNROUNDED (FIXTURES.md: never round a quotient)."""
+    ev = _t(spark, sf_dir, "events")
+    xs = F.expr(
+        f"(unix_micros(cast(ts as timestamp)) - {_TREND_ORIGIN_US}) div 1000000"
+    )
+    yu = F.round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast("bigint")
+    pts = ev.select(F.col("event_type"), xs.alias("xs"), yu.alias("yu"))
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("xs").cast("double").alias("sx"),
+        F.sum("yu").cast("double").alias("sy"),
+        F.sum((F.col("xs") * F.col("xs")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("xs") * F.col("yu")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n_events").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "event_type",
+        "n_events",
+        slope.alias("slope_uv_per_s"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept_uv"),
+    )
+
+
+_REVSHARE_SQL = """
+WITH per_nation AS (
+  SELECT n.n_name,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), tot AS (
+  SELECT SUM(revenue) AS total_revenue FROM per_nation
+)
+SELECT n_name, n_orders, revenue,
+       CAST(revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) AS revenue_share
+FROM per_nation, tot
+"""
+
+
+@register("nation_revenue_share", _REVSHARE_SQL)
+def q_nation_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of total order revenue —
+    the reporting primitive SQL calls RATIO_TO_REPORT (Oracle) or
+    share-of-total windows. Shape: dimension joins broadcast (nation,
+    customer), ONE revenue shuffle, then the 1-row total broadcasts
+    back over the |nations| aggregate — never a SinglePartition window
+    over data rows (a w := Window.partitionBy() here would serialize
+    the corpus through one task at 100 TB). Share = one unrounded
+    double division of exact DECIMAL sums (identical operands divide
+    identically on both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+    tot = per_nation.agg(F.sum("revenue").alias("total_revenue"))
+    return per_nation.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_orders",
+        "revenue",
+        (F.col("revenue").cast("double") / F.col("total_revenue").cast("double")).alias(
+            "revenue_share"
+        ),
     )
 
 

@@ -337,6 +337,38 @@ def test_gap_fill_locf_spine_and_carry(spark):
     assert len(b) == 1 and b[0].n_events == 1 and b[0].avg_value_locf == 2.0
 
 
+def test_ltob_downsample_picks_largest_triangle(spark):
+    """LTOB: interior buckets only; the representative is the point
+    with the largest triangle area against the neighbor-bucket means
+    (the y=5.0 spike beats the flat points); identical points tie and
+    fall back to the lowest id."""
+    rows = [
+        # prev bucket (hour 10): mean y = 0
+        (1, "2024-01-01 10:10:00", 0.0),
+        (2, "2024-01-01 10:50:00", 0.0),
+        # interior bucket (hour 11): spike at id 4
+        (3, "2024-01-01 11:00:00", 0.0),
+        (4, "2024-01-01 11:30:00", 5.0),
+        (5, "2024-01-01 11:59:00", 0.1),
+        # tied interior bucket (hour 12): identical points -> lowest id
+        (6, "2024-01-01 12:10:00", 0.0),
+        (7, "2024-01-01 12:10:00", 0.0),
+        # last bucket (hour 13): no next neighbor, not emitted
+        (8, "2024-01-01 13:20:00", 9.0),
+    ]
+    df = spark.createDataFrame(
+        [("a", i, ts, v) for i, ts, v in rows],
+        "event_type string, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["bucket_ts"].hour: r
+        for r in timeseries.ltob_downsample(df).collect()
+    }
+    assert sorted(out) == [11, 12]  # interior buckets only
+    assert out[11]["event_id"] == 4 and out[11]["value"] == 5.0
+    assert out[12]["event_id"] == 6  # tie -> lowest id
+
+
 def test_gap_fill_decimal_quantization_contract(spark):
     """The documented precision contract: the bucket average sums value
     as value_decimal (default DECIMAL(18,2)), quantizing finer inputs

@@ -171,6 +171,7 @@ _SCALE_FLAG_ALLOWLIST = {
     "ivf_assign_counts": {"bnlj"},  # |labels| centroid rows broadcast
     "tfidf_top_terms": {"bnlj", "single-partition"},  # doc-count scalar
     "source_mix_weights": {"bnlj", "single-partition"},  # 1-row totals
+    "nation_revenue_share": {"bnlj", "single-partition"},  # 1-row total revenue
 }
 
 
