@@ -337,6 +337,30 @@ def test_gap_fill_locf_spine_and_carry(spark):
     assert len(b) == 1 and b[0].n_events == 1 and b[0].avg_value_locf == 2.0
 
 
+def test_value_trend_recovers_exact_line(spark):
+    """OLS trend on a perfect line y = 2·t + 3 (t in seconds from the
+    2024-01-01 origin) must recover slope 2e6 µ-units/s and intercept
+    3e6 µ-units exactly — the moment sums are integer-exact and the
+    closed form divides once."""
+    from chronobase_spark import queries as q
+
+    rows = [(i, f"2024-01-01 00:00:{s:02d}", 2.0 * s + 3.0)
+            for i, s in enumerate(range(0, 50, 7))]
+    df = spark.createDataFrame(
+        [("lin", i, ts, v) for i, ts, v in rows],
+        "event_type string, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import unittest.mock as mock
+
+    with mock.patch.object(q, "_t", return_value=df):
+        out = q.q_value_trend_by_type(spark, "unused").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == len(rows)
+    assert r["slope_uv_per_s"] == 2_000_000.0
+    assert r["intercept_uv"] == 3_000_000.0
+
+
 def test_ltob_downsample_picks_largest_triangle(spark):
     """LTOB: interior buckets only; the representative is the point
     with the largest triangle area against the neighbor-bucket means
