@@ -328,6 +328,15 @@ def _pass(spark, factor: int) -> dict[str, float]:
         )
         timings["ohlc_daily"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # LTOB shape: bucket partial-aggs + broadcast neighbor summary
+        # + struct argmax — replication grows only the per-bucket
+        # point count, never the summary table
+        timeseries.ltob_downsample(
+            ev.select("event_type", "event_id", "ts", "value")
+        ).write.format("noop").mode("overwrite").save()
+        timings["ltob_downsample"] = time.perf_counter() - t0
+
     return timings
 
 

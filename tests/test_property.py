@@ -441,3 +441,64 @@ def test_repeated_spans_counts_match_bruteforce(spark, texts):
         .collect()
     )
     assert {(r["n_docs"], r["n_occ"]) for r in agg} == expect
+
+
+def _ltob_model(rows, bucket_s=60):
+    """Pure-Python replica of ltob_downsample's exact op DAG (minute
+    buckets): bucket-relative integer sums, neighbor = adjacent
+    EXISTING bucket in the summary order, score evaluated with the
+    identical double expression tree, ties on (earliest x, lowest id).
+    Returns {(key, bucket_start_s): (rid, value)} for interior buckets."""
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for i, (k, s, v) in enumerate(rows):
+        b = (s // bucket_s) * bucket_s
+        pts[(k, b)].append((s * 1_000_000, round(float(v) * 1e6), i, float(v)))
+    out = {}
+    for key in {k for k, _ in pts}:
+        buckets = sorted(b for kk, b in pts if kk == key)
+        for j in range(1, len(buckets) - 1):
+            bp, bc, bn = buckets[j - 1], buckets[j], buckets[j + 1]
+            bp_us, bc_us, bn_us = (b * 1_000_000 for b in (bp, bc, bn))
+            P, C, N = pts[(key, bp)], pts[(key, bc)], pts[(key, bn)]
+            n_p, n_n = len(P), len(N)
+            sxr_p = sum(x - bp_us for x, _, _, _ in P)
+            sy_p = sum(y for _, y, _, _ in P)
+            sxr_n = sum(x - bn_us for x, _, _, _ in N)
+            sy_n = sum(y for _, y, _, _ in N)
+            xa = sxr_p + n_p * (bp_us - bc_us)
+            xc = sxr_n + n_n * (bn_us - bc_us)
+            best = None
+            for x, y, rid, v in C:
+                dx = x - bc_us
+                score = abs(
+                    (float(xa) * float(n_n) - float(xc) * float(n_p))
+                    * (float(y) * float(n_p) - float(sy_p))
+                    - (float(sy_p) * float(n_n) - float(sy_n) * float(n_p))
+                    * (float(dx) * float(n_p) - float(xa))
+                )
+                cand = (score, -x, -rid, rid, v)
+                if best is None or cand > best:
+                    best = cand
+            out[(key, bc)] = (best[3], best[4])
+    return out
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_ltob_downsample_matches_model(spark, rows):
+    """ltob_downsample must agree with the pure-Python replica of its
+    exact FP op DAG on arbitrary inputs — interior-bucket set,
+    representative id, and value all equal."""
+    df = _df(spark, rows, ["event_type", "ts", "value"]).withColumnRenamed(
+        "rid", "event_id"
+    )
+    got = {
+        (r["event_type"], int((r["bucket_ts"] - BASE).total_seconds())): (
+            r["event_id"],
+            r["value"],
+        )
+        for r in timeseries.ltob_downsample(df, bucket="minute").collect()
+    }
+    assert got == _ltob_model(rows)
