@@ -61,6 +61,10 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Columnar + Arrow for the Pandas-UDF extension path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (off by default in 4.1):
+        # lets the chronotab migration source receive ts_ns bounds and
+        # prune tablet blocks at planning time (sources/tabfile.py).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Write posture (reference gzip blocks -> Parquet zstd).
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Session timezone pinned so timestamp literals are unambiguous

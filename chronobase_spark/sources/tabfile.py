@@ -93,6 +93,58 @@ def read_tab_rows(path: str):
         yield from read_block(path, off)
 
 
+def block_first_ts(path: str, offset: int) -> int:
+    """First row's ts_unix_nanos of one block, WITHOUT decompressing the
+    whole block: gzip is a stream, so feeding the decompressor ~4 KiB of
+    compressed bytes yields (far) more than the 12+keyLen output bytes
+    the header needs. Rows are (ts, key)-sorted within a tablet
+    (tablet.go:124-132), so this is the block's MINIMUM ts — and block
+    i's maximum is bounded by block i+1's first ts, which is what makes
+    footer-driven time pruning sound (see _prune_blocks)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)  # 31 = gzip container
+    out = b""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        (clen,) = struct.unpack(">q", fh.read(8))
+        remaining = clen
+        while remaining > 0:
+            chunk = fh.read(min(4096, remaining))
+            if not chunk:
+                break
+            remaining -= len(chunk)
+            out += d.decompress(chunk)
+            if len(out) >= 4:
+                (key_len,) = struct.unpack_from(">I", out, 0)
+                if len(out) >= 4 + key_len + 8:
+                    (ts_ns,) = struct.unpack_from(">Q", out, 4 + key_len)
+                    return ts_ns
+    raise ValueError(f"{path}@{offset}: truncated block header")
+
+
+def _prune_blocks(
+    first_ts: list[int], lo: int | None, hi: int | None
+) -> list[int]:
+    """Indices of blocks that may intersect [lo, hi] (ns, inclusive;
+    None = unbounded), given each block's first-row ts in file order.
+
+    Sound because rows sort by (ts, key) across a tablet: block i's min
+    ts IS first_ts[i], and its max ts is ≤ first_ts[i+1]. Keep block i
+    unless its min exceeds `hi`, or an upper bound on its max
+    (first_ts[i+1]) falls below `lo` — conservative in both directions,
+    so pruning can only skip provably-empty blocks, never rows."""
+    keep = []
+    m = len(first_ts)
+    for i in range(m):
+        if hi is not None and first_ts[i] > hi:
+            continue
+        if lo is not None and i + 1 < m and first_ts[i + 1] < lo:
+            continue
+        keep.append(i)
+    return keep
+
+
 def write_tab_file(
     rows: list[tuple[bytes, int, bytes]], path: str, block_size: int = 64 * 1024
 ) -> None:
@@ -234,11 +286,39 @@ def register_tab_source(spark) -> None:
             self.path = path
             self.offset = offset
 
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
     class _TabReader(DataSourceReader):
+        """Reader with footer-driven TIME PRUNING — the feature the
+        reference's own block index was built for but never wired
+        (tablet.go:349-350 reads every block regardless). Bounds on
+        ``ts_ns`` arrive via Spark's filter pushdown (pushFilters) or
+        the explicit ``start_ts_ns``/``end_ts_ns`` load options; blocks
+        provably outside the range are never scheduled as partitions.
+        Pushed filters are NOT consumed (all are returned as
+        unsupported), so Spark still applies them row-wise — pruning is
+        purely a partition-count optimization and can never change
+        results. Planning reads ~4 KiB per block on the driver (the
+        partial-gzip first-ts probe); a deployment with millions of
+        blocks would move the probe into a planning job, the same
+        escalation path Parquet footers take."""
+
         def __init__(self, options):
             self.root = options.get("path")
             if not self.root:
                 raise ValueError("chronotab: .load(path) is required")
+            self.lo = self._opt_int(options, "start_ts_ns")
+            self.hi = self._opt_int(options, "end_ts_ns")
+
+        @staticmethod
+        def _opt_int(options, key):
+            v = options.get(key)
+            return int(v) if v is not None else None
 
         def partitions(self):
             root = Path(self.root)
@@ -248,23 +328,66 @@ def register_tab_source(spark) -> None:
             parts = []
             for f in files:
                 idx = read_tab_index(str(f))
-                parts.extend(
-                    _BlockPartition(str(f), off) for off in idx.block_offsets
-                )
+                offsets = idx.block_offsets
+                if self.lo is not None or self.hi is not None:
+                    first = [block_first_ts(str(f), off) for off in offsets]
+                    offsets = [
+                        offsets[i]
+                        for i in _prune_blocks(first, self.lo, self.hi)
+                    ]
+                parts.extend(_BlockPartition(str(f), off) for off in offsets)
             return parts
 
         def read(self, partition):
             import datetime as dt
 
             epoch = dt.datetime(1970, 1, 1)
+            lo, hi = self.lo, self.hi
             for key, ts_ns, data in read_block(
                 partition.path, partition.offset
             ):
+                # Row-level bound check: block pruning is conservative
+                # (boundary blocks survive), so the explicit
+                # start/end_ts_ns options are made EXACT here; when the
+                # bounds came from pushFilters instead this is a cheap
+                # no-op duplicate of the filter Spark re-applies.
+                if (lo is not None and ts_ns < lo) or (
+                    hi is not None and ts_ns > hi
+                ):
+                    continue
                 # integer µs truncation (floats drift ~0.2µs at current
                 # epochs) — the same ns→µs semantics the catalog applies
                 # to parquet TIMESTAMP(NANOS)
                 ts = epoch + dt.timedelta(microseconds=ts_ns // 1000)
                 yield (key, ts, ts_ns, data)
+
+    def _push_filters(self, filters):
+        for f in filters:
+            if getattr(f, "attribute", None) == ("ts_ns",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, GreaterThan):
+                    b = f.value + 1
+                    self.lo = b if self.lo is None else max(self.lo, b)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = f.value if self.lo is None else max(self.lo, f.value)
+                elif isinstance(f, LessThan):
+                    b = f.value - 1
+                    self.hi = b if self.hi is None else min(self.hi, b)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = f.value if self.hi is None else min(self.hi, f.value)
+            yield f  # never consumed: Spark re-applies row-wise
+
+    # Spark 4.1 ERRORS if a reader defines pushFilters while
+    # spark.sql.python.filterPushdown.enabled is false (the default),
+    # so the method is attached only when the session opted in —
+    # get_spark() does; a vanilla session still prunes via the
+    # start_ts_ns/end_ts_ns load options.
+    if (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        == "true"
+    ):
+        _TabReader.pushFilters = _push_filters
 
     class ChronoTabDataSource(DataSource):
         @classmethod

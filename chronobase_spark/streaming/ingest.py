@@ -468,3 +468,91 @@ def streaming_interval_join(
         F.col("r.event_id").alias("right_event_id"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def streaming_value_trend(stream: DataFrame) -> DataFrame:
+    """Per-type OLS trend maintained incrementally across micro-batches
+    — the streaming twin of ``queries.value_trend_by_type``, and the
+    payoff of designing the batch operator around ASSOCIATIVE moment
+    sums: the same four sums that made the batch plan one map-side
+    partial agg are exactly the state a stream needs, so the operator
+    streams with no reformulation at all.
+
+    State per event_type is (n, Σx, Σy, Σx², Σxy) with x = integer
+    seconds since 2024-01-01 and y = integer 1e-6 value units (the
+    batch quantization contract, half-UP like Spark's round, applied
+    sign-aware since pandas' .round is half-even). The two product sums
+    are stored as decimal-integer STRINGS: Python ints are arbitrary
+    precision, so the state stays exact past int64 where the batch side
+    uses DECIMAL(38,0) — bit-identical accumulation on both paths. The
+    emitted slope/intercept evaluate the identical double expression
+    tree as the batch query, so after draining a source (availableNow)
+    the last emitted row per type equals the batch result EXACTLY
+    (pinned in tests/test_streaming.py). Emits the updated trend per
+    touched type per batch (update semantics)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n_events", LongType()),
+            StructField("slope_uv_per_s", DoubleType()),
+            StructField("intercept_uv", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("sx", LongType()),
+            StructField("sy", LongType()),
+            StructField("sxx", StringType()),
+            StructField("sxy", StringType()),
+        ]
+    )
+    origin_us = 1_704_067_200_000_000  # TIMESTAMP '2024-01-01' in µs
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, sx, sy, sxx_s, sxy_s = state.get
+            sxx, sxy = int(sxx_s), int(sxy_s)
+        else:
+            n, sx, sy, sxx, sxy = 0, 0, 0, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            xs = (us - origin_us) // 1_000_000
+            v6 = pdf["value"].astype("float64") * 1e6
+            yu = (np.sign(v6) * np.floor(np.abs(v6) + 0.5)).astype("int64")
+            n += int(len(pdf))
+            sx += int(xs.sum())
+            sy += int(yu.sum())
+            sxx += int((xs * xs).sum())
+            sxy += int((xs * yu).sum())
+        state.update((n, sx, sy, str(sxx), str(sxy)))
+        nf, sxf, syf = float(n), float(sx), float(sy)
+        sxxf, sxyf = float(sxx), float(sxy)
+        den = nf * sxxf - sxf * sxf
+        if den != 0.0:
+            slope = (nf * sxyf - sxf * syf) / den
+            intercept = (syf - slope * sxf) / nf
+        else:
+            slope = intercept = None
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "slope_uv_per_s": [slope],
+                "intercept_uv": [intercept],
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -696,3 +696,56 @@ def test_streaming_simhash_stage_matches_batch(spark, tmp_path):
     assert set(batch) == set(k for k, v in got.items() if v is not None)
     for doc, sig in batch.items():
         assert got[doc] == sig, doc
+
+
+def test_streaming_value_trend_matches_batch_exactly(spark, event_source, tmp_path):
+    """The streaming OLS twin must equal the batch value_trend_by_type
+    BIT-EXACTLY after draining the source: both sides accumulate the
+    same integer moment sums and evaluate the same double expression,
+    so this is equality, not tolerance."""
+    from chronobase_spark import queries as q
+
+    stream = ingest.read_event_stream(spark, event_source)
+    trend = ingest.streaming_value_trend(stream)
+    sink = str(tmp_path / "trend_sink")
+    ckpt = str(tmp_path / "trend_ckpt")
+
+    def sink_batch(batch, batch_id):
+        batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    query = (
+        trend.writeStream.foreachBatch(sink_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+
+    import unittest.mock as mock
+
+    batch_df = spark.read.parquet(event_source)
+    with mock.patch.object(q, "_t", return_value=batch_df):
+        want = {
+            r["event_type"]: (r["n_events"], r["slope_uv_per_s"], r["intercept_uv"])
+            for r in q.q_value_trend_by_type(spark, "unused").collect()
+        }
+
+    emitted = spark.read.parquet(sink)
+    from pyspark.sql import Window as W
+
+    last = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["slope_uv_per_s"], r["intercept_uv"])
+        for r in last
+    }
+    assert got == want

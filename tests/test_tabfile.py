@@ -182,3 +182,67 @@ def test_spark_datasource_scans_blocks_in_parallel(spark, tmp_path):
     one = df.filter(df.ts_ns == 1_700_000_003_000_000_123).collect()[0]
     assert one["ts"].microsecond == 0
     assert one["ts"].year == 2023
+
+
+def test_prune_blocks_bounds_and_edges():
+    """Block i's min is first_ts[i], its max is bounded by first_ts[i+1]
+    — keep exactly the blocks that may intersect [lo, hi]."""
+    first = [100, 200, 300, 400]
+    p = tabfile._prune_blocks
+    assert p(first, None, None) == [0, 1, 2, 3]
+    assert p(first, 250, None) == [1, 2, 3]      # block1 may reach 250..300
+    assert p(first, 300, None) == [1, 2, 3]      # boundary: max(b1) could == 300
+    assert p(first, 301, None) == [2, 3]
+    assert p(first, None, 199) == [0]
+    assert p(first, None, 200) == [0, 1]
+    assert p(first, 250, 250) == [1]
+    assert p(first, 1000, None) == [3]           # last block has no upper bound
+    assert p(first, None, 50) == []
+
+
+def test_block_first_ts_partial_decompress(tmp_path):
+    path = str(tmp_path / "t.tab")
+    rows = [(f"key-{i:04d}".encode(), 1_000_000 + i, b"x" * 200) for i in range(500)]
+    tabfile.write_tab_file(rows, path, block_size=8 * 1024)
+    idx = tabfile.read_tab_index(path)
+    assert len(idx.block_offsets) > 3
+    expect = None
+    for off in idx.block_offsets:
+        got = tabfile.block_first_ts(path, off)
+        block_rows = tabfile.read_block(path, off)
+        assert got == block_rows[0][1]
+        if expect is not None:
+            assert got >= expect  # file-wide (ts, key) order
+        expect = block_rows[-1][1]
+
+
+def test_chronotab_time_pruning_options_and_pushdown(spark, tmp_path):
+    """start/end options prune block partitions at planning; Spark's
+    ts_ns filter pushdown prunes the same way; results stay exact in
+    both modes (pruning is conservative, filters re-applied row-wise)."""
+    d = tmp_path / "tablets"
+    d.mkdir()
+    rows = [(f"k{i:03d}".encode(), 1_000 * i, b"p" * 50) for i in range(100)]
+    tabfile.write_tab_file(rows, str(d / "a.tab"), block_size=1)  # 100 blocks
+    tabfile.register_tab_source(spark)
+
+    base = spark.read.format("chronotab")
+    full = base.load(str(d))
+    assert full.rdd.getNumPartitions() == 100
+
+    opt = (
+        spark.read.format("chronotab")
+        .option("start_ts_ns", 10_000)
+        .option("end_ts_ns", 19_999)
+        .load(str(d))
+    )
+    assert opt.rdd.getNumPartitions() <= 12  # ~10 blocks + boundary slack
+    got = sorted(r["ts_ns"] for r in opt.collect())
+    assert got == [1_000 * i for i in range(10, 20)]
+
+    # get_spark enables Python-datasource filter pushdown; registration
+    # saw it on, so the ts_ns bounds below reach the reader's pruning.
+    assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    pushed = full.filter("ts_ns >= 50000 and ts_ns <= 52000")
+    vals = sorted(r["ts_ns"] for r in pushed.collect())
+    assert vals == [50_000, 51_000, 52_000]
