@@ -84,14 +84,26 @@ def decode_stub(payloads: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_bytes(bytes(p)) for p in pdf["payload"]]
+            # NULL payload/meta (e.g. a NULL source document) -> NULL
+            # features, SQL-style; bytes(None) would crash the worker.
+            feats = [
+                None if p is None else _decode_bytes(bytes(p))
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": [m["media_type"] for m in pdf["meta"]],
-                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
-                    "n_frames": [f["n_frames"] for f in feats],
-                    "checksum": [f["checksum"] for f in feats],
+                    "media_type": [
+                        None if m is None else m["media_type"] for m in pdf["meta"]
+                    ],
+                    "n_bytes": [
+                        None
+                        if m is None or m["n_bytes"] is None
+                        else int(m["n_bytes"])
+                        for m in pdf["meta"]
+                    ],
+                    "n_frames": [None if f is None else f["n_frames"] for f in feats],
+                    "checksum": [None if f is None else f["checksum"] for f in feats],
                 }
             )
 
@@ -200,17 +212,33 @@ def decode_ppm(payloads: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_ppm_bytes(bytes(p)) for p in pdf["payload"]]
+            # NULL payload/meta -> NULL feature row (SQL semantics);
+            # bytes(None) would crash the Arrow worker.
+            feats = [
+                None if p is None else _decode_ppm_bytes(bytes(p))
+                for p in pdf["payload"]
+            ]
+
+            def col(k):
+                return [None if f is None else f[k] for f in feats]
+
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": [m["media_type"] for m in pdf["meta"]],
-                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "r_sum": [f["r_sum"] for f in feats],
-                    "g_sum": [f["g_sum"] for f in feats],
-                    "b_sum": [f["b_sum"] for f in feats],
+                    "media_type": [
+                        None if m is None else m["media_type"] for m in pdf["meta"]
+                    ],
+                    "n_bytes": [
+                        None
+                        if m is None or m["n_bytes"] is None
+                        else int(m["n_bytes"])
+                        for m in pdf["meta"]
+                    ],
+                    "width": col("width"),
+                    "height": col("height"),
+                    "r_sum": col("r_sum"),
+                    "g_sum": col("g_sum"),
+                    "b_sum": col("b_sum"),
                 }
             )
 
@@ -259,13 +287,19 @@ def resize_stub(payloads: DataFrame, scale_denom: int = 4) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [bytes(bytes(p)[::scale_denom]) for p in pdf["payload"]]
+            # NULL payload -> NULL payload + NULL meta (SQL semantics).
+            out = [
+                None if p is None else bytes(bytes(p)[::scale_denom])
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": out,
                     "meta": [
-                        {
+                        None
+                        if b is None or m is None
+                        else {
                             "media_type": m["media_type"],
                             "n_bytes": len(b),
                             "scale_denom": scale_denom,

@@ -261,7 +261,12 @@ def pq_assign(
     (vec, subspace) with map-side partials; ties break by code id.
 
     Returns (id, subspace, code, dist_u2: bigint) per vector-subspace.
+    NULL vectors are dropped up front (they cannot be quantized; with
+    size(NULL) = NULL the divisibility guard below would otherwise
+    raise a contentless error for them — same policy as
+    lsh_candidates' NULL-signature drop).
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     d_sub = F.size(F.col(vec_col)) / m
     # dim must divide evenly by m — checked per row, raising instead of
     # the silent failure mode (a fractional d_sub truncates the slice

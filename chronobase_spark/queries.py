@@ -1822,12 +1822,14 @@ def q_pandas_udf_norm_len(spark, sf_dir):
 
     @pandas_udf("bigint")
     def norm_len(s: pd.Series) -> pd.Series:
+        # nullable Int64, not int64: NULL text must stay NULL (the
+        # oracle's LENGTH(NULL) is NULL); plain int64 raises on NaN.
         return (
             s.str.lower()
             .str.strip()
             .str.replace(r" +", " ", regex=True)
             .str.len()
-            .astype("int64")
+            .astype("Int64")
         )
 
     docs = _t(spark, sf_dir, "documents")
