@@ -47,6 +47,30 @@ assert n > 0, "time_range_scan returned no rows on a vanilla session"
 # 3) timezone must have been pinned by the catalog, not left to luck.
 assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
+# 4) chronotab on a session WITHOUT the Python filter-pushdown conf:
+# register_tab_source must not attach pushFilters (Spark errors when the
+# conf is off and the method exists), and options-based time pruning
+# must still deliver exact results.
+import tempfile, os as _os
+from chronobase_spark.sources import tabfile as _tab
+
+_d = tempfile.mkdtemp(prefix="vanilla_tab_")
+_tab.write_tab_file(
+    [(b"k%03d" % i, 1_000 * i, b"v") for i in range(20)],
+    _os.path.join(_d, "a.tab"),
+    block_size=1,
+)
+_tab.register_tab_source(spark)
+_df = (
+    spark.read.format("chronotab")
+    .option("start_ts_ns", 5_000)
+    .option("end_ts_ns", 9_000)
+    .load(_d)
+)
+_got = sorted(r["ts_ns"] for r in _df.collect())
+assert _got == [1_000 * i for i in range(5, 10)], _got
+assert _df.rdd.getNumPartitions() <= 7  # pruned from 20 blocks
+
 print("VANILLA_OK", len(rows), n)
 spark.stop()
 """
