@@ -43,14 +43,30 @@ class TabIndex:
 
 def read_tab_index(path: str) -> TabIndex:
     """Parse the footer index: seek -8 for the index offset, then block
-    count, offsets, and last keys (reference index.go:61-131)."""
+    count, offsets, and last keys (reference index.go:61-131). Damaged
+    framing raises ValueError naming the file — the reference's
+    ErrCorruptData contract (pkg/db/errors.go), never a cryptic
+    short-read struct error and never garbage rows."""
     with open(path, "rb") as fh:
+        fh.seek(0, io.SEEK_END)
+        size = fh.tell()
+        if size < 16:
+            raise ValueError(f"{path}: {size} bytes — too short for a tablet footer")
         fh.seek(-8, io.SEEK_END)
         (index_offset,) = struct.unpack(">q", fh.read(8))
+        if not 0 <= index_offset <= size - 16:
+            raise ValueError(
+                f"{path}: corrupt footer (index offset {index_offset}, "
+                f"file is {size} bytes)"
+            )
         fh.seek(index_offset)
         (block_count,) = struct.unpack(">q", fh.read(8))
         if block_count <= 0:
             raise ValueError(f"{path}: invalid block count {block_count}")
+        if index_offset + 8 + 8 * block_count > size - 8:
+            raise ValueError(
+                f"{path}: corrupt index (claims {block_count} blocks past EOF)"
+            )
         offsets = list(
             struct.unpack(f">{block_count}q", fh.read(8 * block_count))
         )

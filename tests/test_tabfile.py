@@ -246,3 +246,52 @@ def test_chronotab_time_pruning_options_and_pushdown(spark, tmp_path):
     pushed = full.filter("ts_ns >= 50000 and ts_ns <= 52000")
     vals = sorted(r["ts_ns"] for r in pushed.collect())
     assert vals == [50_000, 51_000, 52_000]
+
+
+def test_corrupt_tablet_files_fail_loudly(tmp_path):
+    """The reference's ErrCorruptData surface (pkg/db/errors.go): a
+    damaged tablet must raise a clear error, never yield garbage rows."""
+    import zlib
+
+    import pytest
+
+    good = str(tmp_path / "good.tab")
+    tabfile.write_tab_file(ROWS, good)
+
+    # file shorter than any possible footer
+    short = tmp_path / "short.tab"
+    short.write_bytes(b"\x00" * 4)
+    with pytest.raises(ValueError, match="too short"):
+        tabfile.read_tab_index(str(short))
+
+    # index offset pointing past EOF
+    past = tmp_path / "past.tab"
+    past.write_bytes(b"\x00" * 16 + struct.pack(">q", 10_000))
+    with pytest.raises(ValueError, match="corrupt footer"):
+        tabfile.read_tab_index(str(past))
+
+    # plausible offset but block count running past EOF
+    overrun = tmp_path / "overrun.tab"
+    overrun.write_bytes(
+        b"\x00" * 8 + struct.pack(">q", 500) + struct.pack(">q", 8)
+    )
+    with pytest.raises(ValueError, match="corrupt index|invalid block count"):
+        tabfile.read_tab_index(str(overrun))
+
+    # flipped bytes mid-DEFLATE-stream -> zlib/CRC error on read (bytes
+    # 8-17 are the gzip header, where flips can be silently ignored —
+    # corrupt the compressed payload proper)
+    data = bytearray(open(good, "rb").read())
+    for i in range(24, 32):
+        data[i] ^= 0xFF
+    bad = tmp_path / "bad.tab"
+    bad.write_bytes(bytes(data))
+    idx = tabfile.read_tab_index(str(bad))
+    with pytest.raises((zlib.error, OSError, EOFError, ValueError, gzip.BadGzipFile)):
+        tabfile.read_block(str(bad), idx.block_offsets[0])
+
+    # first-ts probe on a truncated block
+    trunc = tmp_path / "trunc.tab"
+    trunc.write_bytes(struct.pack(">q", 100) + b"\x1f\x8b")  # claims 100 bytes
+    with pytest.raises(Exception):
+        tabfile.block_first_ts(str(trunc), 0)
