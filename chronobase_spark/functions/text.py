@@ -220,6 +220,129 @@ def tfidf_top_terms(
     )
 
 
+def char_entropy(text: Column) -> Column:
+    """Per-document Shannon entropy (nats) of the character
+    distribution — the classic cheap gibberish/boilerplate signal
+    (near-zero for `aaaa...` spam, anomalously high for base64/binary
+    junk; used alongside the Gopher-style token rules in public
+    training-data pipelines).
+
+    Cross-engine exactness: floating-point addition is not
+    associative, so a groupBy-then-sum would hash-differ between
+    engines on summation order. Instead the per-char counts are folded
+    IN SORTED CHARACTER ORDER inside one expression (the "identical
+    sequential fold" rule this module's float ops follow), so both
+    engines evaluate bit-identical operand sequences; the result is
+    emitted as integer micro-nats (multiply-then-round, FIXTURES.md
+    quantization rule). Map-only: no shuffle, linear in doc
+    length × alphabet size, stays in codegen.
+    """
+    cs = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
+
+    def ent(chars: Column) -> Column:
+        counts = F.transform(
+            F.array_sort(F.array_distinct(chars)),
+            lambda c: F.size(F.filter(chars, lambda x: x == c)),
+        )
+        n = F.size(chars).cast("double")
+        s = F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+        )
+        return F.when(
+            n > 0,
+            F.round((F.log(n) - s / n) * F.lit(1000000.0), 0).cast("bigint"),
+        )
+
+    # bind the char array once (the expression-level "let" — see
+    # with_tokens) so split+filter runs once, not once per reference
+    return F.get(F.transform(F.array(cs), ent), 0)
+
+
+def bm25_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Per-(document, term) BM25 scores (Robertson/Spärck Jones BM25
+    with the Lucene-style non-negative idf ``ln(1 + (N − df + 0.5)/(df
+    + 0.5))``) — the ranking-function upgrade over tf-idf and the
+    lexical scorer behind bm25_top_terms and the hybrid-retrieval
+    fusion (functions/retrieval.py).
+
+    Plan shape (same scale posture as tfidf_top_terms): one explode +
+    two map-side-partial hash aggregations; the vocabulary-sized df
+    table broadcasts; the per-doc length table joins on the id key
+    (corpus-sized → shuffle_hash, never broadcast); N and avgdl are a
+    1-row broadcast.
+
+    Cross-engine exactness: tf/df/dl are integers, avgdl is one double
+    division of exact integers, and the score expression tree is
+    written identically in the SQL oracle (same literals, same
+    association), so the only transcendental is ``ln`` over identical
+    doubles; the score is emitted as integer micro-units
+    (multiply-then-round, FIXTURES.md quantization rule) so any
+    downstream ranking compares identically on both engines. Returns
+    (id_col, term, tf, score_micro).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " +")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df_docs") + F.lit(0.5))
+        / (F.col("df_docs") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    score = F.round(
+        idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm * F.lit(1000000.0), 0
+    ).cast("bigint")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl.hint("shuffle_hash"), id_col)
+        .crossJoin(F.broadcast(consts))
+        .select(id_col, "term", "tf", score.alias("score_micro"))
+    )
+
+
+def bm25_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 3,
+):
+    """Top-k BM25 terms per document — windowed top-k over
+    ``bm25_scores``, partitioned by document (never global)."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(docs, id_col, text_col, k1, b)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "score_micro")
+    )
+
+
 def inverted_index(
     docs,
     text_col: str = "text",

@@ -30,7 +30,7 @@ from chronobase_spark import catalog
 from chronobase_spark.dedup import embedding as emb_dedup
 from chronobase_spark.dedup import exact as exact_dedup
 from chronobase_spark.dedup import minhash, ngram, simhash
-from chronobase_spark.functions import packing, similarity, text
+from chronobase_spark.functions import packing, similarity, sketches, text
 from chronobase_spark.operators import aggregates as agg
 from chronobase_spark.operators import joins, setops, timeseries, windows
 
@@ -3770,6 +3770,246 @@ def q_nation_revenue_share(spark, sf_dir):
             "revenue_share"
         ),
     )
+
+
+_LEV_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, text, substr(text, 1, 24) AS pre, length(text) AS len
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.pre = b.pre AND a.doc_id < b.doc_id
+WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE)
+      <= 0.3 * CAST(greatest(a.len, b.len) AS DOUBLE)
+"""
+
+
+@register("levenshtein_near_pairs", _LEV_SQL)
+def q_levenshtein_near_pairs(spark, sf_dir):
+    """Character-level near-dup pairs: canopy blocking on (lang,
+    24-char prefix) + exact Levenshtein verify at a 0.3 relative
+    threshold (dedup.edit.levenshtein_near_pairs) — the edit-distance
+    member of the near-dup family next to the set-based MinHash /
+    SimHash / n-gram variants. Plain equi-join on the canopy key;
+    length-gap pruning before the O(n·m) DP; integer distances, so
+    fully oracle-checked."""
+    from chronobase_spark.dedup import edit
+
+    return edit.levenshtein_near_pairs(
+        _t(spark, sf_dir, "documents"), prefix_len=24, rel_threshold=0.3
+    )
+
+
+_ENTROPY_SQL = """
+SELECT doc_id,
+       CASE WHEN len(cs) > 0 THEN CAST(round((
+              ln(CAST(len(cs) AS DOUBLE))
+              - list_reduce(
+                  list_prepend(0.0, list_transform(
+                    list_transform(list_sort(list_distinct(cs)),
+                                   c -> len(list_filter(cs, x -> x = c))),
+                    n -> CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))),
+                  (acc, v) -> acc + v)
+                / CAST(len(cs) AS DOUBLE)
+            ) * 1000000.0, 0) AS BIGINT)
+       END AS entropy_micro
+FROM (SELECT doc_id,
+             list_filter(string_split(text, ''), c -> c <> '') AS cs
+      FROM documents)
+"""
+
+
+@register("char_entropy", _ENTROPY_SQL)
+def q_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy in integer micro-nats
+    (text.char_entropy) — the cheap gibberish/boilerplate quality
+    signal. Map-only expression (no shuffle); per-char terms folded in
+    sorted order so both engines sum bit-identical sequences."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.char_entropy(F.col("text")).alias("entropy_micro")
+    )
+
+
+# The BM25 score expression, shared by the bm25/rrf oracles — written
+# as the IDENTICAL tree functions.text.bm25_scores builds (same
+# literals, same association), so ln() is the only transcendental and
+# it sees identical double operands on both engines.
+_BM25_SCORE = (
+    "CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df_docs + 0.5)"
+    " / (df_docs + 0.5))"
+    " * (tf.tf * 2.2)"
+    " / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+    " * 1000000.0, 0) AS BIGINT)"
+)
+
+_BM25_BASE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term
+), consts AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+)
+"""
+
+_BM25_SQL = (
+    _BM25_BASE
+    + f"""
+SELECT doc_id, term, tf, score_micro FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, {_BM25_SCORE} AS score_micro,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY {_BM25_SCORE} DESC, tf.term) AS rn
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+) t
+WHERE rn <= 3
+"""
+)
+
+
+@register("bm25_top_terms", _BM25_SQL)
+def q_bm25_top_terms(spark, sf_dir):
+    """Top-3 BM25 terms per document (text.bm25_top_terms) — the
+    Robertson/Spärck Jones ranking function with Lucene's non-negative
+    idf, next to the linear-idf tfidf_top_terms. Same scale shape:
+    explode + two partial aggs, vocabulary broadcast, per-doc window.
+    Scores are integer micro-units so ranking compares identically
+    across engines."""
+    return text.bm25_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+_RRF_TERMS = ("spark", "vector", "customer")
+_RRF_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _rrf_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    dot = _RRF_DOT.format(a="e.embedding", b="p.probe_vec")
+    na = _RRF_DOT.format(a="e.embedding", b="e.embedding")
+    nb = _RRF_DOT.format(a="p.probe_vec", b="p.probe_vec")
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    return (
+        _BM25_BASE
+        + f""", lex_all AS (
+  SELECT doc_id, SUM(score_micro) AS lex_micro FROM (
+    SELECT tf.doc_id, {_BM25_SCORE} AS score_micro
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+    WHERE tf.term IN ({terms})) s
+  GROUP BY doc_id
+), lex AS (
+  SELECT lex_doc, r_lex FROM (
+    SELECT doc_id AS lex_doc,
+           ROW_NUMBER() OVER (ORDER BY lex_micro DESC, doc_id) AS r_lex
+    FROM lex_all) t
+  WHERE r_lex <= 50
+), probe AS (
+  SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0
+), vec_all AS (
+  SELECT e.vec_id,
+         CAST(round(({cos}) * 1000000.0, 0) AS BIGINT) AS cos_micro
+  FROM embeddings e CROSS JOIN probe p
+  WHERE e.vec_id <> 0
+), vec AS (
+  SELECT vec_doc, r_vec FROM (
+    SELECT vec_id AS vec_doc,
+           ROW_NUMBER() OVER (ORDER BY cos_micro DESC, vec_id) AS r_vec
+    FROM vec_all) t
+  WHERE r_vec <= 50
+)
+SELECT COALESCE(lex_doc, vec_doc) AS doc_id, r_lex, r_vec,
+       CAST(round((COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + r_lex AS DOUBLE),
+                            CAST(0.0 AS DOUBLE))
+                 + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + r_vec AS DOUBLE),
+                            CAST(0.0 AS DOUBLE))) * 1000000.0, 0)
+            AS BIGINT) AS rrf_micro
+FROM lex FULL OUTER JOIN vec ON lex_doc = vec_doc
+ORDER BY rrf_micro DESC, doc_id LIMIT 20
+"""
+    )
+
+
+@register("rrf_hybrid_topk", _rrf_sql())
+def q_rrf_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion (k=60) of a BM25 lexical ranking
+    for a 3-term query and an exact-cosine vector ranking to probe
+    vec 0, top-20 fused (functions.retrieval.rrf_hybrid_topk).
+    Each side reduces to its bounded top-50 with a distributed
+    TakeOrderedAndProject before any global window, so the
+    SinglePartition exchange carries ≤50 rows, never the corpus."""
+    from chronobase_spark.functions import retrieval
+
+    return retrieval.rrf_hybrid_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        query_terms=_RRF_TERMS,
+        probe_id=0,
+        per_side=50,
+        rrf_k=60,
+        k=20,
+    )
+
+
+_CMS_HASH = (
+    "CAST(('0x' || substr(md5({seed}::VARCHAR || ':' || {key}::VARCHAR), 1, 8))"
+    " AS BIGINT) % 512"
+)
+
+_CMS_SQL = f"""
+WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+hashed AS (
+  SELECT s.seed, {_CMS_HASH.format(seed="s.seed", key="e.user_id")} AS bucket
+  FROM events e CROSS JOIN seeds s
+),
+counters AS (SELECT seed, bucket, COUNT(*) AS c FROM hashed GROUP BY seed, bucket),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+pb AS (
+  SELECT p.user_id, s.seed, {_CMS_HASH.format(seed="s.seed", key="p.user_id")} AS bucket
+  FROM probes p CROSS JOIN seeds s
+),
+est AS (
+  SELECT user_id, MIN(COALESCE(c, 0)) AS est_count
+  FROM pb LEFT JOIN counters USING (seed, bucket) GROUP BY user_id
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_count
+  FROM events WHERE user_id % 7 = 0 GROUP BY user_id
+)
+SELECT user_id, est_count, exact_count FROM est JOIN exact USING (user_id)
+"""
+
+
+@register("cms_user_counts", _CMS_SQL)
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min-sketch point-frequency estimates vs exact counts for
+    ~14% of users (functions.sketches) — the mergeable-summary answer
+    to "how often does key X occur" in depth×width counter rows of
+    state instead of a billion-distinct-key exact groupBy. md5-hashed,
+    so — unlike the built-in binary count_min_sketch aggregate — the
+    counters AND estimates are fully oracle-checked; the est ≥ exact
+    overcount guarantee is pinned in pytest."""
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    counters = sketches.cms_build(ev, "user_id", depth=4, width=512)
+    est = sketches.cms_estimate(counters, probes, "user_id", depth=4, width=512)
+    exact = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "user_id")
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,3 +115,55 @@ def test_lsh_candidates_rejects_short_signatures(spark, docs):
     # NULL signatures never pair and never trip the guard
     nulls = sigs16.withColumn("sig", F.lit(None).cast("array<bigint>"))
     assert minhash.lsh_candidates(nulls).count() == 0
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    """Reference DP — the classic O(n*m) kernel, for pinning the
+    engine's built-in against ground truth."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_pairs_find_planted_edit_dups(spark):
+    """A doc and its few-edit variant (shared prefix) must pair with
+    the exact distance; unrelated docs and different-prefix docs must
+    not pair."""
+    from chronobase_spark.dedup import edit
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    variant = base.replace("lazy dog", "hazy bog", 1)  # 2 substitutions
+    other_prefix = "a completely different opening sentence " + base
+    rows = [
+        (1, base, "en"),
+        (2, variant, "en"),
+        (3, other_prefix, "en"),
+        (4, "unrelated text entirely about something else", "en"),
+        (5, base, "es"),  # same text, different lang -> different canopy
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["lev_dist"]
+        for r in edit.levenshtein_near_pairs(df).collect()
+    }
+    assert got == {(1, 2): _py_levenshtein(base, variant)}
+
+
+def test_levenshtein_pairs_distances_match_reference_dp(spark, docs):
+    """Every returned corpus pair's distance equals the pure-Python DP
+    and meets the relative threshold."""
+    from chronobase_spark.dedup import edit
+
+    pairs = edit.levenshtein_near_pairs(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert pairs, "smoke corpus should contain planted near-identical docs"
+    for r in pairs:
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        assert r["lev_dist"] == _py_levenshtein(a, b)
+        assert r["lev_dist"] <= 0.3 * max(len(a), len(b))

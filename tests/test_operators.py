@@ -677,3 +677,109 @@ def test_pq_assign_shape_and_semantics(spark):
                 ),
             )
             assert got[(vid, s)] == (best[1], best[0]), (vid, s)
+
+
+def test_char_entropy_known_distributions(spark):
+    """Entropy micro-nats pinned against closed-form values: uniform
+    over k symbols = ln(k); constant string = 0; NULL/empty -> NULL."""
+    import math
+
+    rows = [
+        (1, "aaaa"),          # 0
+        (2, "abab"),          # ln 2
+        (3, "aabbbbcc"),      # 2.0794... - see below
+        (4, ""),              # NULL (no chars)
+        (5, None),            # NULL propagates
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["ent"]
+        for r in df.select(
+            "doc_id", text.char_entropy(F.col("text")).alias("ent")
+        ).collect()
+    }
+
+    def ent(s):
+        n = len(s)
+        counts = [s.count(c) for c in sorted(set(s))]
+        return (math.log(n) - sum(c * math.log(c) for c in counts) / n) * 1e6
+
+    assert got[1] == 0
+    assert abs(got[2] - ent("abab")) <= 1
+    assert abs(got[3] - ent("aabbbbcc")) <= 1
+    assert got[4] is None and got[5] is None
+
+
+def test_bm25_scores_match_closed_form(spark):
+    """BM25 micro scores pinned against the textbook formula computed
+    in Python on a 3-doc corpus (k1=1.2, b=0.75, Lucene idf)."""
+    import math
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry apple"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score_micro"])
+        for r in text.bm25_scores(df).collect()
+    }
+    n_docs, avgdl = 3, 3.0
+    tf_map = {
+        (1, "apple"): (2, 3), (1, "banana"): (1, 3),
+        (2, "banana"): (1, 2), (2, "cherry"): (1, 2),
+        (3, "cherry"): (3, 4), (3, "apple"): (1, 4),
+    }
+    dfreq = {"apple": 2, "banana": 2, "cherry": 2}
+    for (doc, term), (tf, dl) in tf_map.items():
+        idf = math.log(1.0 + (n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        want = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6
+        tf_got, micro_got = got[(doc, term)]
+        assert tf_got == tf
+        assert abs(micro_got - want) <= 1, (doc, term, micro_got, want)
+    assert len(got) == len(tf_map)
+
+
+def test_rrf_fusion_consistent_with_ranks(spark):
+    """Fused RRF scores must be exactly 1/(60+r_lex) + 1/(60+r_vec)
+    over the per-side ranks, bounded by per_side, ordered descending."""
+    from chronobase_spark.functions import retrieval
+
+    docs = catalog.table(spark, SF_SMOKE, "documents")
+    emb = catalog.table(spark, SF_SMOKE, "embeddings")
+    rows = retrieval.rrf_hybrid_topk(
+        docs, emb, query_terms=("spark", "vector", "customer"), k=20
+    ).collect()
+    assert 0 < len(rows) <= 20
+    micros = [r["rrf_micro"] for r in rows]
+    assert micros == sorted(micros, reverse=True)
+    for r in rows:
+        assert r["r_lex"] is not None or r["r_vec"] is not None
+        want = 0.0
+        if r["r_lex"] is not None:
+            assert 1 <= r["r_lex"] <= 50
+            want += 1.0 / (60 + r["r_lex"])
+        if r["r_vec"] is not None:
+            assert 1 <= r["r_vec"] <= 50
+            want += 1.0 / (60 + r["r_vec"])
+        assert abs(r["rrf_micro"] - want * 1e6) <= 1, r
+
+
+def test_cms_never_undercounts_and_state_is_bounded(spark, events):
+    """The count-min guarantee: est >= exact for EVERY key (counters
+    only over-count via collisions), and the sketch is <= depth*width
+    rows no matter the input size."""
+    from chronobase_spark.functions import sketches
+
+    counters = sketches.cms_build(events, "user_id", depth=4, width=512)
+    assert counters.count() <= 4 * 512
+    probes = events.select("user_id").distinct()
+    est = sketches.cms_estimate(counters, probes, "user_id", depth=4, width=512)
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    bad = (
+        est.join(exact, "user_id")
+        .filter(F.col("est_count") < F.col("exact"))
+        .count()
+    )
+    assert bad == 0

@@ -68,6 +68,7 @@ def test_star_join_broadcasts_every_dimension(spark):
         "minhash_dedup_pairs",
         "simhash_near_pairs",
         "ngram_jaccard_pairs",
+        "levenshtein_near_pairs",
         "embedding_near_pairs",
         "ivf_topk_cosine",
         "event_pairs_within_gap",
@@ -94,7 +95,12 @@ def test_scale_path_ops_have_no_quadratic_join(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_dedup_pairs", "simhash_near_pairs", "ngram_jaccard_pairs"],
+    [
+        "minhash_dedup_pairs",
+        "simhash_near_pairs",
+        "ngram_jaccard_pairs",
+        "levenshtein_near_pairs",
+    ],
 )
 def test_lsh_pipelines_never_broadcast_corpus_sides(spark, name):
     """Every join side in the LSH dedup pipelines is corpus-derived
@@ -170,6 +176,11 @@ _SCALE_FLAG_ALLOWLIST = {
     "topk_cosine": {"bnlj"},  # brute-force baseline over ~3 probe rows
     "ivf_assign_counts": {"bnlj"},  # |labels| centroid rows broadcast
     "tfidf_top_terms": {"bnlj", "single-partition"},  # doc-count scalar
+    "bm25_top_terms": {"bnlj", "single-partition"},  # N/avgdl 1-row consts
+    # 1-row probe + N/avgdl consts broadcast; the global rank windows
+    # run AFTER a distributed top-50 TakeOrderedAndProject, so the
+    # SinglePartition exchange carries <= per_side rows, never the corpus
+    "rrf_hybrid_topk": {"bnlj", "single-partition"},
     "source_mix_weights": {"bnlj", "single-partition"},  # 1-row totals
     "nation_revenue_share": {"bnlj", "single-partition"},  # 1-row total revenue
 }
