@@ -556,3 +556,35 @@ def streaming_value_trend(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cms_counters(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch counters maintained IN the stream: the
+    mergeable-summary property that makes CMS work map-side in batch
+    (functions/sketches.cms_build) is exactly what makes it a plain
+    streaming aggregation — each micro-batch's partial counters add
+    into the store, state is bounded at depth x width rows FOREVER (no
+    watermark needed: the state cannot grow with the key space, which
+    is the whole point of sketching the counts instead of groupBy-ing
+    a billion distinct keys).
+
+    Same md5 bucketing as the batch build, so after draining a source
+    (availableNow) the emitted counters are BIT-IDENTICAL to
+    cms_build over the same rows (pinned in tests/test_streaming.py);
+    estimates then come from the batch-side cms_estimate against
+    either table.
+    """
+    from chronobase_spark.functions.sketches import _bucket
+
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
+    hashed = stream.select(F.col(key_col).alias("k"), seeds).select(
+        "seed", _bucket(F.col("k"), F.col("seed"), width).alias("bucket")
+    )
+    return hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )

@@ -337,6 +337,66 @@ def _pass(spark, factor: int) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save()
         timings["ltob_downsample"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # Levenshtein canopy shape. Naive replication makes every
+        # copy-set a (lang, prefix) CLIQUE of identical texts — f²/2
+        # full O(n·m) DPs per doc, a replication artifact, not the
+        # operator (real corpus growth adds new canopies, it does not
+        # multiply every prefix f-fold). Perturb: tag each copy's text
+        # with its copy index (recovered from the id shift), so
+        # canopies keep their base-corpus size and the probe measures
+        # the operator's own growth — linear in #canopies.
+        from chronobase_spark.dedup import edit as _edit
+
+        tagged = docs.withColumn(
+            "text",
+            F.concat(
+                F.lit("cp"),
+                (F.col("doc_id") / 10_000_000).cast("bigint").cast("string"),
+                F.lit(" "),
+                F.col("text"),
+            ),
+        )
+        _edit.levenshtein_near_pairs(tagged).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["levenshtein_pairs"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # CMS shape: map-side explode(depth) + ONE partial-agged
+        # groupBy into a <= depth*width counter table (state flat in
+        # input size); estimation joins ~1% of keys against the tiny
+        # broadcast counter table
+        from chronobase_spark.functions import sketches as _sk
+
+        counters = _sk.cms_build(ev, "user_id", depth=4, width=512)
+        probes_cms = ev.filter(F.col("user_id") % 7 == 0).select(
+            "user_id"
+        ).distinct()
+        _sk.cms_estimate(counters, probes_cms, "user_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["cms_counts"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # BM25 shape: tfidf-family — explode + two partial aggs +
+        # vocabulary broadcast + per-doc window
+        text.bm25_top_terms(docs, k=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["bm25"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # RRF shape: two corpus-linear scorers each reduced by a
+        # distributed TakeOrderedAndProject to 50 rows before the
+        # bounded global windows and the 50x50 fuse join
+        from chronobase_spark.functions import retrieval as _ret
+
+        _ret.rrf_hybrid_topk(
+            docs, emb, query_terms=("spark", "vector", "customer"), probe_id=0
+        ).write.format("noop").mode("overwrite").save()
+        timings["rrf_hybrid"] = time.perf_counter() - t0
+
     return timings
 
 

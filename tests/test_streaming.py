@@ -749,3 +749,36 @@ def test_streaming_value_trend_matches_batch_exactly(spark, event_source, tmp_pa
         for r in last
     }
     assert got == want
+
+
+def test_streaming_cms_counters_match_batch_sketch(spark, event_source, tmp_path):
+    """After draining the source (availableNow, complete mode), the
+    streaming CMS counter table must be BIT-IDENTICAL to the batch
+    cms_build over the same rows — the mergeable-summary property as an
+    executable check. State is bounded at depth*width rows with no
+    watermark: the sketch cannot grow with the key space."""
+    from chronobase_spark.functions import sketches
+
+    stream = ingest.read_event_stream(spark, event_source)
+    counters = ingest.streaming_cms_counters(stream, "user_id", depth=4, width=512)
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("cms_counters")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in spark.sql("SELECT * FROM cms_counters").collect()
+    }
+    want = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in sketches.cms_build(
+            spark.read.parquet(event_source), "user_id", depth=4, width=512
+        ).collect()
+    }
+    assert got == want
+    assert len(got) <= 4 * 512
