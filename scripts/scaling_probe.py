@@ -363,6 +363,33 @@ def _pass(spark, factor: int) -> dict[str, float]:
         timings["levenshtein_pairs"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        # minhash on a DE-CLIQUED corpus: prefix every token with the
+        # copy index, so replicas share ZERO shingles and every
+        # copy-universe keeps only its own planted near-dups. The
+        # plain minhash_dedup stage above replicates texts verbatim,
+        # which makes each doc an f-way identical clique — f²/2 true
+        # candidate pairs per doc, quadratic in the factor BY
+        # CONSTRUCTION of the probe data, not of the plan. This stage
+        # measures the operator against honest corpus growth (new
+        # content, stable duplicate-group sizes — what 100 TB of crawl
+        # actually looks like): candidate work grows linearly.
+        tag = (F.col("doc_id") / 10_000_000).cast("bigint").cast("string")
+        decliqued = docs.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(F.lit("c"), tag, F.lit("_"), t),
+                ),
+                " ",
+            ),
+        )
+        minhash.minhash_dedup_pairs(decliqued, threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["minhash_declique"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
         # CMS shape: map-side explode(depth) + ONE partial-agged
         # groupBy into a <= depth*width counter table (state flat in
         # input size); estimation joins ~1% of keys against the tiny

@@ -502,3 +502,77 @@ def test_ltob_downsample_matches_model(spark, rows):
         for r in timeseries.ltob_downsample(df, bucket="minute").collect()
     }
     assert got == _ltob_model(rows)
+
+
+texts_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(texts=texts_strategy)
+def test_char_entropy_matches_model(spark, texts):
+    """Per-doc character entropy (micro-nats) must equal the Python
+    model on arbitrary strings: H = ln n − (Σ c·ln c)/n over char
+    counts; NULL for empty. Bounds: 0 ≤ H ≤ ln(#distinct chars)."""
+    import math
+
+    from chronobase_spark.functions import text as _text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["ent"]
+        for r in df.select(
+            "doc_id", _text.char_entropy(F.col("text")).alias("ent")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None
+            continue
+        n = len(t)
+        counts = [t.count(c) for c in sorted(set(t))]
+        want = (math.log(n) - sum(c * math.log(c) for c in counts) / n) * 1e6
+        assert abs(got[i] - want) <= 1, (t, got[i], want)
+        assert -1 <= got[i] <= math.log(len(set(t))) * 1e6 + 1
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    rel=st.sampled_from([0.2, 0.5, 0.9]),
+)
+def test_levenshtein_pairs_match_bruteforce_within_canopy(spark, texts, rel):
+    """With a 1-char canopy prefix, every same-prefix pair at or under
+    the relative threshold must be returned with the exact DP distance
+    — and nothing else."""
+    from chronobase_spark.dedup import edit
+
+    from tests.test_dedup import _py_levenshtein
+
+    rows = [(i, t, "xx") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["lev_dist"]
+        for r in edit.levenshtein_near_pairs(
+            df, prefix_len=1, rel_threshold=rel
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            # empty prefixes canopy together too: two empty docs are
+            # identical, distance 0 within any budget — a real pair
+            if i < j and a[:1] == b[:1]:
+                d = _py_levenshtein(a, b)
+                if d <= rel * max(len(a), len(b)):
+                    want[(i, j)] = d
+    assert got == want
