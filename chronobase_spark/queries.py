@@ -4012,6 +4012,79 @@ def q_cms_user_counts(spark, sf_dir):
     return est.join(exact, "user_id")
 
 
+_PATH_SQL = """
+SELECT user_id, n_events, path FROM (
+  SELECT user_id, COUNT(*) AS n_events,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events) t
+  WHERE rn <= 20
+  GROUP BY user_id) p
+"""
+
+
+@register("user_event_paths", _PATH_SQL)
+def q_user_event_paths(spark, sf_dir):
+    """Per-user chronological event-type path string (first 20 events)
+    — the user-journey primitive behind funnel/path analysis. The rank
+    cap runs BEFORE the ordered aggregation, so per-user state is
+    bounded at 20 rows no matter how hot the user (the
+    inverted_index_terms posting-cap pattern — an unbounded
+    collect_list over a bot account's clickstream is the 100 TB
+    failure mode this avoids); one shuffle on user_id, the aggregate
+    reuses the window's partitioning. Determinism: total order
+    (ts, event_id) inside the path; NULL event types are skipped by
+    both engines' ordered concat."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return capped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+    )
+
+
+_TRANSITIONS_SQL = """
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events) t
+WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@register("event_type_transitions", _TRANSITIONS_SQL)
+def q_event_type_transitions(spark, sf_dir):
+    """First-order Markov transition counts between consecutive event
+    types per user — the behavioral-model counterpart of the
+    contiguous-triple pattern match (pattern_view_click_purchase). One
+    lag window hash-partitioned on user_id, then a partial-agged
+    groupBy over the |types|² transition matrix — tiny output
+    regardless of corpus size. All-integer, exact oracle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —
