@@ -87,6 +87,12 @@ def levenshtein_near_pairs(
     guarded = F.when(
         (F.col("a.doc") < F.col("b.doc")) & (F.abs(gap) <= budget), lev
     )
+    # The projection re-evaluates the DP for SURVIVORS only (filter and
+    # project don't share subexpressions, and any project-then-filter
+    # rewrite gets undone by predicate pushdown re-inlining the
+    # expression). Accepted: survivors are the true near-dup pairs — a
+    # vanishing fraction of canopy candidates — so the second DP is
+    # bounded by output size, not corpus size.
     return cand.filter(guarded.cast("double") <= budget).select(
         F.col("a.doc").alias("doc_a"),
         F.col("b.doc").alias("doc_b"),

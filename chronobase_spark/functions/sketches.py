@@ -41,10 +41,19 @@ def cms_build(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 512
 ) -> DataFrame:
     """Build the counter table: (seed, bucket, c) with ≤ depth·width
-    rows — one map-side-partial groupBy, mergeable by construction."""
+    rows — one map-side-partial groupBy, mergeable by construction.
+
+    NULL keys are EXCLUDED (COUNT(col) semantics): a NULL key hashes
+    to a NULL bucket, which would both leak `depth` extra counter rows
+    past the documented state bound and make a NULL probe estimate 0
+    while NULL rows existed — violating est ≥ true. Point-frequency of
+    NULL is not a sketchable question; callers who need it should
+    count it exactly."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
-    hashed = df.select(F.col(key_col).alias("k"), seeds).select(
-        "seed", _bucket(F.col("k"), F.col("seed"), width).alias("bucket")
+    hashed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("k"), seeds)
+        .select("seed", _bucket(F.col("k"), F.col("seed"), width).alias("bucket"))
     )
     return hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
 
@@ -60,12 +69,18 @@ def cms_estimate(
     depth counter rows each probe hashes to (left join + 0 so a probe
     hashing to a never-seen bucket estimates 0, not absence). The join
     is |probes|·depth rows against a ≤ depth·width counter table —
-    both tiny, broadcastable."""
+    both tiny, broadcastable. NULL probes are dropped — the sketch
+    never counted NULL keys (see cms_build), so answering 0 for them
+    would be an undercount, and answering anything else a guess."""
     seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
-    pb = probes.select(F.col(key_col), seeds).select(
-        key_col,
-        "seed",
-        _bucket(F.col(key_col), F.col("seed"), width).alias("bucket"),
+    pb = (
+        probes.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col), seeds)
+        .select(
+            key_col,
+            "seed",
+            _bucket(F.col(key_col), F.col("seed"), width).alias("bucket"),
+        )
     )
     return (
         pb.join(F.broadcast(counters), ["seed", "bucket"], "left")

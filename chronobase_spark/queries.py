@@ -3972,6 +3972,7 @@ WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
 hashed AS (
   SELECT s.seed, {_CMS_HASH.format(seed="s.seed", key="e.user_id")} AS bucket
   FROM events e CROSS JOIN seeds s
+  WHERE e.user_id IS NOT NULL
 ),
 counters AS (SELECT seed, bucket, COUNT(*) AS c FROM hashed GROUP BY seed, bucket),
 probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),

@@ -573,18 +573,13 @@ def streaming_cms_counters(
     is the whole point of sketching the counts instead of groupBy-ing
     a billion distinct keys).
 
-    Same md5 bucketing as the batch build, so after draining a source
-    (availableNow) the emitted counters are BIT-IDENTICAL to
-    cms_build over the same rows (pinned in tests/test_streaming.py);
-    estimates then come from the batch-side cms_estimate against
-    either table.
+    The builder IS the batch builder — cms_build is pure DataFrame
+    transformations, which run unchanged on a streaming DataFrame
+    (micro-batch partials add into the state store, the mergeable-
+    summary contract). One definition, so the bit-identity pinned in
+    tests/test_streaming.py can never drift; estimates then come from
+    the batch-side cms_estimate against either table.
     """
-    from chronobase_spark.functions.sketches import _bucket
+    from chronobase_spark.functions.sketches import cms_build
 
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
-    hashed = stream.select(F.col(key_col).alias("k"), seeds).select(
-        "seed", _bucket(F.col("k"), F.col("seed"), width).alias("bucket")
-    )
-    return hashed.groupBy("seed", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    return cms_build(stream, key_col, depth=depth, width=width)

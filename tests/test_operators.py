@@ -772,8 +772,17 @@ def test_cms_never_undercounts_and_state_is_bounded(spark, events):
     rows no matter the input size."""
     from chronobase_spark.functions import sketches
 
-    counters = sketches.cms_build(events, "user_id", depth=4, width=512)
+    # NULL keys are excluded by contract: they must neither leak extra
+    # (seed, NULL) counter rows past the state bound nor produce a
+    # bogus est=0 probe row (cms_build/cms_estimate docstrings)
+    with_null = events.select("user_id").unionAll(
+        events.sparkSession.sql("SELECT CAST(NULL AS BIGINT) AS user_id")
+    )
+    counters = sketches.cms_build(with_null, "user_id", depth=4, width=512)
     assert counters.count() <= 4 * 512
+    assert counters.filter(F.col("bucket").isNull()).count() == 0
+    null_probe = events.sparkSession.sql("SELECT CAST(NULL AS BIGINT) AS user_id")
+    assert sketches.cms_estimate(counters, null_probe, "user_id").count() == 0
     probes = events.select("user_id").distinct()
     est = sketches.cms_estimate(counters, probes, "user_id", depth=4, width=512)
     exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
