@@ -78,15 +78,22 @@ def run() -> dict:
     # intermediates (Spark's CacheManager matches canonicalized plans,
     # so a re-built identical DataFrame WOULD silently hit the cache).
     for name, fn in sorted(q.queries().items()):
-        best: float | None = None
-        for _rep in range(2):
+        reps: list[float] = []
+        failed = False
+        # min-of-2, plus a third rep when the first two disagree >50%:
+        # two cold/loaded readings can agree with each other and still
+        # both be noise (r6: dup_clusters read 11.6 s min-of-2 under
+        # host load vs 4.5-5.5 s steady-state) — rep disagreement IS
+        # the noise signal, so spend one more execution only where it
+        # fires. Bounded: at most one extra rep per query.
+        for _rep in range(3):
             t0 = time.perf_counter()
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                reps.append(time.perf_counter() - t0)
             except Exception as exc:  # one bad query must not kill the bench
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                failed = True
                 break
             finally:
                 # Isolate queries AND reps: dedup/LSH pipelines persist
@@ -95,8 +102,12 @@ def run() -> dict:
                 # and later queries pay the memory pressure (r3:
                 # simhash_near_pairs drifted 3.4→10.7 s across rounds).
                 spark.catalog.clearCache()
-        if best is not None:
-            timings[name] = round(best, 3)
+            if len(reps) == 2 and not (
+                max(reps) > 1.5 * min(reps) and max(reps) > 1.0
+            ):
+                break
+        if reps and not failed:
+            timings[name] = round(min(reps), 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -109,7 +120,7 @@ def run() -> dict:
         "sf": sf,
         "n_queries": len(timings),
         "cpus": CPUS,
-        "reps": 2,  # min-of-2 per query; see loop comment above
+        "reps": 2,  # min-of-2 (+1 rep when the two disagree; loop comment)
     }
     if errors:
         result["errors"] = errors
