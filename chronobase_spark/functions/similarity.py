@@ -232,6 +232,81 @@ def topk_cosine(
     )
 
 
+def _micro_u(col: Column) -> Column:
+    """1e-6 integer quantization, multiply-then-round (FIXTURES.md)."""
+    return F.round(col.cast("double") * F.lit(1000000.0), 0).cast("bigint")
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, id_col: str, label_col: str, vec_col: str
+) -> DataFrame:
+    """(id, _lbl, subspace, subvec) per vector-subspace: the shared
+    explode stage of pq_assign and pq_adc_topk, with the per-row
+    divisibility hard-assert (a fractional width would truncate the
+    slice, pad zip_with with NULLs, and silently drop argmin rows)."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    d_sub = F.size(F.col(vec_col)) / m
+    dims_ok = F.size(F.col(vec_col)) % m == 0
+    dims_err = F.concat(
+        F.lit("pq_assign: vector dim "),
+        F.size(F.col(vec_col)).cast("string"),
+        F.lit(f" is not divisible by m={m} subspaces"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.when(
+                        dims_ok,
+                        F.slice(
+                            F.col(vec_col),
+                            (s * d_sub + 1).cast("int"),
+                            d_sub.cast("int"),
+                        ),
+                    )
+                    .otherwise(F.raise_error(dims_err))
+                    .alias("subvec"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(id_col, "_lbl", "_s.subspace", "_s.subvec")
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    """(subspace, code, cvec_u) label-seeded codebooks from the
+    subvector table: per-component round-half-up integer means —
+    floor((2s+n)/(2n)) so no double quotient exists to round, and both
+    engines agree exactly."""
+    ex = subs.select(
+        "subspace",
+        F.col("_lbl").alias("code"),
+        F.posexplode("subvec").alias("pos", "v"),
+    )
+    return (
+        ex.groupBy("subspace", "code", "pos")
+        .agg(F.sum(_micro_u(F.col("v"))).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "subspace",
+            "code",
+            "pos",
+            F.floor(
+                (2 * F.col("_s") + F.col("_n")) / (2 * F.col("_n"))
+            ).cast("bigint").alias("c_u"),
+        )
+        .groupBy("subspace", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c_u"))),
+                lambda s: s["c_u"],
+            ).alias("cvec_u")
+        )
+    )
+
+
 def pq_assign(
     df: DataFrame,
     m: int = 8,
@@ -266,82 +341,16 @@ def pq_assign(
     raise a contentless error for them — same policy as
     lsh_candidates' NULL-signature drop).
     """
-    df = df.filter(F.col(vec_col).isNotNull())
-    d_sub = F.size(F.col(vec_col)) / m
-    # dim must divide evenly by m — checked per row, raising instead of
-    # the silent failure mode (a fractional d_sub truncates the slice
-    # width, zip_with pads the codebook compare with NULLs, distances
-    # go NULL, and the argmin quietly drops rows). Same hard-assert
-    # style as lsh_candidates' lane guard.
-    dims_ok = F.size(F.col(vec_col)) % m == 0
-    dims_err = F.concat(
-        F.lit("pq_assign: vector dim "),
-        F.size(F.col(vec_col)).cast("string"),
-        F.lit(f" is not divisible by m={m} subspaces"),
-    )
-    subs = df.select(
-        F.col(id_col),
-        F.col(label_col).alias("_lbl"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("subspace"),
-                    F.when(
-                        dims_ok,
-                        F.slice(
-                            F.col(vec_col),
-                            (s * d_sub + 1).cast("int"),
-                            d_sub.cast("int"),
-                        ),
-                    )
-                    .otherwise(F.raise_error(dims_err))
-                    .alias("subvec"),
-                ),
-            )
-        ).alias("_s"),
-    ).select(id_col, "_lbl", "_s.subspace", "_s.subvec")
+    subs = _pq_subvectors(df, m, id_col, label_col, vec_col)
+    # Component quantization multiplies FIRST (round(v·1e6, 0), see
+    # _micro_u), never round(v, 6): Spark's round works on the value's
+    # shortest decimal string while DuckDB rounds the scaled binary,
+    # and float32 components often print as exact "…5" 6-dp boundaries
+    # where the two disagree (measured: 1 group in 80 flaked at
+    # sf0.1). After the one scaled round, everything is BIGINT.
+    book = _pq_codebook(subs)
 
-    # Component quantization multiplies FIRST (round(v·1e6, 0)), never
-    # round(v, 6): Spark's round works on the value's shortest decimal
-    # string while DuckDB rounds the scaled binary, and float32
-    # components often print as exact "…5" 6-dp boundaries where the
-    # two disagree (measured: 1 group in 80 flaked at sf0.1). After the
-    # one scaled round, everything is BIGINT.
-    def _micro(col):
-        return F.round(col.cast("double") * F.lit(1000000.0), 0).cast("bigint")
-
-    ex = subs.select(
-        "subspace",
-        F.col("_lbl").alias("code"),
-        F.posexplode("subvec").alias("pos", "v"),
-    )
-    # Codebook component = round-half-up mean in micro units, computed
-    # in INTEGER arithmetic: floor((2s+n)/(2n)) — no double quotient to
-    # round, so both engines agree exactly (quotient is ≥1/(2n) away
-    # from any integer except at exact half-steps, which the formula
-    # resolves upward on both sides).
-    book = (
-        ex.groupBy("subspace", "code", "pos")
-        .agg(F.sum(_micro(F.col("v"))).alias("_s"), F.count(F.lit(1)).alias("_n"))
-        .select(
-            "subspace",
-            "code",
-            "pos",
-            F.floor(
-                (2 * F.col("_s") + F.col("_n")) / (2 * F.col("_n"))
-            ).cast("bigint").alias("c_u"),
-        )
-        .groupBy("subspace", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c_u"))),
-                lambda s: s["c_u"],
-            ).alias("cvec_u")
-        )
-    )
-
-    sub_u = F.transform(F.col("subvec"), _micro)
+    sub_u = F.transform(F.col("subvec"), _micro_u)
     dist = F.aggregate(
         F.zip_with(sub_u, F.col("cvec_u"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
@@ -359,4 +368,64 @@ def pq_assign(
             F.col("_m.code").alias("code"),
             F.col("_m.dist_u2").alias("dist_u2"),
         )
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    probe_id: int,
+    m: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011;
+    the FAISS IVF-PQ query path): the probe vector stays EXACT while
+    corpus vectors are represented by their 1-byte-per-subspace PQ
+    codes, so distance(probe, vec) ≈ Σ_s lut[s, code_s(vec)] where the
+    lookup table holds the probe-subvector-to-codeword distances —
+    m·|codes| integers computed once per query.
+
+    This is the search-side complement of pq_assign: at 100 TB the
+    codes table is ~8 bytes/vector (vs 256 float bytes), the LUT is a
+    broadcast of m·|codes| rows, and the scan is one map-side join +
+    one partial-agged sum per vector — no full-precision vector is
+    read at query time. Exactness: probe subvectors and codewords are
+    both 1e-6-quantized integers (pq_assign's rule), so every LUT
+    entry and every ADC sum is exact BIGINT arithmetic — fully
+    oracle-checkable, ties broken by id.
+
+    Returns the top-``k`` (vec_id, adc_u2) by ascending approximate
+    squared distance, excluding the probe itself.
+    """
+    assigned = pq_assign(
+        df, m=m, id_col=id_col, label_col=label_col, vec_col=vec_col
+    ).select(id_col, "subspace", "code")
+
+    # Same subvector/codebook stages as pq_assign (shared helpers — one
+    # definition, the bucketing can never drift), then the probe LUT.
+    subs = _pq_subvectors(df, m, id_col, label_col, vec_col)
+    book = _pq_codebook(subs)
+
+    probe_subs = subs.filter(F.col(id_col) == probe_id).select(
+        "subspace", F.transform(F.col("subvec"), _micro_u).alias("psub_u")
+    )
+    pdist = F.aggregate(
+        F.zip_with(
+            F.col("psub_u"), F.col("cvec_u"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    lut = probe_subs.join(F.broadcast(book), "subspace").select(
+        "subspace", "code", pdist.alias("pdist_u2")
+    )
+    return (
+        assigned.filter(F.col(id_col) != probe_id)
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("pdist_u2").cast("bigint").alias("adc_u2"))
+        .orderBy(F.col("adc_u2").asc(), F.col(id_col))
+        .limit(k)
     )

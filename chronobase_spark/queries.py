@@ -3530,7 +3530,7 @@ def q_pivot_daily_event_counts(spark, sf_dir):
     return renamed
 
 
-_PQ_SQL = """
+_PQ_CTES = """
 WITH ex AS (
   SELECT (i - 1) // 8 AS subspace, label AS code,
          ((i - 1) % 8) + 1 AS pos,
@@ -3562,11 +3562,56 @@ WITH ex AS (
              j -> (u.subvec_u[j] - b.cvec_u[j]) * (u.subvec_u[j] - b.cvec_u[j]))),
              b.code) AS rnk
   FROM sub u JOIN book b ON u.subspace = b.subspace
-)
+)"""
+
+_PQ_SQL = (
+    _PQ_CTES
+    + """
 SELECT subspace, code, COUNT(*) AS n_vecs,
        CAST(SUM(dist_u2) AS BIGINT) AS err_sum_u2
 FROM best WHERE rnk = 1 GROUP BY subspace, code
 """
+)
+
+_PQ_ADC_SQL = (
+    _PQ_CTES
+    + """, probe AS (
+  SELECT s.s AS subspace,
+         list_transform(generate_series(1, 8),
+           j -> CAST(ROUND(CAST(e.embedding[s.s * 8 + j] AS DOUBLE)
+                     * 1000000.0, 0) AS BIGINT)) AS psub_u
+  FROM embeddings e CROSS JOIN generate_series(0, 7) AS s(s)
+  WHERE e.vec_id = 0
+), lut AS (
+  SELECT b.subspace, b.code,
+         list_sum(list_transform(generate_series(1, 8),
+           j -> (p.psub_u[j] - b.cvec_u[j]) * (p.psub_u[j] - b.cvec_u[j])))
+             AS pdist_u2
+  FROM book b JOIN probe p ON b.subspace = p.subspace
+)
+SELECT vec_id, adc_u2 FROM (
+  SELECT v.vec_id, CAST(SUM(l.pdist_u2) AS BIGINT) AS adc_u2
+  FROM (SELECT vec_id, subspace, code FROM best WHERE rnk = 1) v
+  JOIN lut l ON v.subspace = l.subspace AND v.code = l.code
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id) t
+ORDER BY adc_u2, vec_id LIMIT 10
+"""
+)
+
+
+@register("pq_adc_search", _PQ_ADC_SQL)
+def q_pq_adc_search(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-10 search for probe vec 0
+    (similarity.pq_adc_topk — the FAISS IVF-PQ query path): the probe
+    stays exact, corpus vectors are their 8-byte PQ codes, and
+    distance is a sum of broadcast-LUT lookups — at 100 TB the search
+    reads codes, never full-precision vectors. All LUT entries and ADC
+    sums are exact BIGINT micro² arithmetic (pq_assign's integer
+    rule), so the ranking is fully oracle-checked."""
+    return similarity.pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), probe_id=0, m=8, k=10
+    )
 
 
 @register("pq_code_histogram", _PQ_SQL)

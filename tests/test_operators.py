@@ -792,3 +792,35 @@ def test_cms_never_undercounts_and_state_is_bounded(spark, events):
         .count()
     )
     assert bad == 0
+
+
+def test_pq_adc_distances_match_code_lut_model(spark):
+    """Every returned ADC distance must equal the Python-computed sum
+    over subspaces of the probe-to-codeword LUT entry for the vector's
+    assigned code — integer-exact, ascending, probe excluded."""
+    emb = catalog.table(spark, SF_SMOKE, "embeddings")
+    codes = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in similarity.pq_assign(emb, m=8).collect()
+    }
+    subs = similarity._pq_subvectors(emb, 8, "vec_id", "label", "embedding")
+    book = {
+        (r["subspace"], r["code"]): r["cvec_u"]
+        for r in similarity._pq_codebook(subs).collect()
+    }
+    probe = {
+        r["subspace"]: [round(v * 1e6) for v in r["subvec"]]
+        for r in subs.filter(F.col("vec_id") == 0).collect()
+    }
+    lut = {
+        (s, c): sum((p - cu) ** 2 for p, cu in zip(probe[s], cvec))
+        for (s, c), cvec in book.items()
+    }
+    rows = similarity.pq_adc_topk(emb, probe_id=0, m=8, k=10).collect()
+    assert len(rows) == 10
+    dists = [r["adc_u2"] for r in rows]
+    assert dists == sorted(dists)
+    for r in rows:
+        assert r["vec_id"] != 0
+        want = sum(lut[(s, codes[(r["vec_id"], s)])] for s in range(8))
+        assert r["adc_u2"] == want, (r, want)
