@@ -414,6 +414,16 @@ def _pass(spark, factor: int) -> dict[str, float]:
         timings["bm25"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        # PQ ADC search shape: assign (explode x m + codebook broadcast
+        # + argmin shuffle) then the code->LUT broadcast join + one
+        # partial-agged integer sum per vector + TakeOrdered — the LUT
+        # is m*|codes| rows at every factor
+        similarity.pq_adc_topk(emb, probe_id=0, m=8, k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["pq_adc"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
         # RRF shape: two corpus-linear scorers each reduced by a
         # distributed TakeOrderedAndProject to 50 rows before the
         # bounded global windows and the 50x50 fuse join
