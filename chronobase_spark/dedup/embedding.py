@@ -141,3 +141,72 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     ).drop("rnk")
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    probe_id: int,
+    num_planes: int = 6,
+    m: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the full FAISS-style ANN composition: the probe
+    ROUTES to its LSH cell (coarse quantizer, same hyperplane signature
+    as ivf_topk) and RANKS the cell's candidates by PQ asymmetric
+    distance (similarity.pq_adc_topk's LUT math) — so query cost is
+    one cell's worth of 8-byte code rows, never a corpus scan and
+    never a full-precision vector read.
+
+    Scale posture: the cell candidate set is corpus/2^num_planes — it
+    GROWS with the corpus, so it is semi-joined on the id key with a
+    shuffle_hash hint (never broadcast; the LSH-pipeline rule). The
+    only broadcasts are the 1-row probe bucket and the m·|codes| LUT.
+    Codebooks are trained on the FULL corpus (assignment quality must
+    not depend on which cell a vector routed to). Integer-exact ADC
+    sums + deterministic signature literals ⇒ fully oracle-checkable.
+    """
+    from chronobase_spark.functions import similarity as _sim
+
+    planes = hyperplanes(num_planes)
+    sig = df.select(
+        F.col(id_col).alias("vid"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    probe_bucket = sig.filter(F.col("vid") == probe_id).select(
+        F.col("bucket").alias("q_bucket")
+    )
+    cand = (
+        sig.join(F.broadcast(probe_bucket), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vid") != probe_id)
+        .select(F.col("vid").alias(id_col))
+    )
+
+    subs = _sim._pq_subvectors(df, m, id_col, label_col, vec_col)
+    book = _sim._pq_codebook(subs)
+    codes = _sim.pq_assign(
+        df, m=m, id_col=id_col, label_col=label_col, vec_col=vec_col
+    ).select(id_col, "subspace", "code")
+    probe_subs = subs.filter(F.col(id_col) == probe_id).select(
+        "subspace", F.transform(F.col("subvec"), _sim._micro_u).alias("psub_u")
+    )
+    pdist = F.aggregate(
+        F.zip_with(
+            F.col("psub_u"), F.col("cvec_u"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    lut = probe_subs.join(F.broadcast(book), "subspace").select(
+        "subspace", "code", pdist.alias("pdist_u2")
+    )
+    return (
+        codes.join(cand.hint("shuffle_hash"), id_col, "left_semi")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("pdist_u2").cast("bigint").alias("adc_u2"))
+        .orderBy(F.col("adc_u2").asc(), F.col(id_col))
+        .limit(k)
+    )

@@ -3600,6 +3600,56 @@ ORDER BY adc_u2, vec_id LIMIT 10
 )
 
 
+def _ivf_pq_sql() -> str:
+    planes = emb_dedup.hyperplanes(6)
+    sig = emb_dedup.sql_signature_expr("e.embedding", planes)
+    return (
+        _PQ_CTES
+        + f""", sigs AS (
+  SELECT e.vec_id, ({sig}) AS bucket FROM embeddings e
+), qb AS (
+  SELECT bucket AS q_bucket FROM sigs WHERE vec_id = 0
+), cand AS (
+  SELECT s.vec_id FROM sigs s JOIN qb ON s.bucket = qb.q_bucket
+  WHERE s.vec_id <> 0
+), probe AS (
+  SELECT s.s AS subspace,
+         list_transform(generate_series(1, 8),
+           j -> CAST(ROUND(CAST(e.embedding[s.s * 8 + j] AS DOUBLE)
+                     * 1000000.0, 0) AS BIGINT)) AS psub_u
+  FROM embeddings e CROSS JOIN generate_series(0, 7) AS s(s)
+  WHERE e.vec_id = 0
+), lut AS (
+  SELECT b.subspace, b.code,
+         list_sum(list_transform(generate_series(1, 8),
+           j -> (p.psub_u[j] - b.cvec_u[j]) * (p.psub_u[j] - b.cvec_u[j])))
+             AS pdist_u2
+  FROM book b JOIN probe p ON b.subspace = p.subspace
+)
+SELECT vec_id, adc_u2 FROM (
+  SELECT v.vec_id, CAST(SUM(l.pdist_u2) AS BIGINT) AS adc_u2
+  FROM (SELECT vec_id, subspace, code FROM best WHERE rnk = 1) v
+  JOIN cand c ON v.vec_id = c.vec_id
+  JOIN lut l ON v.subspace = l.subspace AND v.code = l.code
+  GROUP BY v.vec_id) t
+ORDER BY adc_u2, vec_id LIMIT 10
+"""
+    )
+
+
+@register("ivf_pq_search", _ivf_pq_sql())
+def q_ivf_pq_search(spark, sf_dir):
+    """IVF-PQ top-10 for probe vec 0 (dedup.embedding.ivf_pq_topk):
+    LSH-cell routing (coarse quantizer) + PQ asymmetric-distance
+    ranking — the full FAISS-style composition whose query cost is one
+    cell of 8-byte codes. The cell candidate set grows with the corpus
+    so it is semi-joined shuffle_hash, never broadcast; codebooks are
+    trained corpus-wide. Integer-exact ADC ⇒ full oracle."""
+    return emb_dedup.ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"), probe_id=0, num_planes=6, m=8, k=10
+    )
+
+
 @register("pq_adc_search", _PQ_ADC_SQL)
 def q_pq_adc_search(spark, sf_dir):
     """PQ asymmetric-distance (ADC) top-10 search for probe vec 0

@@ -824,3 +824,31 @@ def test_pq_adc_distances_match_code_lut_model(spark):
         assert r["vec_id"] != 0
         want = sum(lut[(s, codes[(r["vec_id"], s)])] for s in range(8))
         assert r["adc_u2"] == want, (r, want)
+
+
+def test_ivf_pq_consistent_with_cell_and_adc(spark):
+    """IVF-PQ = (route to LSH cell) ∩ (rank by ADC): every returned id
+    must share the probe's hyperplane bucket, and its ADC distance
+    must equal the whole-corpus pq_adc value for the same id."""
+    from chronobase_spark.dedup import embedding as embm
+
+    emb = catalog.table(spark, SF_SMOKE, "embeddings")
+    planes = embm.hyperplanes(6)
+    buckets = {
+        r["vid"]: r["bucket"]
+        for r in emb.select(
+            F.col("vec_id").alias("vid"),
+            embm.lsh_signature(F.col("embedding"), planes).alias("bucket"),
+        ).collect()
+    }
+    got = embm.ivf_pq_topk(emb, probe_id=0, num_planes=6, m=8, k=10).collect()
+    assert got, "probe cell should contain candidates in the smoke corpus"
+    full_adc = {
+        r["vec_id"]: r["adc_u2"]
+        for r in similarity.pq_adc_topk(emb, probe_id=0, m=8, k=10_000).collect()
+    }
+    dists = [r["adc_u2"] for r in got]
+    assert dists == sorted(dists)
+    for r in got:
+        assert buckets[r["vec_id"]] == buckets[0], r
+        assert r["adc_u2"] == full_adc[r["vec_id"]], r
