@@ -3650,6 +3650,80 @@ def q_ivf_pq_search(spark, sf_dir):
     )
 
 
+def _ann_recall_sql() -> str:
+    planes = emb_dedup.hyperplanes(6)
+    sig = emb_dedup.sql_signature_expr("e.embedding", planes)
+    cos = _cos_sql("q", "c")
+    return (
+        _PQ_CTES
+        + f""", sigs AS (
+  SELECT e.vec_id, ({sig}) AS bucket FROM embeddings e
+), qb AS (
+  SELECT bucket AS q_bucket FROM sigs WHERE vec_id = 0
+), cand AS (
+  SELECT s.vec_id FROM sigs s JOIN qb ON s.bucket = qb.q_bucket
+  WHERE s.vec_id <> 0
+), probe AS (
+  SELECT s.s AS subspace,
+         list_transform(generate_series(1, 8),
+           j -> CAST(ROUND(CAST(e.embedding[s.s * 8 + j] AS DOUBLE)
+                     * 1000000.0, 0) AS BIGINT)) AS psub_u
+  FROM embeddings e CROSS JOIN generate_series(0, 7) AS s(s)
+  WHERE e.vec_id = 0
+), lut AS (
+  SELECT b.subspace, b.code,
+         list_sum(list_transform(generate_series(1, 8),
+           j -> (p.psub_u[j] - b.cvec_u[j]) * (p.psub_u[j] - b.cvec_u[j])))
+             AS pdist_u2
+  FROM book b JOIN probe p ON b.subspace = p.subspace
+), approx AS (
+  SELECT vec_id FROM (
+    SELECT v.vec_id, CAST(SUM(l.pdist_u2) AS BIGINT) AS adc_u2
+    FROM (SELECT vec_id, subspace, code FROM best WHERE rnk = 1) v
+    JOIN cand c ON v.vec_id = c.vec_id
+    JOIN lut l ON v.subspace = l.subspace AND v.code = l.code
+    GROUP BY v.vec_id) t
+  ORDER BY adc_u2, vec_id LIMIT 10
+), exact AS (
+  SELECT n_id FROM (
+    SELECT c.vec_id AS n_id,
+           ROW_NUMBER() OVER (ORDER BY {cos} DESC, c.vec_id) AS rnk
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id = 0) t
+  WHERE rnk <= 10
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall_at_10
+FROM approx JOIN exact ON approx.vec_id = exact.n_id
+"""
+    )
+
+
+@register("ann_recall_at_10", _ann_recall_sql())
+def q_ann_recall_at_10(spark, sf_dir):
+    """ANN index-quality evaluation: recall@10 of the IVF-PQ search
+    against exact-cosine ground truth for probe vec 0 — the
+    operational metric a vector platform monitors when tuning
+    num_planes/m (FAISS's own benchmark protocol). Ground truth is
+    probe-restricted (one broadcast-probe pass, the topk_cosine
+    baseline shape — linear, not all-pairs); the hit count is an
+    integer intersection and recall one int/int division, so the
+    metric is fully oracle-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.topk_cosine(
+        emb.filter(F.col("vec_id") == 0), emb, k=10
+    ).select(F.col("n_id"))
+    approx = emb_dedup.ivf_pq_topk(
+        emb, probe_id=0, num_planes=6, m=8, k=10
+    ).select(F.col("vec_id").alias("n_id"))
+    return approx.join(exact, "n_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / F.lit(10).cast("double")).alias(
+            "recall_at_10"
+        ),
+    )
+
+
 @register("pq_adc_search", _PQ_ADC_SQL)
 def q_pq_adc_search(spark, sf_dir):
     """PQ asymmetric-distance (ADC) top-10 search for probe vec 0

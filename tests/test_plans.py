@@ -181,6 +181,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # run AFTER a distributed top-50 TakeOrderedAndProject, so the
     # SinglePartition exchange carries <= per_side rows, never the corpus
     "rrf_hybrid_topk": {"bnlj", "single-partition"},
+    # ground-truth side reuses topk_cosine's broadcast-probe pass; the
+    # recall metric is a scalar aggregate over two 10-row sides
+    "ann_recall_at_10": {"bnlj", "single-partition"},
     "source_mix_weights": {"bnlj", "single-partition"},  # 1-row totals
     "nation_revenue_share": {"bnlj", "single-partition"},  # 1-row total revenue
 }
