@@ -4255,6 +4255,85 @@ def q_event_type_transitions(spark, sf_dir):
     )
 
 
+_LATE_PRIO_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("late_order_priority", _LATE_PRIO_SQL)
+def q_late_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape adapted to the corpus schema: orders per
+    priority having at least one line shipped after the order date —
+    a correlated EXISTS decorrelated into a LEFT SEMI join whose
+    condition mixes the equi key with a cross-table inequality. The
+    semi join shuffles on the order key (both sides fact-sized at
+    100 TB; semi keeps the probe side from duplicating), then one
+    partial-agged groupBy over |priorities| rows."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_DISJ_REV_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.00 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2)))
+            AS VARCHAR) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register("disjunctive_part_revenue", _DISJ_REV_SQL)
+def q_disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape adapted to the corpus schema: revenue over a
+    3-way DISJUNCTION of (brand, size-range, quantity-range) clauses —
+    the predicate form that defeats naive single-column pushdown.
+    Catalyst extracts the common sub-predicates it can (brand/size
+    reach the broadcast part side; quantity stays on the fact scan)
+    and the dimension join broadcasts. Revenue accumulates as exact
+    DECIMAL and crosses engines as TEXT (FIXTURES.md wide-decimal
+    rule), so the disjunction is fully oracle-checked."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 35))
+        | ((brand == "Brand#3") & size.between(10, 40) & qty.between(20, 50))
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.00).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")).cast(
+            "decimal(18,2)"
+        )
+    )
+    return j.filter(pred).agg(rev.cast("string").alias("revenue"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

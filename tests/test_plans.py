@@ -184,6 +184,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # ground-truth side reuses topk_cosine's broadcast-probe pass; the
     # recall metric is a scalar aggregate over two 10-row sides
     "ann_recall_at_10": {"bnlj", "single-partition"},
+    # Q19-shape scalar revenue: one partial-agged decimal sum row per
+    # task reaches the single partition, never the data
+    "disjunctive_part_revenue": {"single-partition"},
     "source_mix_weights": {"bnlj", "single-partition"},  # 1-row totals
     "nation_revenue_share": {"bnlj", "single-partition"},  # 1-row total revenue
 }
