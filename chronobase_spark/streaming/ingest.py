@@ -583,3 +583,66 @@ def streaming_cms_counters(
     from chronobase_spark.functions.sketches import cms_build
 
     return cms_build(stream, key_col, depth=depth, width=width)
+
+
+def streaming_event_transitions(stream: DataFrame) -> DataFrame:
+    """Per-user (prev_type -> next_type) transition emission maintained
+    incrementally across micro-batches — the streaming form of the
+    batch ``event_type_transitions`` lag window (first-order Markov
+    counts). Downstream, a plain streaming count over (prev_type,
+    next_type) yields the transition matrix.
+
+    State per user is ONE string: the latest event_type in (ts,
+    event_id) order. Each batch sorts its rows, seeds the lag from
+    state, emits one (prev_type, next_type) row per consecutive pair
+    (NULL-typed events break the chain exactly as the batch filter
+    drops them), and stores the last type — the same in-order delivery
+    contract as streaming_counter_rate; with an availableNow drain the
+    emitted pairs equal the batch lag window exactly (pinned in
+    tests/test_streaming.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("prev_type", StringType()),
+            StructField("next_type", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_type", StringType())])
+
+    def update(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        types = pdf["event_type"]
+        prev = types.shift(1)
+        if state.exists:
+            (t0,) = state.get
+            prev.iloc[0] = t0
+        keep = prev.notna() & types.notna()
+        # the state is the LITERAL last type, NULL included: the batch
+        # lag carries NULLs through (a NULL type breaks the chain on
+        # both sides of it), so remembering the last non-null type
+        # would invent an A->B pair across a NULL at a batch boundary
+        last = types.iloc[-1]
+        state.update((str(last) if pd.notna(last) else None,))
+        out = pdf.loc[keep, ["user_id"]].copy()
+        out["prev_type"] = prev[keep]
+        out["next_type"] = types[keep]
+        yield out
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

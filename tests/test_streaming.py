@@ -782,3 +782,42 @@ def test_streaming_cms_counters_match_batch_sketch(spark, event_source, tmp_path
     }
     assert got == want
     assert len(got) <= 4 * 512
+
+
+def test_streaming_transitions_match_batch_lag(spark, event_source, tmp_path):
+    """After an availableNow drain, the aggregated streaming transition
+    pairs must equal the batch lag-window transition counts exactly."""
+    stream = ingest.read_event_stream(spark, event_source)
+    pairs = ingest.streaming_event_transitions(stream)
+    sink = str(tmp_path / "trans_sink")
+    ckpt = str(tmp_path / "trans_ckpt")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.read.parquet(sink)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(event_source)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
