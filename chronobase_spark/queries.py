@@ -4334,6 +4334,109 @@ def q_disjunctive_part_revenue(spark, sf_dir):
     return j.filter(pred).agg(rev.cast("string").alias("revenue"))
 
 
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+
+_CLEAN_CORPUS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents WHERE source <> 'src0'
+), canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY {_NORM}) AS is_canonical
+  FROM corpus
+), ctoks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM corpus
+), csh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+  FROM ctoks
+), bench AS (
+  SELECT DISTINCT UNNEST(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+  FROM (SELECT {_TOKS} AS tk FROM documents WHERE source = 'src0') b
+), contam AS (
+  SELECT s.doc_id FROM csh s JOIN bench b ON s.sh = b.sh
+  GROUP BY s.doc_id HAVING COUNT(*) >= 3
+), feats AS (
+  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct
+  FROM ctoks
+)
+SELECT c.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN k.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_dedup,
+       CAST(SUM(CASE WHEN k.is_canonical AND m.doc_id IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_decontam,
+       CAST(SUM(CASE WHEN k.is_canonical AND m.doc_id IS NULL
+                     AND f.n_tokens >= 20 AND f.n_distinct * 4 >= f.n_tokens
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM corpus c
+JOIN canon k ON c.doc_id = k.doc_id
+JOIN feats f ON c.doc_id = f.doc_id
+LEFT JOIN contam m ON c.doc_id = m.doc_id
+GROUP BY c.lang
+"""
+
+
+@register("clean_corpus_counts", _CLEAN_CORPUS_SQL)
+def q_clean_corpus_counts(spark, sf_dir):
+    """The end-to-end training-data funnel as ONE query: per language,
+    corpus size after each cleaning stage — exact-dedup canonical
+    selection (dedup.exact.canonical_map), benchmark decontamination
+    (dedup.ngram.contamination_overlap vs the src0 eval partition),
+    and a token-quality gate (≥20 tokens, type-token ratio ≥ 1/4 via
+    integer cross-multiplication — no division to round). Composes
+    three operator families the registry also checks individually;
+    every stage is deterministic so the whole funnel is
+    oracle-checked. Scale shape: one normalized-text window shuffle,
+    one broadcast eval-shingle probe, map-side token features, and a
+    doc_id join of the (corpus-derived, shuffle_hash-hinted)
+    contaminated-id set — nothing quadratic."""
+    from chronobase_spark.dedup import exact as _exact
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    canon = _exact.canonical_map(corpus).select("doc_id", "is_duplicate")
+    contam = (
+        ngram.contamination_overlap(
+            corpus, docs.filter(F.col("source") == "src0"), min_overlap=3
+        )
+        .select("doc_id")
+        .withColumn("_contam", F.lit(True))
+    )
+    feats = corpus.select(
+        "doc_id",
+        "lang",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.distinct_token_count(F.col("text")).alias("n_distinct"),
+    )
+    j = (
+        feats.join(canon.hint("shuffle_hash"), "doc_id")
+        .join(contam.hint("shuffle_hash"), "doc_id", "left")
+    )
+    k1 = ~F.col("is_duplicate")
+    k2 = k1 & F.col("_contam").isNull()
+    k3 = (
+        k2
+        & (F.col("n_tokens") >= 20)
+        & (F.col("n_distinct") * 4 >= F.col("n_tokens"))
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(k1, 1).otherwise(0)).alias("n_after_dedup"),
+        F.sum(F.when(k2, 1).otherwise(0)).alias("n_after_decontam"),
+        F.sum(F.when(k3, 1).otherwise(0)).alias("n_clean"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —
