@@ -3600,12 +3600,15 @@ ORDER BY adc_u2, vec_id LIMIT 10
 )
 
 
-def _ivf_pq_sql() -> str:
+def _ivf_pq_ctes() -> str:
+    """The shared IVF-PQ oracle stages (appended after _PQ_CTES):
+    signatures, probe bucket, cell candidates, probe subvectors, and
+    the ADC lookup table — ONE definition for the search oracle and
+    the recall oracle that evaluates it, so a shape change (planes,
+    quantization, tie-breaks) can never desynchronize them."""
     planes = emb_dedup.hyperplanes(6)
     sig = emb_dedup.sql_signature_expr("e.embedding", planes)
-    return (
-        _PQ_CTES
-        + f""", sigs AS (
+    return f""", sigs AS (
   SELECT e.vec_id, ({sig}) AS bucket FROM embeddings e
 ), qb AS (
   SELECT bucket AS q_bucket FROM sigs WHERE vec_id = 0
@@ -3625,16 +3628,20 @@ def _ivf_pq_sql() -> str:
            j -> (p.psub_u[j] - b.cvec_u[j]) * (p.psub_u[j] - b.cvec_u[j])))
              AS pdist_u2
   FROM book b JOIN probe p ON b.subspace = p.subspace
-)
-SELECT vec_id, adc_u2 FROM (
+)"""
+
+
+_IVF_PQ_TOP10 = """SELECT vec_id, adc_u2 FROM (
   SELECT v.vec_id, CAST(SUM(l.pdist_u2) AS BIGINT) AS adc_u2
   FROM (SELECT vec_id, subspace, code FROM best WHERE rnk = 1) v
   JOIN cand c ON v.vec_id = c.vec_id
   JOIN lut l ON v.subspace = l.subspace AND v.code = l.code
   GROUP BY v.vec_id) t
-ORDER BY adc_u2, vec_id LIMIT 10
-"""
-    )
+ORDER BY adc_u2, vec_id LIMIT 10"""
+
+
+def _ivf_pq_sql() -> str:
+    return _PQ_CTES + _ivf_pq_ctes() + "\n" + _IVF_PQ_TOP10 + "\n"
 
 
 @register("ivf_pq_search", _ivf_pq_sql())
@@ -3651,39 +3658,12 @@ def q_ivf_pq_search(spark, sf_dir):
 
 
 def _ann_recall_sql() -> str:
-    planes = emb_dedup.hyperplanes(6)
-    sig = emb_dedup.sql_signature_expr("e.embedding", planes)
     cos = _cos_sql("q", "c")
     return (
         _PQ_CTES
-        + f""", sigs AS (
-  SELECT e.vec_id, ({sig}) AS bucket FROM embeddings e
-), qb AS (
-  SELECT bucket AS q_bucket FROM sigs WHERE vec_id = 0
-), cand AS (
-  SELECT s.vec_id FROM sigs s JOIN qb ON s.bucket = qb.q_bucket
-  WHERE s.vec_id <> 0
-), probe AS (
-  SELECT s.s AS subspace,
-         list_transform(generate_series(1, 8),
-           j -> CAST(ROUND(CAST(e.embedding[s.s * 8 + j] AS DOUBLE)
-                     * 1000000.0, 0) AS BIGINT)) AS psub_u
-  FROM embeddings e CROSS JOIN generate_series(0, 7) AS s(s)
-  WHERE e.vec_id = 0
-), lut AS (
-  SELECT b.subspace, b.code,
-         list_sum(list_transform(generate_series(1, 8),
-           j -> (p.psub_u[j] - b.cvec_u[j]) * (p.psub_u[j] - b.cvec_u[j])))
-             AS pdist_u2
-  FROM book b JOIN probe p ON b.subspace = p.subspace
-), approx AS (
-  SELECT vec_id FROM (
-    SELECT v.vec_id, CAST(SUM(l.pdist_u2) AS BIGINT) AS adc_u2
-    FROM (SELECT vec_id, subspace, code FROM best WHERE rnk = 1) v
-    JOIN cand c ON v.vec_id = c.vec_id
-    JOIN lut l ON v.subspace = l.subspace AND v.code = l.code
-    GROUP BY v.vec_id) t
-  ORDER BY adc_u2, vec_id LIMIT 10
+        + _ivf_pq_ctes()
+        + f""", approx AS (
+  {_IVF_PQ_TOP10}
 ), exact AS (
   SELECT n_id FROM (
     SELECT c.vec_id AS n_id,
@@ -4400,11 +4380,9 @@ def q_clean_corpus_counts(spark, sf_dir):
     one broadcast eval-shingle probe, map-side token features, and a
     doc_id join of the (corpus-derived, shuffle_hash-hinted)
     contaminated-id set — nothing quadratic."""
-    from chronobase_spark.dedup import exact as _exact
-
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != "src0")
-    canon = _exact.canonical_map(corpus).select("doc_id", "is_duplicate")
+    canon = exact_dedup.canonical_map(corpus).select("doc_id", "is_duplicate")
     contam = (
         ngram.contamination_overlap(
             corpus, docs.filter(F.col("source") == "src0"), min_overlap=3
@@ -4412,11 +4390,17 @@ def q_clean_corpus_counts(spark, sf_dir):
         .select("doc_id")
         .withColumn("_contam", F.lit(True))
     )
+    # one tokenization pass via the bundled struct (token_count +
+    # distinct_token_count as separate expressions would each build
+    # their own regex+split pipeline — the with_tokens re-evaluation
+    # trap)
     feats = corpus.select(
+        "doc_id", "lang", text.token_features(F.col("text")).alias("_tf")
+    ).select(
         "doc_id",
         "lang",
-        text.token_count(F.col("text")).alias("n_tokens"),
-        text.distinct_token_count(F.col("text")).alias("n_distinct"),
+        F.col("_tf.n_tokens").alias("n_tokens"),
+        F.col("_tf.n_distinct").alias("n_distinct"),
     )
     j = (
         feats.join(canon.hint("shuffle_hash"), "doc_id")
