@@ -4421,6 +4421,95 @@ def q_clean_corpus_counts(spark, sf_dir):
     )
 
 
+_ORDER_DIST_SQL = """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY n_orders
+"""
+
+
+@register("customer_order_distribution", _ORDER_DIST_SQL)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    including zero-order customers (LEFT join + COUNT(col) counts only
+    matched orders). The double aggregation's second level sees
+    |distinct counts| rows — tiny at any scale; the first groupBy
+    partial-aggregates on the customer key the join already shuffled
+    on, so AQE can reuse the exchange."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_LAPSED_CUTOFF = "2000-01-01"
+
+_LAPSED_RICH_SQL = f"""
+WITH pos AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_acctbal > 0.0
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(bal) AS s FROM pos
+)
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(c.bal) AS VARCHAR) AS total_bal
+FROM pos c CROSS JOIN tot
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.bal * tot.n > tot.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{_LAPSED_CUTOFF} 00:00:00')
+GROUP BY n.n_name
+"""
+
+
+@register("lapsed_rich_customers", _LAPSED_RICH_SQL)
+def q_lapsed_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape, churn edition: customers with an above-average
+    positive balance and NO order since the cutoff — the
+    re-engagement target list, per nation. The average is never
+    divided: the threshold compares bal·n > Σbal in exact DECIMAL
+    (FIXTURES.md cross-multiplication rule); the NOT EXISTS
+    decorrelates to a LEFT ANTI join whose orders side is
+    date-pruned BEFORE the join (the filter reaches the scan); the
+    1-row totals and the nation dimension broadcast; the per-nation
+    balance sum crosses engines as TEXT (wide-decimal rule)."""
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    tot = pos.agg(F.count(F.lit(1)).alias("n"), F.sum("bal").alias("s"))
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(f"{_LAPSED_CUTOFF} 00:00:00"))
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lapsed = pos.join(recent, pos.c_custkey == recent.o_custkey, "left_anti")
+    rich = lapsed.crossJoin(F.broadcast(tot)).filter(
+        F.col("bal") * F.col("n") > F.col("s")
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("bal").cast("string").alias("total_bal"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

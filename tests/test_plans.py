@@ -187,6 +187,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # Q19-shape scalar revenue: one partial-agged decimal sum row per
     # task reaches the single partition, never the data
     "disjunctive_part_revenue": {"single-partition"},
+    # Q22 shape: 1-row (n, sum) totals broadcast over the anti-joined
+    # customer side — the scalar-threshold pattern (orders_above_avg)
+    "lapsed_rich_customers": {"bnlj", "single-partition"},
     "source_mix_weights": {"bnlj", "single-partition"},  # 1-row totals
     "nation_revenue_share": {"bnlj", "single-partition"},  # 1-row total revenue
 }
