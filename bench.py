@@ -77,9 +77,9 @@ def run() -> dict:
     # BETWEEN reps too, so rep 2 never reads rep 1's persisted
     # intermediates (Spark's CacheManager matches canonicalized plans,
     # so a re-built identical DataFrame WOULD silently hit the cache).
+    rep_counts: dict[str, int] = {}
     for name, fn in sorted(q.queries().items()):
         reps: list[float] = []
-        failed = False
         # min-of-2, plus a third rep when the first two disagree >50%:
         # two cold/loaded readings can agree with each other and still
         # both be noise (r6: dup_clusters read 11.6 s min-of-2 under
@@ -92,8 +92,11 @@ def run() -> dict:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 reps.append(time.perf_counter() - t0)
             except Exception as exc:  # one bad query must not kill the bench
+                # A late-rep failure KEEPS any earlier successful timing
+                # (a completed end-to-end execution is a valid
+                # measurement; the error is still reported so a flaky
+                # query can't pass silently) — r6 advisor note.
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-                failed = True
                 break
             finally:
                 # Isolate queries AND reps: dedup/LSH pipelines persist
@@ -106,8 +109,9 @@ def run() -> dict:
                 max(reps) > 1.5 * min(reps) and max(reps) > 1.0
             ):
                 break
-        if reps and not failed:
+        if reps:
             timings[name] = round(min(reps), 3)
+            rep_counts[name] = len(reps)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -120,7 +124,15 @@ def run() -> dict:
         "sf": sf,
         "n_queries": len(timings),
         "cpus": CPUS,
-        "reps": 2,  # min-of-2 (+1 rep when the two disagree; loop comment)
+        # Adaptive reps: min-of-2 normally, a 3rd when the first two
+        # disagree >50% (loop comment). Per-query counts go to
+        # BENCH_FULL.json; the printed line carries the summary.
+        "reps": {
+            "policy": "min of 2-3 adaptive",
+            "extra_rep_queries": sum(1 for n in rep_counts.values() if n > 2),
+            "partial_rep_queries": sum(1 for n in rep_counts.values() if n < 2),
+        },
+        "rep_counts": rep_counts,
     }
     if errors:
         result["errors"] = errors
@@ -138,6 +150,9 @@ def _fit_line(result: dict, budget: int = 1900) -> dict:
     dict lives in BENCH_FULL.json (see module docstring).
     """
     line = dict(result)
+    # Per-query rep counts are BENCH_FULL-only detail (another 100+-key
+    # dict would decapitate the line); the reps summary stays.
+    line.pop("rep_counts", None)
     # errors must survive truncation-by-the-driver too: keep the first
     # few (sorted for determinism), count the rest. A breakage round is
     # exactly when the printed line matters most.

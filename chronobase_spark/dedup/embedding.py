@@ -184,29 +184,18 @@ def ivf_pq_topk(
         .select(F.col("vid").alias(id_col))
     )
 
+    # One subvector/codebook build feeds assignment AND the probe LUT
+    # (similarity's shared _pq_codes/_pq_lut/_adc_topk — the single ADC
+    # definition both search paths rank with).
     subs = _sim._pq_subvectors(df, m, id_col, label_col, vec_col)
     book = _sim._pq_codebook(subs)
-    codes = _sim.pq_assign(
-        df, m=m, id_col=id_col, label_col=label_col, vec_col=vec_col
-    ).select(id_col, "subspace", "code")
-    probe_subs = subs.filter(F.col(id_col) == probe_id).select(
-        "subspace", F.transform(F.col("subvec"), _sim._micro_u).alias("psub_u")
+    codes = _sim._pq_codes(subs, book, id_col).select(
+        id_col, "subspace", "code"
     )
-    pdist = F.aggregate(
-        F.zip_with(
-            F.col("psub_u"), F.col("cvec_u"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    lut = probe_subs.join(F.broadcast(book), "subspace").select(
-        "subspace", "code", pdist.alias("pdist_u2")
-    )
-    return (
-        codes.join(cand.hint("shuffle_hash"), id_col, "left_semi")
-        .join(F.broadcast(lut), ["subspace", "code"])
-        .groupBy(id_col)
-        .agg(F.sum("pdist_u2").cast("bigint").alias("adc_u2"))
-        .orderBy(F.col("adc_u2").asc(), F.col(id_col))
-        .limit(k)
+    lut = _sim._pq_lut(subs, book, probe_id, id_col)
+    return _sim._adc_topk(
+        codes.join(cand.hint("shuffle_hash"), id_col, "left_semi"),
+        lut,
+        k,
+        id_col,
     )

@@ -349,13 +349,25 @@ def pq_assign(
     # where the two disagree (measured: 1 group in 80 flaked at
     # sf0.1). After the one scaled round, everything is BIGINT.
     book = _pq_codebook(subs)
+    return _pq_codes(subs, book, id_col)
 
-    sub_u = F.transform(F.col("subvec"), _micro_u)
-    dist = F.aggregate(
+
+def _sub_sq_dist_u2(sub_u: Column) -> Column:
+    """Exact BIGINT squared distance between a micro-quantized
+    subvector and the codeword column ``cvec_u`` it is joined with."""
+    return F.aggregate(
         F.zip_with(sub_u, F.col("cvec_u"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+
+
+def _pq_codes(subs: DataFrame, book: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-code assignment from prebuilt subvectors + codebook:
+    (id, subspace, code, dist_u2). Split out of pq_assign so callers
+    that already hold subs/book (pq_adc_topk, ivf_pq_topk) don't
+    re-aggregate the codebook a second time."""
+    dist = _sub_sq_dist_u2(F.transform(F.col("subvec"), _micro_u))
     pairs = subs.join(F.broadcast(book), "subspace").select(
         id_col, "subspace", "code", dist.alias("dist_u2")
     )
@@ -368,6 +380,36 @@ def pq_assign(
             F.col("_m.code").alias("code"),
             F.col("_m.dist_u2").alias("dist_u2"),
         )
+    )
+
+
+def _pq_lut(
+    subs: DataFrame, book: DataFrame, probe_id, id_col: str
+) -> DataFrame:
+    """ADC lookup table for one probe: (subspace, code, pdist_u2) —
+    m·|codes| rows of exact BIGINT probe-subvector-to-codeword
+    distances, built from the SAME subs/book the codes came from (one
+    definition; the two ADC users can't drift — r6 advisor note)."""
+    probe_subs = subs.filter(F.col(id_col) == probe_id).select(
+        "subspace", F.transform(F.col("subvec"), _micro_u).alias("psub_u")
+    )
+    pdist = _sub_sq_dist_u2(F.col("psub_u"))
+    return probe_subs.join(F.broadcast(book), "subspace").select(
+        "subspace", "code", pdist.alias("pdist_u2")
+    )
+
+
+def _adc_topk(
+    codes: DataFrame, lut: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Rank candidate code rows by ADC sum against a broadcast LUT and
+    return the ascending top-``k`` (id, adc_u2), ties broken by id."""
+    return (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("pdist_u2").cast("bigint").alias("adc_u2"))
+        .orderBy(F.col("adc_u2").asc(), F.col(id_col))
+        .limit(k)
     )
 
 
@@ -399,33 +441,13 @@ def pq_adc_topk(
     Returns the top-``k`` (vec_id, adc_u2) by ascending approximate
     squared distance, excluding the probe itself.
     """
-    assigned = pq_assign(
-        df, m=m, id_col=id_col, label_col=label_col, vec_col=vec_col
-    ).select(id_col, "subspace", "code")
-
-    # Same subvector/codebook stages as pq_assign (shared helpers — one
-    # definition, the bucketing can never drift), then the probe LUT.
+    # One subvector/codebook build feeds assignment AND the probe LUT
+    # (shared helpers — one definition, the bucketing can never drift,
+    # and the codebook aggregates once per query instead of twice).
     subs = _pq_subvectors(df, m, id_col, label_col, vec_col)
     book = _pq_codebook(subs)
-
-    probe_subs = subs.filter(F.col(id_col) == probe_id).select(
-        "subspace", F.transform(F.col("subvec"), _micro_u).alias("psub_u")
-    )
-    pdist = F.aggregate(
-        F.zip_with(
-            F.col("psub_u"), F.col("cvec_u"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    lut = probe_subs.join(F.broadcast(book), "subspace").select(
-        "subspace", "code", pdist.alias("pdist_u2")
-    )
-    return (
-        assigned.filter(F.col(id_col) != probe_id)
-        .join(F.broadcast(lut), ["subspace", "code"])
-        .groupBy(id_col)
-        .agg(F.sum("pdist_u2").cast("bigint").alias("adc_u2"))
-        .orderBy(F.col("adc_u2").asc(), F.col(id_col))
-        .limit(k)
+    codes = _pq_codes(subs, book, id_col).select(id_col, "subspace", "code")
+    lut = _pq_lut(subs, book, probe_id, id_col)
+    return _adc_topk(
+        codes.filter(F.col(id_col) != probe_id), lut, k, id_col
     )

@@ -3878,7 +3878,7 @@ WITH per_nation AS (
 ), tot AS (
   SELECT SUM(revenue) AS total_revenue FROM per_nation
 )
-SELECT n_name, n_orders, revenue,
+SELECT n_name, n_orders, CAST(revenue AS VARCHAR) AS revenue,
        CAST(revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) AS revenue_share
 FROM per_nation, tot
 """
@@ -3894,7 +3894,10 @@ def q_nation_revenue_share(spark, sf_dir):
     over data rows (a w := Window.partitionBy() here would serialize
     the corpus through one task at 100 TB). Share = one unrounded
     double division of exact DECIMAL sums (identical operands divide
-    identically on both engines)."""
+    identically on both engines). The exact revenue crosses engines as
+    TEXT (FIXTURES.md wide-decimal rule): DuckDB DECIMAL(38,2) reaches
+    pandas as float64, so a raw decimal column hash-flakes on
+    trailing-zero cents while both strings render scale-2 exactly."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -3914,7 +3917,7 @@ def q_nation_revenue_share(spark, sf_dir):
     return per_nation.crossJoin(F.broadcast(tot)).select(
         "n_name",
         "n_orders",
-        "revenue",
+        F.col("revenue").cast("string").alias("revenue"),
         (F.col("revenue").cast("double") / F.col("total_revenue").cast("double")).alias(
             "revenue_share"
         ),
@@ -4165,11 +4168,12 @@ def q_cms_user_counts(spark, sf_dir):
 _PATH_SQL = """
 SELECT user_id, n_events, path FROM (
   SELECT user_id, COUNT(*) AS n_events,
-         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         string_agg(event_type, '>' ORDER BY rn) AS path
   FROM (
-    SELECT user_id, ts, event_id, event_type,
+    SELECT user_id, event_type,
            ROW_NUMBER() OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id) AS rn
+                              ORDER BY ts NULLS LAST,
+                                       event_id NULLS LAST) AS rn
     FROM events) t
   WHERE rn <= 20
   GROUP BY user_id) p
@@ -4186,18 +4190,24 @@ def q_user_event_paths(spark, sf_dir):
     collect_list over a bot account's clickstream is the 100 TB
     failure mode this avoids); one shuffle on user_id, the aggregate
     reuses the window's partitioning. Determinism: total order
-    (ts, event_id) inside the path; NULL event types are skipped by
-    both engines' ordered concat."""
+    (ts, event_id) with EXPLICIT NULLS LAST pinned on both engines
+    (Spark defaults NULLS FIRST ascending, DuckDB NULLS LAST — r6
+    advisor note), then the path concat sorts on the window's own
+    unique non-null rank so the string order can never diverge from
+    the rank order; NULL event types are skipped by both engines'
+    ordered concat."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     capped = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
     return capped.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
                 lambda s: s["event_type"],
             ),
             ">",
@@ -4210,7 +4220,8 @@ SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
 FROM (
   SELECT event_type,
          LAG(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev_type
+                               ORDER BY ts NULLS LAST,
+                                        event_id NULLS LAST) AS prev_type
   FROM events) t
 WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
 GROUP BY prev_type, event_type
@@ -4224,9 +4235,13 @@ def q_event_type_transitions(spark, sf_dir):
     contiguous-triple pattern match (pattern_view_click_purchase). One
     lag window hash-partitioned on user_id, then a partial-agged
     groupBy over the |types|² transition matrix — tiny output
-    regardless of corpus size. All-integer, exact oracle."""
+    regardless of corpus size. All-integer, exact oracle. NULLS LAST
+    pinned explicitly on both engines (divergent defaults — r6
+    advisor note)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     return (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull() & F.col("event_type").isNotNull())

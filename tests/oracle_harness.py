@@ -6,9 +6,11 @@ registered query is verified before the driver ever sees it.
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from chronobase_spark.catalog import TABLES
@@ -32,20 +34,57 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _canon_str(x) -> str:
+    """Canonical string for one scalar, mirroring a stringifying hash:
+    floats via repr (shortest round-trip decimal), timestamps/dates
+    normalized to ISO, everything else via str(). A Decimal therefore
+    keeps its trailing-zero scale and can NOT silently equal the
+    float64 DuckDB hands back for wide decimals — the representation
+    class that let nation_revenue_share ship red in r6."""
+    if isinstance(x, (float, np.floating)):
+        return repr(float(x))
+    if isinstance(x, (np.integer,)):
+        return str(int(x))
+    if isinstance(x, pd.Timestamp):
+        return x.isoformat()
+    if isinstance(x, datetime.datetime):
+        return x.isoformat()
+    if isinstance(x, datetime.date):
+        return x.isoformat()
+    return str(x)
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            af, bf = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
+    a_float = isinstance(a, (float, np.floating))
+    b_float = isinstance(b, (float, np.floating))
+    if a_float and b_float:
+        af, bf = float(a), float(b)
         if math.isnan(af) and math.isnan(bf):
             return True
         return af == bf
-    if pd.isna(a) and pd.isna(b):
-        return True
-    return a == b
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(
+        b, (list, tuple, np.ndarray)
+    ):
+        if not isinstance(a, (list, tuple, np.ndarray)) or not isinstance(
+            b, (list, tuple, np.ndarray)
+        ):
+            return False
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(
+            _values_equal(x, y) for x, y in zip(la, lb)
+        )
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    # Strict cross-engine contract: identical canonical STRINGS, not
+    # merely numerically-equal values. int64 5 vs float64 5.0, or
+    # Decimal('1.20') vs 1.2, are driver-hash mismatches and must
+    # fail here too (tests/oracle_harness is the local gate).
+    return _canon_str(a) == _canon_str(b)
 
 
 def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> list[str]:
