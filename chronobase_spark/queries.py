@@ -30,7 +30,7 @@ from chronobase_spark import catalog
 from chronobase_spark.dedup import embedding as emb_dedup
 from chronobase_spark.dedup import exact as exact_dedup
 from chronobase_spark.dedup import minhash, ngram, simhash
-from chronobase_spark.functions import packing, similarity, sketches, text
+from chronobase_spark.functions import bpe, packing, similarity, sketches, text
 from chronobase_spark.operators import aggregates as agg
 from chronobase_spark.operators import joins, setops, timeseries, windows
 
@@ -117,6 +117,18 @@ def _recorded_green() -> tuple[int, set[str]]:
 # rounds exist — a crashed or shrunken grading round must not silently
 # drop a pending re-grade (r4 advisor note).
 _FORCE_REGRADE = {
+    # r7: NULLS LAST pinned explicitly in the per-user windows + path
+    # concat re-keyed on the window rank (r6 advisor note; re-proven
+    # vs the oracle at sf0.01 this session)
+    "user_event_paths": 6,
+    "event_type_transitions": 6,
+    # r7: PQ pipeline refactored onto shared _pq_codes/_pq_lut/
+    # _adc_topk helpers (same math, one codebook aggregation; all four
+    # re-proven vs the oracle at sf0.01 this session)
+    "pq_adc_search": 6,
+    "ivf_pq_search": 6,
+    "ann_recall_at_10": 6,
+    "pq_code_histogram": 6,
     # r6: boundary chain fused into one window (bit-identical by
     # construction and re-proven vs the oracle at sf0.01 + sf0.1 this
     # session, but the new plan deserves fresh driver evidence)
@@ -4523,6 +4535,223 @@ def q_lapsed_rich_customers(spark, sf_dir):
             F.sum("bal").cast("string").alias("total_bal"),
         )
     )
+
+
+_SMALL_QTY_SQL = """
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'
+), th AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         COUNT(*) AS cnt
+  FROM lineitem JOIN pf ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN th ON l.l_partkey = th.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * th.cnt < th.sq
+"""
+
+
+@register("small_quantity_revenue", _SMALL_QTY_SQL)
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from lineitem rows whose quantity is
+    below 20% of that part's average quantity — the correlated scalar
+    aggregate (`0.2 * avg(l_quantity)` per part) decorrelated into an
+    aggregate-then-join, exactly what Catalyst's DecorrelateInnerQuery
+    produces. Scale shape: the brand filter broadcasts to BOTH
+    lineitem passes (scan-pruned), the per-part aggregate shrinks to
+    |filtered parts| rows before the shuffle_hash re-join on the
+    well-spread part key, and the threshold never divides — quantity
+    is integer-exact, so `qty·5·cnt < Σqty` is the FIXTURES
+    cross-multiplication of `qty < 0.2·avg` in pure BIGINT. Revenue
+    crosses engines as TEXT (wide-decimal rule)."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lif = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).drop("p_partkey")
+    th = lif.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    joined = lif.join(th.hint("shuffle_hash"), "l_partkey")
+    return (
+        joined.filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("cnt") < F.col("sq")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_TOP_VOLUME_SQL = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, c.c_name,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice, c.c_name
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("top_volume_orders", _TOP_VOLUME_SQL)
+def q_top_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: the top-100 largest-volume orders, where
+    "large" is an IN over a grouped-HAVING subquery on the same fact
+    table. The IN decorrelates to a LEFT SEMI join: lineitem
+    pre-aggregates per orderkey with map-side partials, the HAVING cut
+    leaves only the rare big orders, and the semi join keeps orders
+    from duplicating against multi-line matches. The quantity re-sum
+    then re-joins lineitem on the SAME orderkey partitioning (the
+    shuffle is reused), customer broadcasts, and the final top-100 is
+    a TakeOrderedAndProject — no global sort. All-integer quantities;
+    o_totalprice is a raw stored double (passthrough)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("tq"))
+        .filter(F.col("tq") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o_big = orders.join(
+        big.hint("shuffle_hash"),
+        orders.o_orderkey == big.l_orderkey,
+        "left_semi",
+    )
+    return (
+        o_big.join(F.broadcast(cust), o_big.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice", "c_name")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .select(
+            "o_orderkey", "o_orderdate", "o_totalprice", "c_name", "total_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_SOLE_LATE_SQL = """
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+), fl AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM fl l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.late
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM fl l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@register("sole_late_supplier", _SOLE_LATE_SQL)
+def q_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finalized multi-supplier order ("late" adapted to this schema:
+    shipped more than 60 days after the order date). The stacked
+    correlated subqueries decorrelate into one LEFT SEMI (EXISTS:
+    some OTHER supplier contributed a line) and one LEFT ANTI
+    (NOT EXISTS: no OTHER supplier was also late) — both equi-keyed on
+    orderkey with the supplier-inequality as the join residual, so
+    every self-join shuffles on the well-spread order key and nothing
+    plans a BNLJ. The status filter prunes the orders scan before the
+    fact-fact join; supplier broadcasts; the final top-100 is a
+    TakeOrderedAndProject. All-integer counts, timestamp comparisons
+    exact on both engines."""
+    fo = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    fl = li.join(fo, li.l_orderkey == fo.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    l1 = fl.filter("late").select(
+        F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("s1")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = fl.filter("late").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    blocked = l1.join(
+        l2.hint("shuffle_hash"),
+        (F.col("k1") == F.col("k2")) & (F.col("s1") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3.hint("shuffle_hash"),
+        (F.col("k1") == F.col("k3")) & (F.col("s1") != F.col("s3")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blocked.join(F.broadcast(sup), F.col("s1") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+_N_BPE_MERGES = 12
+
+
+@register("bpe_merge_training", bpe.bpe_merges_oracle_sql(_N_BPE_MERGES))
+def q_bpe_merge_training(spark, sf_dir):
+    """Real BPE merge training (Sennrich et al. 2016) over the document
+    corpus: the iterative highest-pair-count merge loop, not a fixed
+    vocab count (doc_bpe_token_count counts; this trains). The corpus
+    collapses once into a Heaps'-bounded word-frequency vocab; each of
+    the 12 rounds is one vocab-sized pair-count shuffle + a 1-row
+    argmax collect (dedup/cluster.py's convergence-scalar pattern),
+    then a map-side literal replace. Exact integer pair counts,
+    deterministic lexicographic tie-break; the DuckDB oracle unrolls
+    the identical algorithm into 12 chained CTE stages (see
+    functions/bpe.py for the boundary-guard encoding that makes a
+    merge a portable string replace)."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_merges(spark, docs, n_merges=_N_BPE_MERGES)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -167,3 +167,76 @@ def test_levenshtein_pairs_distances_match_reference_dp(spark, docs):
         a, b = texts[r["doc_a"]], texts[r["doc_b"]]
         assert r["lev_dist"] == _py_levenshtein(a, b)
         assert r["lev_dist"] <= 0.3 * max(len(a), len(b))
+
+
+def _py_bpe(texts: list[str], n_merges: int):
+    """Reference BPE trainer (Sennrich et al. 2016, list-based merge —
+    deliberately NOT the string-replace encoding the Spark/DuckDB
+    implementations use, so the boundary-guard trick is proven against
+    the classic algorithm, not against itself)."""
+    import re
+    from collections import Counter
+
+    vocab: dict[tuple[str, ...], int] = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference_python(spark):
+    """The DataFrame BPE trainer must reproduce the classic Python BPE
+    exactly — merge order, pair choice, AND counts — on a toy corpus
+    engineered to exercise overlap (aaaa), tie-breaks, and merged
+    symbols re-merging in later rounds (ab+ab after a+b)."""
+    from chronobase_spark.functions import bpe
+
+    texts = [
+        "aaaa abab banana bandana low lower lowest low low",
+        "newer newest wider widest new new new banana",
+        "abab abab cabbage aaa aa",
+    ]
+    expected = _py_bpe(texts, 10)
+    assert len(expected) == 10
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], int(r["pair_count"]))
+        for r in bpe.bpe_merges(spark, docs, n_merges=10)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_early_stop_when_pairs_exhausted(spark):
+    """Single-letter vocabulary: zero possible merges -> empty table,
+    no crash, stable schema."""
+    from chronobase_spark.functions import bpe
+
+    docs = spark.createDataFrame([("a b c a b",)], ["text"])
+    out = bpe.bpe_merges(spark, docs, n_merges=5)
+    assert out.columns == ["merge_rank", "left_sym", "right_sym", "pair_count"]
+    assert out.count() == 0

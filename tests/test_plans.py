@@ -113,6 +113,22 @@ def test_lsh_pipelines_never_broadcast_corpus_sides(spark, name):
     assert "BroadcastExchange" not in plan, f"{name} broadcasts a corpus side:\n{plan}"
 
 
+def test_decorrelation_shapes_plan_semi_anti_joins(spark):
+    """The three hard TPC-H decorrelation shapes (Q17/Q18/Q21 — r6
+    verdict ask) must decorrelate into hash-keyed semi/anti joins, not
+    nested loops: Q18's IN-over-grouped-HAVING plans a LeftSemi, Q21's
+    stacked EXISTS/NOT EXISTS plan a LeftSemi AND a LeftAnti, and all
+    three plan zero quadratic joins."""
+    p18 = _plan(spark, "top_volume_orders")
+    assert "LeftSemi" in p18, p18
+    p21 = _plan(spark, "sole_late_supplier")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+    p17 = _plan(spark, "small_quantity_revenue")
+    for plan in (p17, p18, p21):
+        for bad in QUADRATIC:
+            assert bad not in plan, plan
+
+
 def test_window_queries_are_partitioned(spark):
     """No window operator may run unpartitioned (a global Window.orderBy
     funnels the dataset through one task)."""
@@ -187,6 +203,10 @@ _SCALE_FLAG_ALLOWLIST = {
     # Q19-shape scalar revenue: one partial-agged decimal sum row per
     # task reaches the single partition, never the data
     "disjunctive_part_revenue": {"single-partition"},
+    # Q17 shape: same scalar-revenue pattern — the decorrelated
+    # aggregate join is fully distributed; only the final 1-row
+    # (revenue, n_lines) aggregate crosses a SinglePartition exchange
+    "small_quantity_revenue": {"single-partition"},
     # Q22 shape: 1-row (n, sum) totals broadcast over the anti-joined
     # customer side — the scalar-threshold pattern (orders_above_avg)
     "lapsed_rich_customers": {"bnlj", "single-partition"},

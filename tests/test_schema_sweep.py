@@ -47,6 +47,7 @@ _ALLOWED_DOUBLE = {
     ("percent_rank_value", "value"),
     ("sql_brand_above_avg", "p_retailprice"),
     ("time_range_scan", "value"),
+    ("top_volume_orders", "o_totalprice"),
     ("ttl_filter", "value"),
     ("value_outliers_by_type", "value"),
     # -- identical sequential fold on both engines (sorted-order
