@@ -434,6 +434,19 @@ def _pass(spark, factor: int) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save()
         timings["rrf_hybrid"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # BPE training: ONE corpus-linear tokenize/groupBy pass, then 12
+        # rounds on the Heaps'-bounded vocab. Verbatim replication keeps
+        # the vocab IDENTICAL across factors (same words, higher freqs),
+        # so the slope isolates the corpus pass — flat rounds are the
+        # 100 TB claim (training cost is vocab-, not corpus-, bound).
+        from chronobase_spark.functions import bpe as _bpe
+
+        _bpe.bpe_merges(spark, docs, n_merges=12).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["bpe_train"] = time.perf_counter() - t0
+
     return timings
 
 
