@@ -143,6 +143,110 @@ def lsh_candidates(
     )
 
 
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Portable-hash MinHash+LSH twin — same banding pipeline as
+    minhash_dedup_pairs but every hash is md5-derived (32-bit int via
+    ``conv(substr(md5(shingle#lane),1,8),16,10)``), which both Spark
+    and DuckDB compute bit-identically — so THIS variant is fully
+    SQL-oracle-checkable (the sketches.py CMS precedent), while the
+    xxhash64 production variant keeps the cheap JVM hash and its
+    brute-force pytest pin.
+
+    16 lanes (4 bands x 4 rows) instead of 128: the oracle pays 16 md5
+    calls per shingle on both engines; the S-curve is looser but the
+    exact-Jaccard verify stage makes the OUTPUT exact regardless — LSH
+    parameters only tune recall, and any recall gap shows up as a
+    row-count mismatch against the oracle, which computes the same 16
+    lanes. Band keys are comma-joined lane strings (portable), the
+    band self-join carries fixed-width triples with shuffle_hash on
+    both corpus-sized sides, and the threshold gate is an integer
+    cross-multiplication (micro-units) — no float boundary anywhere;
+    the reported jaccard is one unrounded int/int division."""
+    num_perm = bands * rows_per_band
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    exploded = spread.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    )
+    lanes = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("_g"), F.lit(f"#{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"_m{i}")
+        for i in range(num_perm)
+    ]
+    sigs = exploded.groupBy("doc").agg(*lanes).persist()
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"_m{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_val"),
+        )
+        for bi in range(bands)
+    ]
+    banded = (
+        sigs.select("doc", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc", "b.band_id", "b.band_val")
+    )
+    a = banded.alias("a")
+    b = banded.hint("shuffle_hash").alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh = (
+        spread.select(
+            F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("_sh")
+        )
+        .filter(F.size("_sh") > 0)
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("_sh").alias("sh_a")).hint(
+        "shuffle_hash"
+    )
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("_sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
+    thresh_micro = int(round(threshold * 1_000_000))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("_c", common)
+        .withColumn("_u", union)
+        .filter(F.col("_c") * 1_000_000 >= F.lit(thresh_micro) * F.col("_u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_c").cast("double") / F.col("_u").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -51,7 +51,7 @@ MERGES_SCHEMA = T.StructType(
 
 
 def encoded_word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus -> (ws, freq): lowercase ``[a-z]+`` word runs, counted,
+    """Corpus -> (w, ws, freq): lowercase ``[a-z]+`` word runs, counted,
     each word encoded as its ``|c1||c2||...|`` character sequence. This
     is the ONE corpus-wide pass; everything after runs on the vocab."""
     words = (
@@ -64,7 +64,7 @@ def encoded_word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     enc = F.concat(F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|"))
-    return words.select(enc.alias("ws"), "freq")
+    return words.select("w", enc.alias("ws"), "freq")
 
 
 def pair_counts(words: DataFrame) -> DataFrame:
@@ -86,15 +86,37 @@ def pair_counts(words: DataFrame) -> DataFrame:
 
 
 def apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
-    """One greedy left-to-right merge pass, map-side, pair as literal."""
-    return words.select(
+    """One greedy left-to-right merge pass, map-side, pair as literal;
+    preserves every other column (w, freq)."""
+    return words.withColumn(
+        "ws",
         F.replace(
             F.col("ws"),
             F.lit(f"|{left}||{right}|"),
             F.lit(f"|{left}{right}|"),
-        ).alias("ws"),
-        "freq",
+        ),
     )
+
+
+def _train(base: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]:
+    """The merge loop: per round one vocab-sized pair-count shuffle and
+    ONE collected argmax row; the merge applies as a literal, keeping
+    lineage linear. Caller persists ``base``."""
+    merges: list[tuple[int, str, str, int]] = []
+    cur = base
+    for rank in range(1, n_merges + 1):
+        best = (
+            pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        cur = apply_merge(cur, a, b)
+    return merges
 
 
 def bpe_merges(
@@ -105,27 +127,56 @@ def bpe_merges(
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns the merges table
     (merge_rank, left_sym, right_sym, pair_count). Stops early if the
-    vocab runs out of pairs. Only the 1-row argmax per round is ever
-    collected."""
+    vocab runs out of pairs."""
     base = encoded_word_freqs(docs, text_col).persist()
-    merges: list[tuple[int, str, str, int]] = []
     try:
-        cur = base
-        for rank in range(1, n_merges + 1):
-            best = (
-                pair_counts(cur)
-                .orderBy(F.col("cnt").desc(), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-            merges.append((rank, a, b, cnt))
-            cur = apply_merge(cur, a, b)
+        merges = _train(base, n_merges)
     finally:
         base.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def doc_trained_token_counts(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer APPLICATION: per-document token count under the
+    freshly trained ``n_merges``-rule BPE — the number a sequence
+    packer or context-length budget actually needs.
+
+    The segmentation of a word depends only on the word, so the corpus
+    is never re-segmented: the trained vocab table itself carries each
+    word's final symbol count, and per-doc counts are one
+    explode + vocab join (shuffle_hash — the vocab grows with the
+    corpus, never broadcast) + one partial-agged sum. Documents with
+    zero alphabetic words drop out on both engines (explode semantics).
+    """
+    base = encoded_word_freqs(docs, text_col).persist()
+    try:
+        merges = _train(base, n_merges)
+        cur = base
+        for _rank, a, b, _cnt in merges:
+            cur = apply_merge(cur, a, b)
+        n_syms = F.size(F.split(F.expr("btrim(ws, '|')"), r"\|\|"))
+        vocab = cur.select("w", n_syms.alias("n_syms"))
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("w"),
+        )
+        return (
+            toks.join(vocab.hint("shuffle_hash"), "w")
+            .groupBy(id_col)
+            .agg(F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"))
+        )
+    finally:
+        base.unpersist()
 
 
 def bpe_merges_oracle_sql(n_merges: int = 12, table: str = "documents") -> str:
@@ -139,9 +190,20 @@ def bpe_merges_oracle_sql(n_merges: int = 12, table: str = "documents") -> str:
     next round's replace), so inlining doubles the plan per round —
     2^n copies of the base scan by round n (measured: 367 s at sf0.001
     for n=12; materialized: sub-second)."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_cte_chain(n_merges, table) + "\n" + unions
+
+
+def _bpe_cte_chain(n_merges: int, table: str) -> str:
+    """The shared WITH-chain: words0 .. words{n} plus per-round pair
+    counts and argmax, each stage materialized."""
     parts = [
         f"""WITH words0 AS MATERIALIZED (
-  SELECT '|' || array_to_string(string_split(w, ''), '||') || '|' AS ws,
+  SELECT w, '|' || array_to_string(string_split(w, ''), '||') || '|' AS ws,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS w
         FROM {table})
@@ -162,14 +224,32 @@ def bpe_merges_oracle_sql(n_merges: int = 12, table: str = "documents") -> str:
 ), best{i} AS MATERIALIZED (
   SELECT a, b, cnt FROM pc{i} ORDER BY cnt DESC, a, b LIMIT 1
 ), words{i} AS MATERIALIZED (
-  SELECT replace(ws, '|' || a || '||' || b || '|',
-                     '|' || a || b || '|') AS ws, freq
+  SELECT w, replace(ws, '|' || a || '||' || b || '|',
+                        '|' || a || b || '|') AS ws, freq
   FROM words{prev} CROSS JOIN best{i}
 )"""
         )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT CAST({i} AS INTEGER) AS merge_rank, a AS left_sym,"
-        f" b AS right_sym, cnt AS pair_count FROM best{i}"
-        for i in range(1, n_merges + 1)
+    return "".join(parts)
+
+
+def doc_token_counts_oracle_sql(
+    n_merges: int = 12, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of doc_trained_token_counts: the same training chain,
+    then per-word final symbol counts joined back to the exploded
+    corpus."""
+    return (
+        _bpe_cte_chain(n_merges, table)
+        + f"""
+, vocab AS MATERIALIZED (
+  SELECT w, len(string_split(trim(ws, '|'), '||')) AS n_syms
+  FROM words{n_merges}
+), toks AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower(text),
+                                             '{TOKEN_PATTERN}')) AS w
+  FROM {table}
+)
+SELECT toks.{id_col}, CAST(SUM(vocab.n_syms) AS BIGINT) AS n_bpe_tokens
+FROM toks JOIN vocab ON toks.w = vocab.w
+GROUP BY toks.{id_col}"""
     )
-    return "".join(parts) + "\n" + unions

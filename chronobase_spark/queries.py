@@ -1058,6 +1058,67 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _minhash_md5_sql(bands: int = 4, rows: int = 4) -> str:
+    lane = (
+        lambda i: f"MIN(('0x' || substr(md5(g || '#{i}'), 1, 8))::BIGINT) AS m{i}"
+    )
+    lanes = ",\n         ".join(lane(i) for i in range(bands * rows))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc, {bi} AS band_id, concat_ws(','"
+        + "".join(f", m{bi * rows + r}" for r in range(rows))
+        + ") AS band_val FROM sigs"
+        for bi in range(bands)
+    )
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+  FROM toks
+), sigs AS MATERIALIZED (
+  SELECT doc,
+         {lanes}
+  FROM sh GROUP BY doc
+), bands AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc < b.doc
+), shl AS MATERIALIZED (
+  SELECT doc, list(DISTINCT g) AS gl FROM sh GROUP BY doc
+)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+FROM (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(la.gl, lb.gl)) AS BIGINT) AS c,
+         CAST(len(la.gl) + len(lb.gl)
+              - len(list_intersect(la.gl, lb.gl)) AS BIGINT) AS u
+  FROM cand JOIN shl la ON la.doc = doc_a JOIN shl lb ON lb.doc = doc_b
+)
+WHERE c * 1000000 >= 500000 * u
+"""
+
+
+@register("minhash_md5_pairs", _minhash_md5_sql())
+def q_minhash_md5_pairs(spark, sf_dir):
+    """Portable-hash MinHash+LSH (dedup.minhash.minhash_md5_pairs):
+    the oracle-checkable twin of minhash_dedup_pairs — md5-derived
+    32-bit lanes both engines compute bit-identically, so the FULL
+    banding pipeline (signature, band join, exact-Jaccard verify) is
+    hash-verified against DuckDB, not just rows-only. The xxhash64
+    production variant stays for throughput; this pins the pipeline's
+    semantics cross-engine (the sketches.py md5-CMS precedent)."""
+    return minhash.minhash_md5_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 _DOT = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))"
@@ -4752,6 +4813,22 @@ def q_bpe_merge_training(spark, sf_dir):
     merge a portable string replace)."""
     docs = _t(spark, sf_dir, "documents")
     return bpe.bpe_merges(spark, docs, n_merges=_N_BPE_MERGES)
+
+
+@register(
+    "doc_bpe_trained_tokens", bpe.doc_token_counts_oracle_sql(_N_BPE_MERGES)
+)
+def q_doc_bpe_trained_tokens(spark, sf_dir):
+    """Tokenizer application: per-document token counts under the
+    12-merge BPE trained on this very corpus — the count a sequence
+    packer or context budget actually consumes (doc_bpe_token_count
+    uses a fixed regex vocab; this uses the TRAINED segmentation).
+    Because a word's segmentation depends only on the word, the corpus
+    is never re-segmented: the trained vocab carries each word's final
+    symbol count and the per-doc sum is explode + shuffle_hash vocab
+    join + one partial-agged groupBy. Exact integers end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.doc_trained_token_counts(spark, docs, n_merges=_N_BPE_MERGES)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

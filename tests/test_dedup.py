@@ -240,3 +240,46 @@ def test_bpe_early_stop_when_pairs_exhausted(spark):
     out = bpe.bpe_merges(spark, docs, n_merges=5)
     assert out.columns == ["merge_rank", "left_sym", "right_sym", "pair_count"]
     assert out.count() == 0
+
+
+def test_bpe_trained_token_counts_match_reference(spark):
+    """Applying the trained merges: per-doc token counts equal the
+    classic Python segmentation (merges applied in rank order, greedy
+    left-to-right within each rule)."""
+    import re
+
+    from chronobase_spark.functions import bpe
+
+    texts = [
+        "aaaa abab banana bandana low lower lowest low low",
+        "newer newest wider widest new new new banana",
+        "abab abab cabbage aaa aa",
+    ]
+    merges = _py_bpe(texts, 10)
+
+    def segment(word: str) -> int:
+        syms = list(word)
+        for _rank, a, b, _cnt in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expected = {
+        did: sum(segment(w) for w in re.findall("[a-z]+", t.lower()))
+        for did, t in enumerate(texts)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: int(r["n_bpe_tokens"])
+        for r in bpe.doc_trained_token_counts(spark, docs, n_merges=10).collect()
+    }
+    assert got == expected

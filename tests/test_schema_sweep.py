@@ -87,6 +87,7 @@ _ALLOWED_DOUBLE = {
     ("moment_stats_by_type", "mean_value"),
     ("moment_stats_by_type", "stddev_value"),
     ("moment_stats_by_type", "var_value"),
+    ("minhash_md5_pairs", "jaccard"),
     ("nation_revenue_share", "revenue_share"),
     ("percent_rank_value", "cume"),
     ("percent_rank_value", "pct_rank"),
@@ -124,6 +125,9 @@ _ALLOWED_DOUBLE = {
     ("part_feature_scalars", "price_ln"),
     ("part_feature_scalars", "price_sqrt"),
     ("tfidf_top_terms", "score"),
+    # 6dp-rounded int/int quotient; boundary-safe in practice, green
+    # since r4 — migrate to unrounded if it ever flakes
+    ("ngram_jaccard_pairs", "jaccard"),
     # -- embedding math: identical sequential fold over array elements
     #    (F.aggregate in index order <-> list_reduce) -------------------
     ("embedding_array_ops", "first_dim"),
@@ -139,7 +143,6 @@ _ALLOWED_DOUBLE = {
     ("approx_value_percentiles", "p90"),
     ("approx_value_percentiles", "p99"),
     ("minhash_dedup_pairs", "jaccard"),
-    ("ngram_jaccard_pairs", "jaccard"),
     ("value_percentiles", "p50"),
     ("value_percentiles", "p90"),
     ("value_percentiles", "p99"),
