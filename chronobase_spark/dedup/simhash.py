@@ -56,6 +56,96 @@ def hamming_distance(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_md5_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, c0..c3): the 64-bit SimHash held as four UNSIGNED 16-bit
+    chunk ints — the portable-hash twin of simhash(). Token bits come
+    from two md5-derived 32-bit halves (``conv(substr(md5(tok),1,8))``
+    and ``substr(...,9,8)``), which Spark and DuckDB compute
+    bit-identically, and the chunked representation sidesteps the
+    two's-complement sign-bit packing that a signed 64-bit signature
+    needs — every chunk is 0..65535, safe in any engine's BIGINT."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(BITS)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    chunk_cols = []
+    for j in range(CHUNKS):
+        c = F.lit(0).cast("bigint")
+        for r in range(16):
+            c = c + F.when(
+                F.col(f"b{16 * j + r}") > 0, F.lit(1 << r).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        chunk_cols.append(c.alias(f"c{j}"))
+    return agg.select("doc", *chunk_cols)
+
+
+def simhash_md5_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Oracle-checkable SimHash near-pairs: same chunk-LSH pigeonhole
+    pipeline as simhash_near_pairs, but every hash is md5-portable so
+    the FULL pipeline (bit sums, chunking, band join, Hamming verify)
+    hash-verifies against DuckDB. Returns (doc_a, doc_b, hamming)."""
+    sigs = simhash_md5_chunks(df, text_col, id_col)
+    chunked = sigs.select(
+        "doc",
+        *[f"c{j}" for j in range(CHUNKS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.col(f"c{j}").alias("chunk_val"),
+                    )
+                    for j in range(CHUNKS)
+                ]
+            )
+        ).alias("k"),
+    ).select(
+        "doc", *[f"c{j}" for j in range(CHUNKS)], "k.chunk_id", "k.chunk_val"
+    )
+    a, b = chunked.alias("a"), chunked.hint("shuffle_hash").alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{j}").bitwiseXOR(F.col(f"b.c{j}")))
+        for j in range(CHUNKS)
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1105,6 +1105,73 @@ WHERE c * 1000000 >= 500000 * u
 """
 
 
+def _simhash_md5_sql(max_hamming: int = 3) -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h{1 if i < 32 else 2} >> {i % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    chunk_exprs = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN b{16 * j + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(16)
+        )
+        + f" AS BIGINT) AS c{j}"
+        for j in range(4)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc, c0, c1, c2, c3, {j} AS chunk_id, c{j} AS chunk_val"
+        " FROM sig"
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{j}, b.c{j}))" for j in range(4))
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), h AS MATERIALIZED (
+  SELECT doc,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+  FROM toks
+), bits AS MATERIALIZED (
+  SELECT doc,
+         {bit_sums}
+  FROM h GROUP BY doc
+), sig AS MATERIALIZED (
+  SELECT doc,
+         {chunk_exprs}
+  FROM bits
+), chunks AS (
+{band_rows}
+)
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc < b.doc
+)
+WHERE hamming <= {max_hamming}
+"""
+
+
+@register("simhash_md5_pairs", _simhash_md5_sql())
+def q_simhash_md5_pairs(spark, sf_dir):
+    """Portable-hash SimHash twin (dedup.simhash.simhash_md5_near_pairs):
+    md5-derived token bits and an unsigned 16-bit-chunk signature
+    representation, so the whole pipeline — 64 bit-sums, chunking,
+    pigeonhole band join, Hamming verify — hash-verifies against
+    DuckDB. The xxhash64 production variant stays for throughput;
+    together with minhash_md5_pairs this makes every near-dup FAMILY
+    oracle-checked, with rows-only checks remaining ONLY on the
+    engine-hash variants."""
+    return simhash.simhash_md5_near_pairs(_t(spark, sf_dir, "documents"))
+
+
 @register("minhash_md5_pairs", _minhash_md5_sql())
 def q_minhash_md5_pairs(spark, sf_dir):
     """Portable-hash MinHash+LSH (dedup.minhash.minhash_md5_pairs):
@@ -4792,6 +4859,67 @@ def q_sole_late_supplier(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
+    )
+
+
+_DOMINANT_SUPP_SQL = """
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'
+), sp AS (
+  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem JOIN pf ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, SUM(sq) AS tq FROM sp GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT sp.l_suppkey
+  FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+  WHERE sp.sq * 100 > pt.tq * 15)
+ORDER BY s_suppkey
+"""
+
+
+@register("dominant_part_suppliers", _DOMINANT_SUPP_SQL)
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped >15% of a brand's total
+    quantity for some part — an IN over an aggregate-of-aggregate
+    (per-(supplier, part) sums compared against per-part totals
+    derived from the SAME aggregate). The inner threshold join reuses
+    the first aggregate's partkey shuffle; the per-part totals are a
+    second map-side-partial rollup OF the first aggregate (never a
+    second corpus scan); the IN decorrelates to a LEFT SEMI against
+    the supplier dimension. Threshold is a BIGINT
+    cross-multiplication (sq·100 > tq·15) — no division anywhere."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    sp = (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominating = (
+        sp.join(pt.hint("shuffle_hash"), "l_partkey")
+        .filter(F.col("sq") * 100 > F.col("tq") * 15)
+        .select("l_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(
+            dominating.hint("shuffle_hash"),
+            sup.s_suppkey == dominating.l_suppkey,
+            "left_semi",
+        )
+        .orderBy("s_suppkey")
     )
 
 

@@ -283,3 +283,27 @@ def test_bpe_trained_token_counts_match_reference(spark):
         for r in bpe.doc_trained_token_counts(spark, docs, n_merges=10).collect()
     }
     assert got == expected
+
+
+def test_md5_twins_find_planted_near_dups(spark, docs):
+    """The portable-hash (oracle-checked) minhash/simhash twins must
+    still FIND near-duplicates — portability must not have cost the
+    operators their semantics. Ground truth: exact 3-gram Jaccard."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram.jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    assert truth, "smoke corpus should contain planted near-identical docs"
+
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.minhash_md5_pairs(docs, threshold=0.5).collect()
+    }
+    assert truth <= mh, f"md5 minhash missed exact near-dups: {truth - mh}"
+
+    sh = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash.simhash_md5_near_pairs(docs, max_hamming=3).collect()
+    }
+    missed = truth - sh
+    assert len(missed) <= len(truth) // 4, f"md5 simhash missed too many: {missed}"

@@ -123,8 +123,10 @@ def test_decorrelation_shapes_plan_semi_anti_joins(spark):
     assert "LeftSemi" in p18, p18
     p21 = _plan(spark, "sole_late_supplier")
     assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+    p20 = _plan(spark, "dominant_part_suppliers")
+    assert "LeftSemi" in p20, p20
     p17 = _plan(spark, "small_quantity_revenue")
-    for plan in (p17, p18, p21):
+    for plan in (p17, p18, p20, p21):
         for bad in QUADRATIC:
             assert bad not in plan, plan
 
