@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from chronobase_spark import catalog
 from chronobase_spark.dedup import embedding as emb_dedup
 from chronobase_spark.dedup import exact as exact_dedup
-from chronobase_spark.dedup import minhash, ngram, simhash
+from chronobase_spark.dedup import minhash, ngram, simhash, winnow
 from chronobase_spark.functions import bpe, packing, similarity, sketches, text
 from chronobase_spark.operators import aggregates as agg
 from chronobase_spark.operators import joins, setops, timeseries, windows
@@ -1056,6 +1056,46 @@ def q_minhash_dedup_pairs(spark, sf_dir):
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash 64-bit signatures; Hamming-ball pairs via chunk LSH."""
     return simhash.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+_WINNOW_SQL = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), fps AS MATERIALIZED (
+  SELECT doc, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(h) - 3, 0)),
+           i -> list_min(h[i:i+3])))) AS fp
+  FROM (
+    SELECT doc,
+           list_transform(generate_series(1, greatest(len(tk) - 3, 0)),
+             i -> ('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')),
+                                  1, 8))::BIGINT) AS h
+    FROM toks)
+), rare AS MATERIALIZED (
+  SELECT doc, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50)
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+@register("winnow_dup_pairs", _WINNOW_SQL)
+def q_winnow_dup_pairs(spark, sf_dir):
+    """Winnowing fingerprint near-dup pairs (dedup.winnow — Schleimer,
+    Wilkerson & Aiken's MOSS selection): positional 4-gram md5 hashes,
+    min of each 4-hash window, pairs sharing ≥3 selected fingerprints
+    after max_df=50 hot-fingerprint pruning. Guarantees any
+    sufficiently long shared passage is caught at ~2/(w+1) of full
+    shingle storage — the local-similarity primitive between whole-doc
+    fingerprints and shingle Jaccard. Map-only selection, posting-list
+    pair search, fully oracle-checked (portable md5 lanes)."""
+    return winnow.winnow_dup_pairs(_t(spark, sf_dir, "documents"))
 
 
 def _minhash_md5_sql(bands: int = 4, rows: int = 4) -> str:

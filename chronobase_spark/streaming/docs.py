@@ -203,3 +203,19 @@ def simhash_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
     return stream.withColumn(
         "simhash", F.when(F.size(toks) > 0, sig)
     )
+
+
+def winnow_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row winnowing fingerprints computed IN the stream (Schleimer
+    et al.'s MOSS selection, dedup/winnow.py) — the third member of the
+    in-stream signature family. Stateless by construction: the
+    selection is a pure per-row array expression (positional 4-gram md5
+    hashes, min per 4-window, distinct), the IDENTICAL expression the
+    batch operator uses — one definition, so batch/stream equality
+    holds by construction and is still pinned in tests/test_streaming.
+    Docs with no fingerprints (shorter than k+w-1 tokens) get NULL, the
+    signature_stage convention."""
+    from chronobase_spark.dedup.winnow import selected_fingerprints
+
+    fps = selected_fingerprints(F.col(text_col))
+    return stream.withColumn("winnow_fps", F.when(F.size(fps) > 0, fps))

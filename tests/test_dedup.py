@@ -307,3 +307,41 @@ def test_md5_twins_find_planted_near_dups(spark, docs):
     }
     missed = truth - sh
     assert len(missed) <= len(truth) // 4, f"md5 simhash missed too many: {missed}"
+
+
+def test_winnow_fingerprints_match_reference_python(spark):
+    """The DataFrame winnower must select exactly the fingerprints the
+    textbook MOSS algorithm selects (positional 4-gram hashes, min per
+    4-window, distinct) — including short-doc edge cases (< k tokens,
+    < w grams)."""
+    import hashlib
+    import re
+
+    from chronobase_spark.dedup import winnow
+
+    def py_winnow(text: str, k: int = 4, w: int = 4) -> set[int]:
+        cleaned = re.sub(r"[^a-z0-9\s]", " ", text.lower())
+        tk = [t for t in re.split(r"\s+", cleaned.strip()) if t]
+        grams = [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        h = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        return {min(h[i : i + w]) for i in range(len(h) - w + 1)}
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the hazy bog again and again today",
+        "too few words here",  # 4 tokens -> 1 gram -> 0 windows
+        "tiny",  # < k tokens -> 0 grams
+        "one two three four five six seven",  # 4 grams -> exactly 1 window
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnow.winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc"], set()).add(int(r["fp"]))
+    expected = {
+        i: py_winnow(t) for i, t in enumerate(texts) if py_winnow(t)
+    }
+    assert got == expected

@@ -25,6 +25,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -161,15 +163,22 @@ def _walk(dt):
         yield from _walk(dt.valueType)
 
 
-def _registry_schemas(spark):
-    for name, fn in entrymod.queries().items():
-        yield name, fn(spark, SF_SMOKE).schema
+@pytest.fixture(scope="module")
+def registry_schemas(spark):
+    """Build every registered query ONCE per test module: iterative
+    queries (BPE training, dup clustering) execute driver-side rounds
+    just to produce their DataFrame, so each extra full-registry build
+    costs real minutes."""
+    return [
+        (name, fn(spark, SF_SMOKE).schema)
+        for name, fn in entrymod.queries().items()
+    ]
 
 
-def test_no_decimal_output_columns(spark):
+def test_no_decimal_output_columns(registry_schemas):
     offenders = [
         (name, f.name)
-        for name, schema in _registry_schemas(spark)
+        for name, schema in registry_schemas
         for f in schema.fields
         if any(isinstance(k, T.DecimalType) for k in _walk(f.dataType))
     ]
@@ -179,10 +188,10 @@ def test_no_decimal_output_columns(spark):
     )
 
 
-def test_double_outputs_are_reviewed(spark):
+def test_double_outputs_are_reviewed(registry_schemas):
     seen = {
         (name, f.name)
-        for name, schema in _registry_schemas(spark)
+        for name, schema in registry_schemas
         for f in schema.fields
         if any(
             isinstance(k, (T.DoubleType, T.FloatType))

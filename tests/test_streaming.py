@@ -821,3 +821,51 @@ def test_streaming_transitions_match_batch_lag(spark, event_source, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_winnow_stage_matches_batch(spark, tmp_path):
+    """The stateless per-row winnowing stage must emit the SAME
+    fingerprint sets as the batch operator (one shared expression), and
+    too-short docs must carry NULL. Run through a real stream so the
+    stage is proven stateless."""
+    from chronobase_spark.dedup import winnow
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "winsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    short = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit("too short")
+    )
+    base.union(short).repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "win_sink")
+    q = (
+        docstream.winnow_stage(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+
+    got = {
+        r["doc_id"]: (set(r["winnow_fps"]) if r["winnow_fps"] is not None else None)
+        for r in out.collect()
+    }
+    assert got[999999] is None
+    batch: dict[int, set[int]] = {}
+    for r in winnow.winnow_fingerprints(spark.read.parquet(src)).collect():
+        batch.setdefault(r["doc"], set()).add(r["fp"])
+    assert set(batch) == {k for k, v in got.items() if v is not None}
+    for doc, fps in batch.items():
+        assert got[doc] == fps, doc
