@@ -114,8 +114,12 @@ def assign_nearest_centroid(
     with map-side partial aggregation — no window, no second pass.
     Distance is rounded before the argmin so the winner is deterministic
     across engines; ties break by centroid label. Returns every input
-    column of ``df`` minus the vector, plus (assigned, dist).
-    """
+    column of ``df`` minus the vector, plus (assigned, dist). NULL
+    vectors are dropped up front (they cannot be assigned; a NULL
+    distance would otherwise win the struct-min as Spark sorts nulls
+    first, silently mis-binning every embedding-less row — r7
+    nully-differential finding; same policy as pq_assign)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     dist = F.round(
         squared_distance(F.col(vec_col), F.col("cvec")), round_digits
     )

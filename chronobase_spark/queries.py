@@ -122,6 +122,18 @@ _FORCE_REGRADE = {
     # vs the oracle at sf0.01 this session)
     "user_event_paths": 6,
     "event_type_transitions": 6,
+    # r7 null-contract pins (tests/test_null_oracle.py sweep): explicit
+    # NULLS LAST / null drops / coalesced counts on both engines —
+    # re-proven vs the oracle at sf0.01 AND on the nully corpus
+    "percent_rank_value": 6,
+    "value_ntiles": 6,
+    "cheapest_supplier_per_part": 6,
+    "ohlc_daily_rollup": 6,
+    "doc_fingerprint": 6,
+    "doc_repetition": 6,
+    "quality_filter_funnel": 6,
+    "embedding_centroids": 6,
+    "ivf_assign_counts": 6,
     # r7: PQ pipeline refactored onto shared _pq_codes/_pq_lut/
     # _adc_topk helpers (same math, one codebook aggregation; all four
     # re-proven vs the oracle at sf0.01 this session)
@@ -129,16 +141,16 @@ _FORCE_REGRADE = {
     "ivf_pq_search": 6,
     "ann_recall_at_10": 6,
     "pq_code_histogram": 6,
-    # r6: boundary chain fused into one window (bit-identical by
-    # construction and re-proven vs the oracle at sf0.01 + sf0.1 this
-    # session, but the new plan deserves fresh driver evidence)
-    "ewma_user_value": 5,
+    # r7: NULL observations excluded up front on both engines (null
+    # contract pin, see block above; previously r6's window fusion)
+    "ewma_user_value": 6,
     "multimodal_decode_features": 4,  # r5: stub decode -> real PPM decoder
     "dup_clusters": 4,  # r5: CC convergence seeded from init labels
     # r5 sf0.1 robustness sweep: rounded double quotients replaced by
-    # exact sums + one unrounded division (values changed slightly)
-    "embedding_centroids": 4,
-    "ivf_assign_counts": 4,  # shares label_centroids
+    # exact sums + one unrounded division (values changed slightly).
+    # embedding_centroids / ivf_assign_counts were in this batch too but
+    # now carry the LATER r7 null-contract entry above (a duplicate dict
+    # key here would silently overwrite the newer round number).
     "gap_fill_locf": 4,
     "gap_fill_interp": 4,
 }
@@ -1352,10 +1364,11 @@ def q_doc_quality(spark, sf_dir):
 @register(
     "doc_fingerprint",
     """SELECT doc_id,
-              list_reduce(
-                list_prepend(CAST(0 AS BIGINT),
-                  list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))),
-                (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+              CASE WHEN text IS NULL THEN NULL ELSE
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i]) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 2147483647) END AS fp
        FROM documents""",
 )
 def q_doc_fingerprint(spark, sf_dir):
@@ -1809,15 +1822,20 @@ def q_full_outer_user_activity(spark, sf_dir):
               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
               ROUND(CUME_DIST() OVER w, 6) AS cume
        FROM events
-       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+       WINDOW w AS (PARTITION BY event_type
+                    ORDER BY value NULLS LAST, event_id)""",
 )
 def q_value_ntiles(spark, sf_dir):
     """Distribution window functions (ntile / percent_rank / cume_dist)
     in one window pass: the ordering tie-breaks on event_id so every
     rank is unique and the rational-arithmetic outputs hash-match the
-    oracle exactly."""
+    oracle exactly. NULLS LAST pinned explicitly — Spark defaults
+    NULLS FIRST ascending, DuckDB NULLS LAST (r7 nully-differential
+    finding; tests/test_null_oracle.py)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return ev.select(
         "event_id",
         F.ntile(4).over(w).alias("quartile"),
@@ -2290,20 +2308,26 @@ def q_value_histogram(spark, sf_dir):
     "percent_rank_value",
     """SELECT event_id, event_type, value,
               percent_rank() OVER (PARTITION BY event_type
-                                   ORDER BY value, event_id) AS pct_rank,
+                                   ORDER BY value NULLS LAST,
+                                            event_id) AS pct_rank,
               cume_dist() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS cume
+                                ORDER BY value NULLS LAST,
+                                         event_id) AS cume
        FROM events WHERE event_type IN ('purchase', 'error')""",
 )
 def q_percent_rank_value(spark, sf_dir):
     """Relative-rank window functions (percent_rank / cume_dist):
     integer-ratio doubles, so cross-engine exact. Completes the ranking
     family (row_number/rank/dense_rank/ntile elsewhere). The (value,
-    event_id) order key makes ranks deterministic under ties."""
+    event_id) order key makes ranks deterministic under ties; NULLS
+    LAST pinned explicitly on both engines (r7 nully-differential
+    finding)."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "error")
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return ev.select(
         "event_id",
         "event_type",
@@ -2458,7 +2482,8 @@ def q_moment_stats_by_type(spark, sf_dir):
                 ROW_NUMBER() OVER (PARTITION BY ps.l_partkey
                                    ORDER BY s.s_acctbal, s.s_suppkey) AS rn
          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
-         JOIN supplier s ON ps.l_suppkey = s.s_suppkey) t
+         JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+         WHERE s.s_acctbal IS NOT NULL) t
        WHERE rn = 1""",
 )
 def q_cheapest_supplier_per_part(spark, sf_dir):
@@ -2469,9 +2494,17 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
     aggregation), and duplicates from repeat shipments can't change a
     min, so no distinct is needed: ONE shuffle on l_partkey total. The
     row_number-over-window formulation (the oracle SQL) would pay a
-    distinct shuffle plus a window sort on top."""
+    distinct shuffle plus a window sort on top. NULL-balance suppliers
+    are excluded on BOTH engines (a struct min would sort Spark's
+    nulls FIRST while the oracle window sorts them LAST — the r7
+    nully-differential finding; an unknown balance can't be
+    'cheapest')."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal").isNotNull())
+        .select("s_suppkey", "s_acctbal")
+    )
     j = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
     best = F.min(F.struct("s_acctbal", "s_suppkey")).alias("best")
     return (
@@ -2629,7 +2662,8 @@ FROM (
          list_transform(range(1, greatest(len(tk), 1)),
                         i -> tk[i] || ' ' || tk[i + 1]) AS grams
   FROM (SELECT doc_id,
-               list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tk
+               list_filter(string_split(trim(lower(coalesce(text, ''))), ' '),
+                           x -> x <> '') AS tk
         FROM documents)
 )
 """
@@ -2697,6 +2731,7 @@ _CENTROID_AVG_SQL = (
 _CENTROID_SQL = f"""
 SELECT label, i - 1 AS pos, {_CENTROID_AVG_SQL} AS avg_v
 FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+WHERE embedding IS NOT NULL
 GROUP BY label, i
 """
 
@@ -2734,6 +2769,7 @@ _ASSIGN_SQL = f"""
 WITH cent AS (
   SELECT label AS clabel, i AS pos, {_CENTROID_AVG_SQL} AS avg_v
   FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE embedding IS NOT NULL
   GROUP BY label, i
 ), cvecs AS (
   SELECT clabel, list(avg_v ORDER BY pos) AS cvec FROM cent GROUP BY clabel
@@ -2742,6 +2778,7 @@ WITH cent AS (
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
                             ORDER BY ROUND({_SQDIST_SQL}, 6), c.clabel) AS rnk
   FROM embeddings e CROSS JOIN cvecs c
+  WHERE e.embedding IS NOT NULL
 )
 SELECT label, clabel AS assigned, COUNT(*) AS n_vecs
 FROM best WHERE rnk = 1 GROUP BY label, clabel
@@ -2863,7 +2900,7 @@ WITH RECURSIVE o AS (
          DATE_TRUNC('day', ts) AS seg,
          ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('day', ts)
                             ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), pre AS (
   SELECT user_id, seg, rn, event_id, ts, value,
          0.5 * value AS bj, CAST(0.5 AS DOUBLE) AS aj
@@ -2925,9 +2962,15 @@ def q_ewma_user_value(spark, sf_dir):
     segmented association on both sides (a plain-sequential oracle
     would differ by final-ulp rounding placement, so the oracle states
     the segmented DAG explicitly). Full mechanics + scale notes:
-    operators.timeseries.segmented_ewma."""
+    operators.timeseries.segmented_ewma. NULL observations are
+    excluded on BOTH engines up front (a NULL poisons DuckDB's
+    recursive chain differently from the window fold — r7
+    nully-differential finding; EWMA is defined over observed
+    values)."""
     return timeseries.segmented_ewma(
-        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
     )
 
 
@@ -3090,7 +3133,8 @@ def q_weekly_cohort_retention(spark, sf_dir):
 _FUNNEL_SQL = """
 WITH t AS (
   SELECT doc_id, lang,
-         list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tk
+         list_filter(string_split(trim(lower(coalesce(text, ''))), ' '),
+                     x -> x <> '') AS tk
   FROM documents
 ), s AS (
   SELECT lang,
@@ -3596,13 +3640,21 @@ WITH ranked AS (
          COUNT(*) AS n_events
   FROM ranked GROUP BY event_type, bucket_ts
 )
-SELECT event_type, date_trunc('day', bucket_ts) AS day_ts,
-       ARG_MIN(open_v, bucket_ts) AS open_v,
+, hranked AS (
+  SELECT *, date_trunc('day', bucket_ts) AS day_ts,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', bucket_ts)
+                            ORDER BY bucket_ts) AS hrn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', bucket_ts)
+                            ORDER BY bucket_ts DESC) AS hrn_d
+  FROM hourly
+)
+SELECT event_type, day_ts,
+       MAX(CASE WHEN hrn_a = 1 THEN open_v END) AS open_v,
        MAX(high_v) AS high_v,
        MIN(low_v) AS low_v,
-       ARG_MAX(close_v, bucket_ts) AS close_v,
+       MAX(CASE WHEN hrn_d = 1 THEN close_v END) AS close_v,
        CAST(SUM(n_events) AS BIGINT) AS n_events
-FROM hourly GROUP BY event_type, date_trunc('day', bucket_ts)
+FROM hranked GROUP BY event_type, day_ts
 """
 
 
@@ -3716,6 +3768,7 @@ WITH ex AS (
          ((i - 1) % 8) + 1 AS pos,
          embedding[i] AS v
   FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE embedding IS NOT NULL
 ), cent AS (
   SELECT subspace, code, pos,
          CAST(FLOOR((2 * CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0, 0)
@@ -3731,6 +3784,7 @@ WITH ex AS (
            j -> CAST(ROUND(CAST(e.embedding[s.s * 8 + j] AS DOUBLE)
                      * 1000000.0, 0) AS BIGINT)) AS subvec_u
   FROM embeddings e CROSS JOIN generate_series(0, 7) AS s(s)
+  WHERE e.embedding IS NOT NULL
 ), best AS (
   SELECT u.vec_id, u.subspace, b.code,
          list_sum(list_transform(generate_series(1, 8),

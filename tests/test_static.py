@@ -59,6 +59,31 @@ def _unresolved(path: str) -> list[str]:
     return sorted(loaded - defined)
 
 
+def test_no_duplicate_dict_literal_keys():
+    """A duplicate key in a dict LITERAL silently keeps only the last
+    value — r7 found exactly this in queries._FORCE_REGRADE, where an
+    old r5 entry overwrote the newer r7 round number and would have
+    skipped a pending re-grade. Python doesn't warn; this does."""
+    paths = glob.glob(
+        os.path.join(REPO, "chronobase_spark/**/*.py"), recursive=True
+    ) + [os.path.join(REPO, "bench.py"), os.path.join(REPO, "__spark_entry__.py")]
+    bad: dict[str, list[str]] = {}
+    for p in paths:
+        for node in ast.walk(ast.parse(open(p).read())):
+            if not isinstance(node, ast.Dict):
+                continue
+            seen: set[object] = set()
+            for k in node.keys:
+                if k is None or not isinstance(k, ast.Constant):
+                    continue  # **spread / computed keys: out of scope
+                if k.value in seen:
+                    bad.setdefault(os.path.relpath(p, REPO), []).append(
+                        f"line {k.lineno}: {k.value!r}"
+                    )
+                seen.add(k.value)
+    assert not bad, f"duplicate dict-literal keys: {bad}"
+
+
 def test_no_unresolved_names_anywhere():
     paths = (
         glob.glob(os.path.join(REPO, "chronobase_spark/**/*.py"), recursive=True)
