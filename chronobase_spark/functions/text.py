@@ -376,3 +376,91 @@ def inverted_index(
             F.collect_list(F.when(F.col("rn") <= max_postings, F.col("doc_id")))
         ).alias("postings"),
     )
+
+
+def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document log-probability under an add-one-smoothed bigram
+    language model trained on the corpus itself — the classic
+    perplexity-style quality signal LLM data pipelines use to rank
+    documents against an in-domain reference distribution (Chen &
+    Goodman 1996 smoothing family; the same shape CCNet/KenLM filtering
+    uses, here with the corpus as its own LM).
+
+    Model: P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), with V the
+    corpus unigram vocabulary size. A document scores
+    Σ over its bigram instances of ln P(w2 | w1).
+
+    Plan shape (all partial-agged hash aggregates):
+      1. per-doc bigram term frequencies (one shuffle on (doc, gram) —
+         collapses repeated grams so the LM join below is per gram
+         TYPE per doc, not per instance);
+      2. corpus bigram counts c12 and left-context counts c1 (gram-type
+         sized, shuffled on the gram/word keys);
+      3. V as a 1-row broadcast;
+      4. doc grams ⋈ LM table on the gram key — corpus-sized both
+         sides → shuffle_hash, never broadcast. Hot grams ("the X")
+         skew this key; AQE skew-join splits them, and the TF collapse
+         in (1) already bounds the per-doc fan-in;
+      5. one final groupBy(doc) integer sum.
+
+    Cross-engine exactness: c12/c1/V/tf are integers; each gram's
+    ln((c12+1)/(c1+V)) term is quantized to integer micro-nats
+    (multiply-round-cast, FIXTURES.md rule) BEFORE the weighted sum,
+    so the per-doc total is an exact integer sum in any order — the
+    ln() is the only transcendental and both engines evaluate it on
+    identical exact doubles. Returns (id_col, n_grams, logprob_micro);
+    docs with fewer than two tokens have no bigrams and no row, on
+    both engines (explode/unnest of an empty gram list).
+    """
+    tk = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), " "),
+        lambda t: t != F.lit(""),
+    )
+    n = F.greatest(F.size(tk) - 1, F.lit(0))
+    grams = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                F.get(tk, i).alias("w1"),
+                F.concat_ws(" ", F.get(tk, i), F.get(tk, i + 1)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,gram:string>>"))
+    doc_grams = (
+        docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.w1").alias("w1"), F.col("g.gram").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.min("w1").alias("w1"), F.count(F.lit(1)).alias("tf"))
+    )
+    gram_counts = doc_grams.groupBy("w1", "gram").agg(F.sum("tf").alias("c12"))
+    left_counts = gram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tk).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    lm = (
+        gram_counts.join(left_counts.hint("shuffle_hash"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") + F.lit(1.0))
+                    / (F.col("c1").cast("double") + F.col("v").cast("double"))
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        doc_grams.join(lm.hint("shuffle_hash"), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("term_micro")).alias("logprob_micro"),
+        )
+    )

@@ -5053,6 +5053,359 @@ def q_doc_bpe_trained_tokens(spark, sf_dir):
     return bpe.doc_trained_token_counts(spark, docs, n_merges=_N_BPE_MERGES)
 
 
+_NATION_PAIR_SQL = """
+WITH sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')
+), cn AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2')
+), oc AS (
+  SELECT o_orderkey, cust_nation
+  FROM orders JOIN cn ON o_custkey = c_custkey
+)
+SELECT supp_nation, cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN sn ON l_suppkey = s_suppkey
+JOIN oc ON l_orderkey = o_orderkey
+WHERE supp_nation <> cust_nation
+GROUP BY supp_nation, cust_nation, EXTRACT(year FROM l_shipdate)
+"""
+
+
+@register("nation_pair_trade", _NATION_PAIR_SQL)
+def q_nation_pair_trade(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year — the two-sided dimension filter where the SAME nation
+    dim constrains both the supplier side and the customer side, and
+    the pair predicate (supp ≠ cust within the filtered pair) runs
+    AFTER both joins. Scale shape: both nation filters cut their
+    fan-out joins to ~2/25 of suppliers/customers BEFORE any fact row
+    moves; supplier- and customer-side maps broadcast; the only big
+    shuffle is the lineitem ⋈ orders equi-join on the well-spread
+    order key (shuffle_hash, never broadcast). Revenue is the
+    decimal-exact discounted price cast to DOUBLE at the very end
+    (monthly_order_revenue pattern); the year is integer."""
+    pair = ("NATION_1", "NATION_2")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            oc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_MARKET_SHARE_SQL = """
+WITH rn AS (
+  SELECT c_custkey
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), vol AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2))
+              - CAST(l_discount AS DECIMAL(18,2))) AS v
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN sn ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN rn ON o_custkey = c_custkey
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(v) AS DOUBLE) AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM vol
+GROUP BY o_year
+"""
+
+
+@register("nation_market_share", _MARKET_SHARE_SQL)
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share of the PROMO-part
+    volume sold into a region, by order year — the conditional-
+    aggregate ratio (CASE inside SUM over the same rows as the
+    denominator), which needs ONE pass where a naive twin-query port
+    would scan twice. Scale shape: the part-type filter broadcasts and
+    prunes lineitem first (most selective), the region-filtered
+    customer set broadcasts into orders, supplier→nation broadcasts,
+    and the single big shuffle is lineitem ⋈ orders on the order key.
+    Exactness: both sums are decimal-exact, cast to DOUBLE once, and
+    the share is one unrounded division of those exact operands (the
+    FIXTURES-sanctioned form)."""
+    rn = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "ASIA"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(rn), F.col("o_custkey") == F.col("c_custkey")
+    )
+    v = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    ).alias("v")
+    vol = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            "supp_nation",
+            v,
+        )
+    )
+    zero = F.expr("CAST(0 AS DECIMAL(18,2))")
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("v").cast("double")
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_LATE_PRIORITY_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+
+@register("late_line_priority", _LATE_PRIORITY_SQL)
+def q_late_line_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → linestatus on this schema): for
+    lines shipped more than 90 days after their order date, count
+    high- vs low-priority orders per line status — the twin
+    conditional-count aggregate over a fact-fact join where the
+    predicate needs columns from BOTH sides (shipdate vs orderdate),
+    so it can only run as a join residual, never a scan pushdown.
+    Scale shape: one shuffle on the well-spread order key
+    (shuffle_hash), map-side partial counts into a |statuses|-sized
+    result. All-integer outputs; timestamp arithmetic exact on both
+    engines (sole_late_supplier precedent)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS VARCHAR) AS total_rev
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+@register("top_supplier_revenue", _TOP_SUPPLIER_SQL)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) whose one-quarter revenue
+    equals the maximum over all suppliers — the aggregate-of-an-
+    aggregate scalar subquery (MAX over a GROUP BY), the decorrelation
+    shape the registry's scalar-subquery queries (orders_above_avg)
+    don't cover because here the subquery and the outer query share
+    the SAME derived table. Scale shape: the quarter filter prunes the
+    lineitem scan (min/max stats), ONE shuffle builds the per-supplier
+    revenue table, the 1-row MAX broadcasts back onto it (never a
+    global window), and the supplier dim broadcasts for the name.
+    Exactness: revenue stays decimal end-to-end, the tie comparison is
+    exact decimal equality on both engines, and the output crosses as
+    TEXT (wide-decimal rule)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("total_rev"))
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("string").alias("total_rev"),
+        )
+    )
+
+
+_BIGRAM_LM_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(coalesce(text, ''))), ' '),
+                     x -> x <> '') AS tk
+  FROM documents
+), dg AS (
+  SELECT doc_id, g.w1, g.gram, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk), 1)),
+                                 i -> {'w1': tk[i],
+                                       'gram': tk[i] || ' ' || tk[i + 1]}))
+             AS g
+    FROM tk
+  )
+  GROUP BY doc_id, g.w1, g.gram
+), gc AS (
+  SELECT w1, gram, SUM(tf) AS c12 FROM dg GROUP BY w1, gram
+), lc AS (
+  SELECT w1, SUM(c12) AS c1 FROM gc GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(tk) AS t FROM tk)
+), lm AS (
+  SELECT gram,
+         CAST(round(ln((CAST(c12 AS DOUBLE) + 1.0)
+                       / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))
+                    * 1000000.0, 0) AS BIGINT) AS term_micro
+  FROM gc JOIN lc USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_grams,
+       CAST(SUM(tf * term_micro) AS BIGINT) AS logprob_micro
+FROM dg JOIN lm USING (gram)
+GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_logprob", _BIGRAM_LM_SQL)
+def q_bigram_lm_logprob(spark, sf_dir):
+    """Corpus-trained bigram language-model log-probability per
+    document (text.bigram_lm_scores) — the perplexity-style quality
+    ranking signal (CCNet/KenLM filtering shape, with the corpus as
+    its own in-domain LM). Add-one smoothing over the corpus
+    vocabulary; each gram's ln P(w2|w1) is quantized to integer
+    micro-nats BEFORE the per-doc weighted sum, so the total is an
+    order-free exact integer on both engines. Plan: three partial-
+    agged hash aggregations + one gram-keyed shuffle_hash join (hot
+    grams are AQE-skew territory, and the per-doc TF collapse bounds
+    the fan-in); the vocabulary size is a 1-row broadcast."""
+    return text.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

@@ -214,6 +214,15 @@ _SCALE_FLAG_ALLOWLIST = {
     "lapsed_rich_customers": {"bnlj", "single-partition"},
     "source_mix_weights": {"bnlj", "single-partition"},  # 1-row totals
     "nation_revenue_share": {"bnlj", "single-partition"},  # 1-row total revenue
+    # Q15 shape: the MAX-over-grouped-revenue scalar crosses a
+    # SinglePartition exchange as one partial row per task; the 1-row
+    # broadcast back onto rev plans as a plain BroadcastHashJoin-free
+    # cross (no BNLJ flagged — the literal join keys fold away)
+    "top_supplier_revenue": {"single-partition"},
+    # vocabulary size V is a 1-row countDistinct broadcast onto the
+    # gram-type LM table; the corpus-sized joins are gram-keyed
+    # shuffle_hash
+    "bigram_lm_logprob": {"bnlj", "single-partition"},
 }
 
 

@@ -114,6 +114,10 @@ _ALLOWED_DOUBLE = {
     ("large_order_customers", "total_qty"),
     ("monthly_order_revenue", "revenue"),
     ("monthly_revenue_salted", "revenue"),
+    ("nation_pair_trade", "revenue"),
+    # mkt_share: ONE unrounded division of two decimal-exact sums cast
+    # to double (FIXTURES exact-operand-division form)
+    ("nation_market_share", "mkt_share"),
     ("pricing_summary", "avg_qty"),
     ("pricing_summary", "sum_base_price"),
     ("pricing_summary", "sum_disc_price"),
