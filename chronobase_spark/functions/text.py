@@ -412,12 +412,37 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     docs with fewer than two tokens have no bigrams and no row, on
     both engines (explode/unnest of an empty gram list).
     """
-    tk = F.filter(
-        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), " "),
+    doc_grams = _doc_bigram_tf(docs, id_col, text_col)
+    lm = bigram_lm_table(docs, text_col)
+    return (
+        doc_grams.join(lm.hint("shuffle_hash"), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("term_micro")).alias("logprob_micro"),
+        )
+    )
+
+
+def lm_tokens(text_col: Column) -> Column:
+    """The bigram-LM tokenization: plain space split of trimmed
+    lowercase (NULL text coalesced to empty). One definition shared by
+    the batch trainer/scorer and the streaming scoring stage so their
+    gram vocabularies can never drift."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.coalesce(text_col, F.lit("")))), " "),
         lambda t: t != F.lit(""),
     )
+
+
+def lm_grams(text_col: Column) -> Column:
+    """Per-row (w1, gram) struct array of adjacent word bigrams under
+    ``lm_tokens`` — a pure codegen-able expression (no explode), so the
+    streaming stage can build grams statelessly per arriving row with
+    the IDENTICAL definition the batch trainer uses."""
+    tk = lm_tokens(text_col)
     n = F.greatest(F.size(tk) - 1, F.lit(0))
-    grams = F.when(
+    return F.when(
         n > 0,
         F.transform(
             F.sequence(F.lit(0), n - 1),
@@ -427,19 +452,38 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,gram:string>>"))
-    doc_grams = (
-        docs.select(F.col(id_col), F.explode(grams).alias("g"))
-        .select(id_col, F.col("g.w1").alias("w1"), F.col("g.gram").alias("gram"))
+
+
+def _doc_bigram_tf(docs, id_col: str, text_col: str):
+    """(id, gram, tf): per-document bigram term frequencies — one
+    shuffle on (id, gram), collapsing repeated grams so downstream LM
+    joins are per gram TYPE per doc, not per instance."""
+    return (
+        docs.select(F.col(id_col), F.explode(lm_grams(F.col(text_col))).alias("g"))
+        .select(id_col, F.col("g.gram").alias("gram"))
         .groupBy(id_col, "gram")
-        .agg(F.min("w1").alias("w1"), F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    gram_counts = doc_grams.groupBy("w1", "gram").agg(F.sum("tf").alias("c12"))
+
+
+def bigram_lm_table(docs, text_col: str = "text"):
+    """Train the add-one-smoothed bigram LM: returns (gram,
+    term_micro) with term_micro = round(ln((c12+1)/(c1+V))·1e6) as
+    BIGINT — the frozen model table ``bigram_lm_scores`` joins against
+    in batch and ``streaming.docs.lm_score_stage`` joins against
+    stream-static. Gram-type sized (bounded by the corpus' distinct
+    bigrams), so it shuffles on the gram/word keys and never
+    broadcasts."""
+    grams = (
+        docs.select(F.explode(lm_grams(F.col(text_col))).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.gram").alias("gram"))
+    )
+    gram_counts = grams.groupBy("w1", "gram").agg(F.count(F.lit(1)).alias("c12"))
     left_counts = gram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = (
-        docs.select(F.explode(tk).alias("t"))
-        .agg(F.countDistinct("t").alias("v"))
-    )
-    lm = (
+    vocab = docs.select(
+        F.explode(lm_tokens(F.col(text_col))).alias("t")
+    ).agg(F.countDistinct("t").alias("v"))
+    return (
         gram_counts.join(left_counts.hint("shuffle_hash"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -454,13 +498,5 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
             )
             .cast("bigint")
             .alias("term_micro"),
-        )
-    )
-    return (
-        doc_grams.join(lm.hint("shuffle_hash"), "gram")
-        .groupBy(id_col)
-        .agg(
-            F.sum("tf").alias("n_grams"),
-            F.sum(F.col("tf") * F.col("term_micro")).alias("logprob_micro"),
         )
     )

@@ -5406,6 +5406,133 @@ def q_bigram_lm_logprob(spark, sf_dir):
     return text.bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+_QW_SAMPLE_SQL = """
+WITH scored AS (
+  SELECT source,
+         len(list_distinct(list_filter(string_split(trim(lower(text)), ' '),
+                                       x -> x <> ''))) AS n_distinct,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           AS bucket
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bucket * 64 < least(n_distinct, 64) * 65536
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN bucket * 64 < least(n_distinct, 64) * 65536
+                     THEN n_distinct ELSE 0 END) AS BIGINT)
+         AS kept_distinct_sum
+FROM scored
+GROUP BY source
+"""
+
+
+@register("quality_weighted_sample", _QW_SAMPLE_SQL)
+def q_quality_weighted_sample(spark, sf_dir):
+    """Importance-weighted corpus thinning: each document's keep
+    probability is proportional to its OWN quality signal (lexical
+    diversity, capped at 64 distinct tokens → p = min(d, 64)/64), so
+    low-quality docs are downsampled hard while high-quality docs all
+    survive — the per-document generalization of the per-stratum
+    sampler (stratified_sample_langs), i.e. soft quality filtering
+    instead of a hard threshold cut.
+
+    Membership is a pure function of doc_id (portable md5 16-bit
+    bucket, packing.md5_stratified_keep trick): rerunnable, partition-
+    layout-independent, cross-engine checkable. The accept test is the
+    FIXTURES cross-multiplication — ``bucket·64 < min(d,64)·65536`` in
+    pure BIGINT, no float threshold anywhere. Map-only predicate + one
+    partial-agged groupBy(source); nothing shuffles before the
+    |sources|-sized aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    n_distinct = F.size(
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), " "),
+                lambda x: x != F.lit(""),
+            )
+        )
+    ).cast("bigint")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    keep = bucket * 64 < F.least(n_distinct, F.lit(64)) * 65536
+    scored = docs.select(
+        "source", n_distinct.alias("n_distinct"), keep.alias("keep")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_distinct")).otherwise(0)).alias(
+            "kept_distinct_sum"
+        ),
+    )
+
+
+_MIX_TEMP_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_docs) AS total FROM counts
+), temped AS (
+  SELECT source, n_docs,
+         CAST(round(pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 0.7)
+                    * 1000000.0, 0) AS BIGINT) AS t_micro
+  FROM counts CROSS JOIN tot
+), denom AS (
+  SELECT SUM(t_micro) AS t_sum FROM temped
+)
+SELECT source, n_docs, t_micro,
+       CAST(t_micro AS DOUBLE) / CAST(t_sum AS DOUBLE) AS mix_share
+FROM temped CROSS JOIN denom
+"""
+
+
+@register("source_mix_temperature", _MIX_TEMP_SQL)
+def q_source_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing: resampling shares
+    ``p_i^α / Σ p_j^α`` with α = 0.7 — the multilingual/multi-source
+    rebalancing rule from the public XLM-R / GPT-3 data recipes
+    (upweights small sources, flattens the head) next to the uniform
+    target of source_mix_weights.
+
+    Exactness: counts are integers, p_i is one exact int÷int double,
+    pow(p, 0.7) is the only transcendental and both engines evaluate
+    it on identical doubles — its result is quantized to integer
+    micro-units BEFORE the normalizing sum (FIXTURES rule), so the
+    denominator is an exact integer sum in any order and the final
+    share is one unrounded division of exact operands. Scale: one
+    partial-agged groupBy(source) collapses the corpus to |sources|
+    rows; the two global scalars are 1-row broadcasts over that tiny
+    table."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    temped = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.pow(
+                F.col("n_docs").cast("double") / F.col("total").cast("double"),
+                F.lit(0.7),
+            )
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("t_micro"),
+    )
+    denom = temped.agg(F.sum("t_micro").alias("t_sum"))
+    return temped.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "t_micro",
+        (F.col("t_micro").cast("double") / F.col("t_sum").cast("double")).alias(
+            "mix_share"
+        ),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

@@ -219,3 +219,56 @@ def winnow_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
 
     fps = selected_fingerprints(F.col(text_col))
     return stream.withColumn("winnow_fps", F.when(F.size(fps) > 0, fps))
+
+
+def lm_score_stage(
+    stream: DataFrame,
+    lm: DataFrame,
+    oov_micro: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Score arriving documents under a FROZEN bigram language model
+    trained in batch (functions/text.bigram_lm_table) — the streaming
+    half of the LM-quality gate: the batch pipeline periodically
+    retrains the LM over the accumulated corpus, and ingest scores each
+    new document against that reference distribution as it lands
+    (CCNet's shape: a fixed in-domain LM filtering a moving crawl).
+
+    Mechanics: grams per row are the IDENTICAL pure expression the
+    batch trainer uses (text.lm_grams — one definition, no drift), the
+    LM lookup is a stream-STATIC left join on the gram key (stateless —
+    no state store; the static side shuffles/broadcasts per
+    micro-batch as Catalyst sizes it), unseen grams back off to the
+    caller-supplied ``oov_micro`` (the add-one floor ln(1/(c1+V)) with
+    c1 = 0, i.e. round(ln(1/V)·1e6) for the trained V — computed
+    driver-side from the SAME model build, one scalar), and the per-doc
+    integer sum is a windowed streaming aggregation: state is two
+    BIGINTs per in-flight document, evicted once the watermark passes
+    its ingest window — bounded by arrival rate × horizon, never by
+    corpus size.
+
+    Integer micro-nat terms make the drained result BIT-IDENTICAL to
+    the batch ``bigram_lm_scores`` when scored against the same-corpus
+    LM (order-free integer sums; pinned in tests/test_streaming.py).
+    Returns (window, doc_id, n_grams, logprob_micro); documents with
+    fewer than two tokens produce no grams and no row, matching batch.
+    """
+    grams = stream.withWatermark("ingest_ts", watermark).select(
+        "doc_id",
+        "ingest_ts",
+        F.explode(text.lm_grams(F.col("text"))).alias("g"),
+    )
+    scored = grams.join(
+        lm, grams["g.gram"] == lm["gram"], "left"
+    ).select(
+        "doc_id",
+        "ingest_ts",
+        F.coalesce(F.col("term_micro"), F.lit(oov_micro)).alias("term_micro"),
+    )
+    return (
+        scored.groupBy(F.window("ingest_ts", watermark), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("term_micro").alias("logprob_micro"),
+        )
+    )

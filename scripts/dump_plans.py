@@ -62,6 +62,10 @@ HEADLINE = [
     ("pq_adc_search", "PQ ADC search: codes join broadcast LUT, integer sum, TakeOrdered top-k"),
     ("ivf_pq_search", "IVF-PQ: cell semi-join shuffle_hash (grows with corpus), ADC LUT broadcast"),
     ("user_event_paths", "ordered path agg: rank cap BEFORE collect, agg reuses window partitioning"),
+    ("nation_pair_trade", "TPC-H Q7 shape: filtered dims broadcast, ONE fact-fact shuffle, residual pair predicate"),
+    ("top_supplier_revenue", "TPC-H Q15 shape: grouped revenue + 1-row MAX broadcast equality join"),
+    ("bigram_lm_logprob", "bigram LM: gram-TYPE LM table, gram-keyed shuffle_hash score join, 1-row vocab broadcast"),
+    ("quality_weighted_sample", "importance sampling: map-only BIGINT accept test, one partial-agg groupBy"),
 ]
 
 KEEP = re.compile(

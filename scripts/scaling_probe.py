@@ -447,6 +447,17 @@ def _pass(spark, factor: int) -> dict[str, float]:
         ).save()
         timings["bpe_train"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # Bigram LM scoring: corpus-linear gram explode feeding a
+        # gram-TYPE-bounded LM table. Verbatim replication keeps the
+        # gram vocabulary identical across factors, so the LM side is
+        # constant-size and the slope isolates the doc-gram pass + the
+        # gram-keyed shuffle_hash score join — the honest 100 TB cost.
+        text.bigram_lm_scores(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["bigram_lm"] = time.perf_counter() - t0
+
     return timings
 
 

@@ -223,6 +223,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # gram-type LM table; the corpus-sized joins are gram-keyed
     # shuffle_hash
     "bigram_lm_logprob": {"bnlj", "single-partition"},
+    # two 1-row scalars (corpus total, temperature-sum) broadcast over
+    # the |sources|-sized count table (source_mix_weights pattern)
+    "source_mix_temperature": {"bnlj", "single-partition"},
 }
 
 

@@ -118,6 +118,9 @@ _ALLOWED_DOUBLE = {
     # mkt_share: ONE unrounded division of two decimal-exact sums cast
     # to double (FIXTURES exact-operand-division form)
     ("nation_market_share", "mkt_share"),
+    # mix_share: unrounded division of two exact integers (micro-
+    # quantized pow terms summed as BIGINT before the divide)
+    ("source_mix_temperature", "mix_share"),
     ("pricing_summary", "avg_qty"),
     ("pricing_summary", "sum_base_price"),
     ("pricing_summary", "sum_disc_price"),

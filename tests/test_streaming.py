@@ -869,3 +869,64 @@ def test_streaming_winnow_stage_matches_batch(spark, tmp_path):
     assert set(batch) == {k for k, v in got.items() if v is not None}
     for doc, fps in batch.items():
         assert got[doc] == fps, doc
+
+
+def test_streaming_lm_score_stage_matches_batch(spark, tmp_path):
+    """After an availableNow drain, the stream-static LM scoring stage
+    must produce BIT-IDENTICAL (n_grams, logprob_micro) to the batch
+    bigram_lm_scores over the same training corpus (integer micro-nat
+    terms sum order-free), and a document made entirely of unseen words
+    must back off every gram to the caller-supplied add-one floor."""
+    import math
+
+    from chronobase_spark.functions import text as textf
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "lmsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    oov_doc = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit("zzqx zzqy zzqz")
+    )
+    base.union(oov_doc).repartition(2).write.parquet(src)
+
+    train = spark.read.parquet(src).filter(F.col("doc_id") != 999999)
+    lm = textf.bigram_lm_table(train)
+    v = (
+        train.select(F.explode(textf.lm_tokens(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    oov_micro = int(round(math.log(1.0 / v) * 1e6))
+
+    scored = docstream.lm_score_stage(
+        docstream.read_document_stream(spark, src), lm, oov_micro
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("lm_scores")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logprob_micro"])
+        for r in spark.sql("SELECT * FROM lm_scores").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["logprob_micro"])
+        for r in textf.bigram_lm_scores(train).collect()
+    }
+    assert want, "training corpus produced no scored docs"
+    for doc, pair in want.items():
+        assert got[doc] == pair, doc
+    # the fully-unseen doc has 2 bigrams, both at the add-one floor
+    assert got[999999] == (2, 2 * oov_micro)
