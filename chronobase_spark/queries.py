@@ -5533,6 +5533,131 @@ def q_source_mix_temperature(spark, sf_dir):
     )
 
 
+_REGIONAL_CHEAPEST_SQL = """
+WITH rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND s_acctbal IS NOT NULL
+), ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), costed AS (
+  SELECT p.p_partkey, rs.s_suppkey, rs.s_name, rs.n_name, rs.s_acctbal
+  FROM part p
+  JOIN ps ON p.p_partkey = ps.l_partkey
+  JOIN rs ON ps.l_suppkey = rs.s_suppkey
+  WHERE p.p_size = 15
+), mins AS (
+  SELECT p_partkey, MIN(s_acctbal) AS min_bal FROM costed GROUP BY p_partkey
+)
+SELECT c.p_partkey, c.s_suppkey, c.s_name, c.n_name, c.s_acctbal
+FROM costed c
+JOIN mins m ON c.p_partkey = m.p_partkey AND c.s_acctbal = m.min_bal
+ORDER BY c.s_acctbal, c.n_name, c.s_name, c.p_partkey
+LIMIT 100
+"""
+
+
+@register("regional_cheapest_supplier", _REGIONAL_CHEAPEST_SQL)
+def q_regional_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each size-15 part, EVERY European supplier
+    whose account balance equals that part's regional minimum — the
+    correlated per-group scalar-MIN subquery decorrelated into
+    aggregate-then-equality-re-join. Distinct from
+    cheapest_supplier_per_part (single-winner argmin via min(struct)):
+    Q2's contract returns ALL tied minimum rows, which forces the
+    min-equality join back instead of a struct argmin. Scale shape:
+    the region/nation/size dims filter and broadcast BEFORE any fact
+    row moves; the part-supplier pair distinct is one shuffle on the
+    well-spread part key and the mins table re-joins on that SAME key
+    (shuffle_hash, partitioning reused); the final top-100 is a
+    TakeOrderedAndProject. s_acctbal is a raw stored double on both
+    engines, so the min-equality compares identical bits; NULL
+    balances are excluded up front on both engines (null-contract
+    rule)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    rs = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal").isNotNull())
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey")
+    )
+    costed = (
+        ps.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    mins = costed.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        costed.join(
+            mins.hint("shuffle_hash"),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal")
+        .orderBy("s_acctbal", "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "window_value_extrema",
+    """SELECT event_id, user_id, event_type,
+              first_value(value) OVER w AS first_v,
+              last_value(value) OVER w AS last_v,
+              nth_value(value, 3) OVER w AS third_v
+       FROM events WHERE event_type IN ('purchase', 'error')
+       WINDOW w AS (PARTITION BY user_id, event_type
+                    ORDER BY ts NULLS LAST, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)""",
+)
+def q_window_value_extrema(spark, sf_dir):
+    """first_value / last_value / nth_value over an explicit unbounded
+    ROWS frame — the value-extraction window family (the ranking and
+    offset families live in rank_lead_purchases / value_ntiles). The
+    full-partition frame is the case where last_value's DEFAULT frame
+    (unbounded preceding → current row) silently returns the current
+    row instead — pinning the explicit frame on both engines is the
+    point. Partitioned by (user_id, event_type): per-user partitions
+    stay small and spread at 100 TB (an event_type-only partition
+    would be atomic and unsplittable). Raw-double passthrough values;
+    NULLS LAST + event_id tie-break pinned (null-contract rule); both
+    engines default RESPECT NULLS for nth_value."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

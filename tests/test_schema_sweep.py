@@ -41,6 +41,10 @@ _ALLOWED_DOUBLE = {
     #    *_price/acctbal columns land as float64 in the parquet) -------
     ("cheapest_supplier_per_part", "s_acctbal"),
     ("downsample_ltob", "value"),
+    ("regional_cheapest_supplier", "s_acctbal"),
+    ("window_value_extrema", "first_v"),
+    ("window_value_extrema", "last_v"),
+    ("window_value_extrema", "third_v"),
     ("ewma_user_value", "value"),
     ("key_lookup", "value"),
     ("large_order_customers", "o_totalprice"),
