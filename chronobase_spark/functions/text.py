@@ -412,8 +412,13 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     docs with fewer than two tokens have no bigrams and no row, on
     both engines (explode/unnest of an empty gram list).
     """
-    doc_grams = _doc_bigram_tf(docs, id_col, text_col)
-    lm = bigram_lm_table(docs, text_col)
+    # persist the per-doc TF table: it feeds the corpus gram counts AND
+    # the score join, and without materialization each branch re-scans
+    # and re-explodes the whole corpus (measured 8 parquet scans in the
+    # diamond DAG; the dup_clusters edge persist is the same pattern)
+    doc_grams = _doc_bigram_tf(docs, id_col, text_col).persist()
+    gram_counts = doc_grams.groupBy("gram").agg(F.sum("tf").alias("c12"))
+    lm = _lm_from_gram_counts(gram_counts, _lm_vocab(docs, text_col))
     return (
         doc_grams.join(lm.hint("shuffle_hash"), "gram")
         .groupBy(id_col)
@@ -436,22 +441,21 @@ def lm_tokens(text_col: Column) -> Column:
 
 
 def lm_grams(text_col: Column) -> Column:
-    """Per-row (w1, gram) struct array of adjacent word bigrams under
+    """Per-row array of adjacent word bigrams ("w1 w2" strings) under
     ``lm_tokens`` — a pure codegen-able expression (no explode), so the
     streaming stage can build grams statelessly per arriving row with
-    the IDENTICAL definition the batch trainer uses."""
+    the IDENTICAL definition the batch trainer uses. The left context
+    w1 is recoverable from the gram itself (tokens contain no spaces,
+    so ``substring_index(gram, ' ', 1)`` is exact) — no struct needed."""
     tk = lm_tokens(text_col)
     n = F.greatest(F.size(tk) - 1, F.lit(0))
     return F.when(
         n > 0,
         F.transform(
             F.sequence(F.lit(0), n - 1),
-            lambda i: F.struct(
-                F.get(tk, i).alias("w1"),
-                F.concat_ws(" ", F.get(tk, i), F.get(tk, i + 1)).alias("gram"),
-            ),
+            lambda i: F.concat_ws(" ", F.get(tk, i), F.get(tk, i + 1)),
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,gram:string>>"))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _doc_bigram_tf(docs, id_col: str, text_col: str):
@@ -459,32 +463,33 @@ def _doc_bigram_tf(docs, id_col: str, text_col: str):
     shuffle on (id, gram), collapsing repeated grams so downstream LM
     joins are per gram TYPE per doc, not per instance."""
     return (
-        docs.select(F.col(id_col), F.explode(lm_grams(F.col(text_col))).alias("g"))
-        .select(id_col, F.col("g.gram").alias("gram"))
+        docs.select(
+            F.col(id_col), F.explode(lm_grams(F.col(text_col))).alias("gram")
+        )
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
-def bigram_lm_table(docs, text_col: str = "text"):
-    """Train the add-one-smoothed bigram LM: returns (gram,
-    term_micro) with term_micro = round(ln((c12+1)/(c1+V))·1e6) as
-    BIGINT — the frozen model table ``bigram_lm_scores`` joins against
-    in batch and ``streaming.docs.lm_score_stage`` joins against
-    stream-static. Gram-type sized (bounded by the corpus' distinct
-    bigrams), so it shuffles on the gram/word keys and never
-    broadcasts."""
-    grams = (
-        docs.select(F.explode(lm_grams(F.col(text_col))).alias("g"))
-        .select(F.col("g.w1").alias("w1"), F.col("g.gram").alias("gram"))
-    )
-    gram_counts = grams.groupBy("w1", "gram").agg(F.count(F.lit(1)).alias("c12"))
-    left_counts = gram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = docs.select(
+def _lm_vocab(docs, text_col: str):
+    """1-row corpus unigram vocabulary size (map-side partial distinct;
+    counts tokens from ALL docs, including single-token docs that
+    produce no bigrams — the add-one denominator's V)."""
+    return docs.select(
         F.explode(lm_tokens(F.col(text_col))).alias("t")
     ).agg(F.countDistinct("t").alias("v"))
+
+
+def _lm_from_gram_counts(gram_counts, vocab):
+    """(gram, term_micro) from a (gram, c12) corpus count table: derive
+    the left context with substring_index, aggregate the c1 row sums,
+    and quantize each ln-term to integer micro-nats."""
+    gc = gram_counts.withColumn("w1", F.substring_index("gram", " ", 1))
+    left_counts = gc.groupBy(F.col("w1").alias("lw1")).agg(
+        F.sum("c12").alias("c1")
+    )
     return (
-        gram_counts.join(left_counts.hint("shuffle_hash"), "w1")
+        gc.join(left_counts.hint("shuffle_hash"), gc.w1 == left_counts.lw1)
         .crossJoin(F.broadcast(vocab))
         .select(
             "gram",
@@ -500,3 +505,19 @@ def bigram_lm_table(docs, text_col: str = "text"):
             .alias("term_micro"),
         )
     )
+
+
+def bigram_lm_table(docs, text_col: str = "text"):
+    """Train the add-one-smoothed bigram LM: returns (gram,
+    term_micro) with term_micro = round(ln((c12+1)/(c1+V))·1e6) as
+    BIGINT — the frozen model table ``bigram_lm_scores`` joins against
+    in batch and ``streaming.docs.lm_score_stage`` joins against
+    stream-static. Gram-type sized (bounded by the corpus' distinct
+    bigrams), so it shuffles on the gram/word keys and never
+    broadcasts."""
+    gram_counts = (
+        docs.select(F.explode(lm_grams(F.col(text_col))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    return _lm_from_gram_counts(gram_counts, _lm_vocab(docs, text_col))

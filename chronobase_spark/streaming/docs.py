@@ -256,11 +256,9 @@ def lm_score_stage(
     grams = stream.withWatermark("ingest_ts", watermark).select(
         "doc_id",
         "ingest_ts",
-        F.explode(text.lm_grams(F.col("text"))).alias("g"),
+        F.explode(text.lm_grams(F.col("text"))).alias("gram"),
     )
-    scored = grams.join(
-        lm, grams["g.gram"] == lm["gram"], "left"
-    ).select(
+    scored = grams.join(lm, "gram", "left").select(
         "doc_id",
         "ingest_ts",
         F.coalesce(F.col("term_micro"), F.lit(oov_micro)).alias("term_micro"),

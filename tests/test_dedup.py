@@ -345,3 +345,53 @@ def test_winnow_fingerprints_match_reference_python(spark):
         i: py_winnow(t) for i, t in enumerate(texts) if py_winnow(t)
     }
     assert got == expected
+
+
+def test_bigram_lm_scores_match_reference_python(spark):
+    """The DataFrame bigram LM must reproduce a transparent pure-Python
+    add-one-smoothed bigram LM exactly — vocabulary size, per-gram
+    micro-nat terms (including the half-up rounding), and per-doc
+    weighted totals — on a toy corpus with repeated grams, a
+    single-token doc (no bigrams → no row), and shared contexts."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from chronobase_spark.functions import text as textf
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the cat food",
+        "solo",
+        "on the mat the cat sat",
+    ]
+    toks = [t.split() for t in texts]
+    vocab = {w for tk in toks for w in tk}
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for tk in toks:
+        for a, b in zip(tk, tk[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+
+    def term_micro(a, b):
+        p = (c12[(a, b)] + 1.0) / (c1[a] + float(len(vocab)))
+        # Spark F.round rounds half AWAY from zero; ln terms are
+        # negative, so mirror with Decimal half-up on the abs value
+        d = Decimal(repr(math.log(p) * 1e6)).quantize(0, rounding=ROUND_HALF_UP)
+        return int(d)
+
+    want = {}
+    for i, tk in enumerate(toks):
+        grams = list(zip(tk, tk[1:]))
+        if grams:
+            want[i] = (len(grams), sum(term_micro(a, b) for a, b in grams))
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logprob_micro"])
+        for r in textf.bigram_lm_scores(docs).collect()
+    }
+    assert got == want
