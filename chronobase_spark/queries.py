@@ -5658,6 +5658,238 @@ def q_window_value_extrema(spark, sf_dir):
     )
 
 
+_ZIPF_K = 200
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), ' +')) AS term FROM documents
+), freqs AS (
+  SELECT term, COUNT(*) AS freq FROM toks WHERE term <> '' GROUP BY term
+), top AS (
+  SELECT term, freq FROM freqs ORDER BY freq DESC, term LIMIT {_ZIPF_K}
+), pts AS (
+  SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term)
+                            AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+  FROM top
+), sums AS (
+  SELECT COUNT(*) AS n_terms,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,0))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT n_terms,
+       (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS zipf_slope
+FROM sums
+"""
+
+
+@register("token_zipf_slope", _ZIPF_SQL)
+def q_token_zipf_slope(spark, sf_dir):
+    """Zipf's-law exponent of the corpus: OLS slope of ln(freq) on
+    ln(rank) over the top-200 (_ZIPF_K) terms — the standard
+    corpus-health statistic (natural language sits near −1; a flat or
+    cliff-shaped head flags boilerplate or template spam). Scale
+    shape: one vocabulary groupBy (partial-agged), then a distributed
+    TakeOrderedAndProject bounds the head to 200 rows BEFORE the only
+    global window — SinglePartition carries 200 rows, never the
+    vocabulary (the rrf/quality_topq bounded-head rule). Exactness:
+    the ln terms are micro-quantized BIGINTs (rank and freq are exact
+    integers, so both engines feed ln identical doubles), the moment
+    sums are exact integer/decimal aggregates, and the slope is the
+    value_trend_by_type closed form over exact operands."""
+    docs = _t(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " +")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freqs.orderBy(F.col("freq").desc(), "term").limit(_ZIPF_K)
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    pts = top.select(
+        F.round(
+            F.log(F.row_number().over(w).cast("double")) * F.lit(1000000.0), 0
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return sums.select(
+        "n_terms",
+        (
+            (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )
+
+
+_SIGNAL_CORR_SQL = """
+WITH sig AS (
+  SELECT lang,
+         CAST(least(len(list_distinct(list_filter(
+             string_split(trim(lower(text)), ' '), t -> t <> ''))), 1000)
+           AS BIGINT) AS x,
+         (CASE WHEN length(text) > 0 THEN
+            CAST(round((ln(CAST(length(text) AS DOUBLE))
+              - list_reduce(
+                  list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(
+                      list_sort(list_distinct(list_filter(string_split(text, ''), c -> c <> ''))),
+                      c -> CAST(len(list_filter(string_split(text, ''), x2 -> x2 = c)) AS DOUBLE)
+                           * ln(CAST(len(list_filter(string_split(text, ''), x2 -> x2 = c)) AS DOUBLE)))),
+                  (acc, v) -> acc + v)
+                / CAST(length(text) AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+          END + 500) // 1000 AS y
+  FROM documents
+), moments AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,0))) AS DOUBLE) AS sxy
+  FROM sig WHERE y IS NOT NULL GROUP BY lang
+)
+SELECT lang, n_docs,
+       CASE WHEN (n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy) > 0
+            THEN (n_docs * sxy - sx * sy)
+                 / (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy))
+       END AS pearson_r
+FROM moments
+"""
+
+
+@register("quality_signal_corr", _SIGNAL_CORR_SQL)
+def q_quality_signal_corr(spark, sf_dir):
+    """Per-language Pearson correlation between two independent quality
+    signals — capped lexical diversity and character entropy — the
+    signal-agreement diagnostic a pipeline runs before composing
+    filters (highly-correlated signals are redundant; anti-correlated
+    ones flag a broken heuristic). Scale shape: both signals are
+    map-only codegen expressions, then ONE partial-agged groupBy(lang)
+    carries six exact integer/decimal moments; nothing global.
+    Exactness: x is an exact capped integer, y is integer milli-nats
+    ((micro + 500) div 1000 — pure integer arithmetic on the sorted-
+    fold entropy), the cross-moments are exact DECIMAL(28,0) sums, and
+    the final r uses only IEEE-exact ops on those operands (sqrt is
+    correctly rounded per IEEE-754, so it is as portable as division);
+    zero-variance groups emit NULL on both engines. Entropy-less docs
+    (empty/NULL text) are excluded on both engines (null-contract
+    rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+    ).cast("bigint")
+    # bind the entropy expression under a named column first so the
+    # integer milli-nat rescale runs on the materialized value
+    sig = (
+        docs.select(
+            "lang",
+            F.least(ntok, F.lit(1000)).alias("x"),
+            text.char_entropy(F.col("text")).alias("ent_micro"),
+        )
+        .filter(F.col("ent_micro").isNotNull())
+        .select(
+            "lang", "x", F.expr("div(ent_micro + 500, 1000)").alias("y")
+        )
+    )
+    m = sig.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    varx = F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n_docs") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n_docs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "lang",
+        "n_docs",
+        F.when(
+            varx * vary > 0, cov / (F.sqrt(varx) * F.sqrt(vary))
+        ).alias("pearson_r"),
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH pairs AS MATERIALIZED (
+{_minhash_md5_sql()}
+)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents sa ON doc_a = sa.doc_id
+JOIN documents sb ON doc_b = sb.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("cross_source_dup_matrix", _CROSS_SOURCE_SQL)
+def q_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: near-duplicate pair counts
+    between every (unordered) pair of corpus sources — the report a
+    training-mix owner reads to find which feeds plagiarize which
+    (within-source duplication dedups harmlessly; CROSS-source overlap
+    silently reweights the mix and leaks eval material). Composes the
+    fully oracle-checked md5 MinHash+LSH pair pipeline
+    (dedup.minhash.minhash_md5_pairs) with two source-label joins on
+    the doc keys (shuffle_hash — the label map is corpus-sized, never
+    broadcast) and one tiny |sources|² aggregate; least/greatest
+    canonicalizes the pair order identically on both engines. Output
+    is all-integer."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash.minhash_md5_pairs(docs).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

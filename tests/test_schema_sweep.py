@@ -125,6 +125,12 @@ _ALLOWED_DOUBLE = {
     # mix_share: unrounded division of two exact integers (micro-
     # quantized pow terms summed as BIGINT before the divide)
     ("source_mix_temperature", "mix_share"),
+    # OLS slope over micro-quantized ln terms: exact integer/decimal
+    # moments, one unrounded closed-form division (value_trend pattern)
+    ("token_zipf_slope", "zipf_slope"),
+    # Pearson r from exact integer moments; sqrt is IEEE-754
+    # correctly-rounded, so deterministic like division
+    ("quality_signal_corr", "pearson_r"),
     ("pricing_summary", "avg_qty"),
     ("pricing_summary", "sum_base_price"),
     ("pricing_summary", "sum_disc_price"),
