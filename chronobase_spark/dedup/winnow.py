@@ -118,10 +118,17 @@ def winnow_dup_pairs(
         .hint("shuffle_hash"),
         "fp",
     )
+    # alias the join key on one side: an un-aliased self-join column is
+    # the ambiguity Spark warns may resolve to a tautology (r7 review)
     a = rare.select(F.col("doc").alias("doc_a"), "fp")
-    b = rare.select(F.col("doc").alias("doc_b"), "fp").hint("shuffle_hash")
+    b = rare.select(
+        F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b")
+    ).hint("shuffle_hash")
     return (
-        a.join(b, (a.fp == b.fp) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(
+            b,
+            (F.col("fp") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

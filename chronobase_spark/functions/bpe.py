@@ -98,10 +98,15 @@ def apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-def _train(base: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]:
+def _train(
+    base: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """The merge loop: per round one vocab-sized pair-count shuffle and
     ONE collected argmax row; the merge applies as a literal, keeping
-    lineage linear. Caller persists ``base``."""
+    lineage linear. Caller persists ``base``. Returns (merges, vocab):
+    the fully-merged vocab DataFrame the loop necessarily built —
+    callers applying the tokenizer use IT instead of re-deriving the
+    merge chain (one definition of "the trained vocab"; r7 review)."""
     merges: list[tuple[int, str, str, int]] = []
     cur = base
     for rank in range(1, n_merges + 1):
@@ -116,7 +121,7 @@ def _train(base: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]:
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((rank, a, b, cnt))
         cur = apply_merge(cur, a, b)
-    return merges
+    return merges, cur
 
 
 def bpe_merges(
@@ -130,7 +135,7 @@ def bpe_merges(
     vocab runs out of pairs."""
     base = encoded_word_freqs(docs, text_col).persist()
     try:
-        merges = _train(base, n_merges)
+        merges, _vocab = _train(base, n_merges)
     finally:
         base.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
@@ -156,10 +161,7 @@ def doc_trained_token_counts(
     """
     base = encoded_word_freqs(docs, text_col).persist()
     try:
-        merges = _train(base, n_merges)
-        cur = base
-        for _rank, a, b, _cnt in merges:
-            cur = apply_merge(cur, a, b)
+        _merges, cur = _train(base, n_merges)
         n_syms = F.size(F.split(F.expr("btrim(ws, '|')"), r"\|\|"))
         vocab = cur.select("w", n_syms.alias("n_syms"))
         toks = docs.select(
@@ -224,9 +226,12 @@ def _bpe_cte_chain(n_merges: int, table: str) -> str:
 ), best{i} AS MATERIALIZED (
   SELECT a, b, cnt FROM pc{i} ORDER BY cnt DESC, a, b LIMIT 1
 ), words{i} AS MATERIALIZED (
-  SELECT w, replace(ws, '|' || a || '||' || b || '|',
-                        '|' || a || b || '|') AS ws, freq
-  FROM words{prev} CROSS JOIN best{i}
+  SELECT w,
+         CASE WHEN a IS NULL THEN ws
+              ELSE replace(ws, '|' || a || '||' || b || '|',
+                               '|' || a || b || '|') END AS ws,
+         freq
+  FROM words{prev} LEFT JOIN best{i} ON TRUE
 )"""
         )
     return "".join(parts)

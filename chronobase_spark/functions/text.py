@@ -429,6 +429,22 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def space_distinct_tokens(text: Column) -> Column:
+    """Distinct space-split token count (trim + lower, empties dropped)
+    — the repo's "lexical diversity" quality signal, shared by the
+    dynamic-threshold filter, the importance-weighted sampler, and the
+    signal-correlation diagnostic so the three can never drift apart
+    (each pairs with the IDENTICAL expression in its SQL oracle)."""
+    return F.size(
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(text)), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+    )
+
+
 def lm_tokens(text_col: Column) -> Column:
     """The bigram-LM tokenization: plain space split of trimmed
     lowercase (NULL text coalesced to empty). One definition shared by
@@ -521,3 +537,27 @@ def bigram_lm_table(docs, text_col: str = "text"):
         .agg(F.count(F.lit(1)).alias("c12"))
     )
     return _lm_from_gram_counts(gram_counts, _lm_vocab(docs, text_col))
+
+
+def bigram_lm_model(docs, text_col: str = "text"):
+    """The FULL frozen model for out-of-corpus scoring: (lm, left, v)
+    — the (gram, term_micro) table, the (w1, c1) left-context count
+    table (what add-one smoothing needs to score an UNSEEN gram in a
+    seen context: P = 1/(c1+V), which ln(1/V) alone overestimates for
+    every seen context — r7 review finding), and the vocabulary size
+    as a driver-side int (one scalar collect at train time, the
+    dup_clusters convergence-scalar precedent)."""
+    gram_counts = (
+        docs.select(F.explode(lm_grams(F.col(text_col))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    vocab = _lm_vocab(docs, text_col)
+    lm = _lm_from_gram_counts(gram_counts, vocab)
+    left = (
+        gram_counts.withColumn("w1", F.substring_index("gram", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    v = int(vocab.collect()[0][0])
+    return lm, left, v

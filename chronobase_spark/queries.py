@@ -3438,15 +3438,9 @@ def q_quality_topq_filter(spark, sf_dir):
     over that tiny table, and the threshold broadcast-joins back for a
     map-side filter + rollup. All-integer arithmetic ⇒ exact oracle."""
     docs = _t(spark, sf_dir, "documents")
-    n_distinct = F.size(
-        F.array_distinct(
-            F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), " "),
-                lambda x: x != F.lit(""),
-            )
-        )
+    scored = docs.select(
+        "lang", text.space_distinct_tokens(F.col("text")).alias("score")
     )
-    scored = docs.select("lang", n_distinct.alias("score"))
     hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("n"))
     w_ge = (
         Window.partitionBy("lang")
@@ -5445,14 +5439,7 @@ def q_quality_weighted_sample(spark, sf_dir):
     partial-agged groupBy(source); nothing shuffles before the
     |sources|-sized aggregate."""
     docs = _t(spark, sf_dir, "documents")
-    n_distinct = F.size(
-        F.array_distinct(
-            F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), " "),
-                lambda x: x != F.lit(""),
-            )
-        )
-    ).cast("bigint")
+    n_distinct = text.space_distinct_tokens(F.col("text")).cast("bigint")
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("bigint")
@@ -5796,14 +5783,7 @@ def q_quality_signal_corr(spark, sf_dir):
     (empty/NULL text) are excluded on both engines (null-contract
     rule)."""
     docs = _t(spark, sf_dir, "documents")
-    ntok = F.size(
-        F.array_distinct(
-            F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), " "),
-                lambda t: t != F.lit(""),
-            )
-        )
-    ).cast("bigint")
+    ntok = text.space_distinct_tokens(F.col("text")).cast("bigint")
     # bind the entropy expression under a named column first so the
     # integer milli-nat rescale runs on the materialized value
     sig = (

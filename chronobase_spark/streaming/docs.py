@@ -224,11 +224,12 @@ def winnow_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
 def lm_score_stage(
     stream: DataFrame,
     lm: DataFrame,
-    oov_micro: int,
+    left: DataFrame,
+    v: int,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Score arriving documents under a FROZEN bigram language model
-    trained in batch (functions/text.bigram_lm_table) — the streaming
+    trained in batch (functions/text.bigram_lm_model) — the streaming
     half of the LM-quality gate: the batch pipeline periodically
     retrains the LM over the accumulated corpus, and ingest scores each
     new document against that reference distribution as it lands
@@ -238,10 +239,13 @@ def lm_score_stage(
     batch trainer uses (text.lm_grams — one definition, no drift), the
     LM lookup is a stream-STATIC left join on the gram key (stateless —
     no state store; the static side shuffles/broadcasts per
-    micro-batch as Catalyst sizes it), unseen grams back off to the
-    caller-supplied ``oov_micro`` (the add-one floor ln(1/(c1+V)) with
-    c1 = 0, i.e. round(ln(1/V)·1e6) for the trained V — computed
-    driver-side from the SAME model build, one scalar), and the per-doc
+    micro-batch as Catalyst sizes it), and an UNSEEN gram backs off to
+    the exact add-one probability for its context — ln(1/(c1(w1)+V))
+    via a second stream-static left join on the model's left-context
+    count table, with c1 = 0 (i.e. ln(1/V)) only when the context
+    itself is unseen. A single scalar back-off ln(1/V) would
+    OVERESTIMATE every unseen continuation of a common context by
+    ln((c1+V)/V) — the r7 review finding this join closes. The per-doc
     integer sum is a windowed streaming aggregation: state is two
     BIGINTs per in-flight document, evicted once the watermark passes
     its ingest window — bounded by arrival rate × horizon, never by
@@ -249,19 +253,35 @@ def lm_score_stage(
 
     Integer micro-nat terms make the drained result BIT-IDENTICAL to
     the batch ``bigram_lm_scores`` when scored against the same-corpus
-    LM (order-free integer sums; pinned in tests/test_streaming.py).
-    Returns (window, doc_id, n_grams, logprob_micro); documents with
-    fewer than two tokens produce no grams and no row, matching batch.
+    LM (order-free integer sums; pinned in tests/test_streaming.py,
+    which also pins both unseen-gram back-off branches). Returns
+    (window, doc_id, n_grams, logprob_micro); documents with fewer
+    than two tokens produce no grams and no row, matching batch.
     """
     grams = stream.withWatermark("ingest_ts", watermark).select(
         "doc_id",
         "ingest_ts",
         F.explode(text.lm_grams(F.col("text"))).alias("gram"),
+    ).withColumn("w1", F.substring_index("gram", " ", 1))
+    unseen = (
+        F.round(
+            F.log(
+                F.lit(1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(float(v)))
+            )
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("bigint")
     )
-    scored = grams.join(lm, "gram", "left").select(
-        "doc_id",
-        "ingest_ts",
-        F.coalesce(F.col("term_micro"), F.lit(oov_micro)).alias("term_micro"),
+    scored = (
+        grams.join(lm, "gram", "left")
+        .join(left, "w1", "left")
+        .select(
+            "doc_id",
+            "ingest_ts",
+            F.coalesce(F.col("term_micro"), unseen).alias("term_micro"),
+        )
     )
     return (
         scored.groupBy(F.window("ingest_ts", watermark), "doc_id")

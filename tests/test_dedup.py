@@ -395,3 +395,32 @@ def test_bigram_lm_scores_match_reference_python(spark):
         for r in textf.bigram_lm_scores(docs).collect()
     }
     assert got == want
+
+
+def test_bpe_token_count_oracle_survives_merge_exhaustion(spark):
+    """When BPE training exhausts pairs before n_merges rounds, the
+    DuckDB token-count oracle must keep the vocab chain alive (empty
+    best{i} stages pass words through unchanged) and agree with the
+    Spark side — the r7 review found the oracle's CROSS JOIN best{i}
+    annihilated the chain and returned zero rows on degenerate
+    corpora."""
+    import duckdb
+    import pandas as pd
+
+    from chronobase_spark.functions import bpe
+
+    for texts in [["a b c a b", "c c a"], ["ab ab", "ab"]]:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe.doc_trained_token_counts(spark, docs, n_merges=3).collect()
+        }
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        want = {
+            int(r[0]): int(r[1])
+            for r in con.execute(bpe.doc_token_counts_oracle_sql(3)).fetchall()
+        }
+        assert got == want and got, texts

@@ -875,8 +875,9 @@ def test_streaming_lm_score_stage_matches_batch(spark, tmp_path):
     """After an availableNow drain, the stream-static LM scoring stage
     must produce BIT-IDENTICAL (n_grams, logprob_micro) to the batch
     bigram_lm_scores over the same training corpus (integer micro-nat
-    terms sum order-free), and a document made entirely of unseen words
-    must back off every gram to the caller-supplied add-one floor."""
+    terms sum order-free), and BOTH unseen-gram back-off branches must
+    score exactly: an unseen continuation of a SEEN context gets
+    ln(1/(c1+V)), a fully-unseen context gets ln(1/V)."""
     import math
 
     from chronobase_spark.functions import text as textf
@@ -891,22 +892,22 @@ def test_streaming_lm_score_stage_matches_batch(spark, tmp_path):
             F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
         )
     )
+    # one doc of fully-unseen words, one unseen continuation of the
+    # seen context 'the' (the corpus' most common left word)
     oov_doc = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
         "text", F.lit("zzqx zzqy zzqz")
     )
-    base.union(oov_doc).repartition(2).write.parquet(src)
-
-    train = spark.read.parquet(src).filter(F.col("doc_id") != 999999)
-    lm = textf.bigram_lm_table(train)
-    v = (
-        train.select(F.explode(textf.lm_tokens(F.col("text"))).alias("t"))
-        .agg(F.countDistinct("t"))
-        .collect()[0][0]
+    ctx_doc = base.limit(1).withColumn("doc_id", F.lit(999998)).withColumn(
+        "text", F.lit("the zzqx")
     )
-    oov_micro = int(round(math.log(1.0 / v) * 1e6))
+    base.union(oov_doc).union(ctx_doc).repartition(2).write.parquet(src)
+
+    train = spark.read.parquet(src).filter(F.col("doc_id") < 999998)
+    lm, left, v = textf.bigram_lm_model(train)
+    c1_the = {r["w1"]: r["c1"] for r in left.collect()}["the"]
 
     scored = docstream.lm_score_stage(
-        docstream.read_document_stream(spark, src), lm, oov_micro
+        docstream.read_document_stream(spark, src), lm, left, v
     )
     q = (
         scored.writeStream.format("memory")
@@ -928,5 +929,17 @@ def test_streaming_lm_score_stage_matches_batch(spark, tmp_path):
     assert want, "training corpus produced no scored docs"
     for doc, pair in want.items():
         assert got[doc] == pair, doc
-    # the fully-unseen doc has 2 bigrams, both at the add-one floor
-    assert got[999999] == (2, 2 * oov_micro)
+
+    def half_up_micro(p: float) -> int:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(math.log(p) * 1e6)).quantize(0, rounding=ROUND_HALF_UP)
+        )
+
+    # fully-unseen context: both grams at ln(1/V)
+    assert got[999999] == (2, 2 * half_up_micro(1.0 / v))
+    # unseen continuation of the seen context 'the': ln(1/(c1+V)),
+    # which is STRICTLY below the ln(1/V) scalar a naive back-off uses
+    assert got[999998] == (1, half_up_micro(1.0 / (c1_the + v)))
+    assert half_up_micro(1.0 / (c1_the + v)) < half_up_micro(1.0 / v)
