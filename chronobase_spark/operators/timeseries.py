@@ -600,3 +600,105 @@ def ltob_downsample(
         )
     )
     return best
+
+
+def holt_daily_smoothing(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    bucket: str = "day",
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per key, state
+    reset at each calendar ``bucket`` — level + trend for every
+    observation (Holt 1957; the two-state upgrade over the one-state
+    EWMA when series drift):
+
+        l_1 = v_1, b_1 = 0
+        l_j = α·v_j + (1-α)·(l_{j-1} + b_{j-1})
+        b_j = β·(l_j − l_{j-1}) + (1-β)·b_{j-1}
+
+    Scale shape: the recurrence is sequential, so it folds inside ONE
+    bounded (key, bucket) group — a sorted higher-order-function fold
+    over the group's own rows, the segmented_ewma memory rule (no
+    stage ever holds a full per-key history; per-task state is one
+    key-bucket group). The bucket reset is the semantic: intraday
+    level/trend that re-anchors each day, so day N's smoothing is
+    embarrassingly parallel with day N+1's. For a continuous chain
+    across buckets see segmented_ewma's boundary machinery — Holt's
+    2-state affine maps compose the same way, at double the summary
+    width.
+
+    Cross-engine exactness: with α = β = 0.5 every coefficient
+    multiply is by an exact power of two, and the fold applies the
+    IDENTICAL operation tree in the identical (ts, tiebreak) order as
+    the recursive-CTE oracle (the level expression is inlined twice in
+    the trend update ON BOTH ENGINES, so each float rounds at the same
+    point). NULL observations are excluded up front on both engines
+    (null-contract rule; an unobserved value has no smoothing step).
+
+    Output: (key_col, tiebreak_col, ts_col, value_col, level, trend),
+    one row per non-null input row.
+    """
+    a, be = float(alpha), float(beta)
+    ev = df.filter(F.col(value_col).isNotNull()).select(
+        key_col,
+        tiebreak_col,
+        ts_col,
+        value_col,
+        F.date_trunc(bucket, F.col(ts_col)).alias("_seg"),
+    )
+    seq = F.array_sort(
+        F.collect_list(F.struct(ts_col, tiebreak_col, value_col))
+    )
+
+    def step(acc, x):
+        lp = F.element_at(acc["l"], -1)
+        bp = F.element_at(acc["b"], -1)
+        v = x[value_col].cast("double")
+        ln = F.lit(a) * v + F.lit(1.0 - a) * (lp + bp)
+        bn = F.lit(be) * (ln - lp) + F.lit(1.0 - be) * bp
+        first = F.size(acc["l"]) == 0
+        return F.struct(
+            F.concat(
+                acc["l"], F.array(F.when(first, v).otherwise(ln))
+            ).alias("l"),
+            F.concat(
+                acc["b"], F.array(F.when(first, F.lit(0.0)).otherwise(bn))
+            ).alias("b"),
+        )
+
+    fold = F.aggregate(
+        F.col("_seq"),
+        F.struct(
+            F.array().cast("array<double>").alias("l"),
+            F.array().cast("array<double>").alias("b"),
+        ),
+        step,
+    )
+    folded = (
+        ev.groupBy(key_col, "_seg")
+        .agg(seq.alias("_seq"))
+        .withColumn("_f", fold)
+    )
+    return (
+        folded.select(
+            key_col,
+            F.explode(
+                F.transform(
+                    "_seq",
+                    lambda s, i: F.struct(
+                        s[tiebreak_col].alias(tiebreak_col),
+                        s[ts_col].alias(ts_col),
+                        s[value_col].alias(value_col),
+                        F.get(F.col("_f.l"), i).alias("level"),
+                        F.get(F.col("_f.b"), i).alias("trend"),
+                    ),
+                )
+            ).alias("_r"),
+        )
+        .select(key_col, "_r.*")
+    )

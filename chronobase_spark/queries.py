@@ -5870,6 +5870,48 @@ def q_cross_source_dup_matrix(spark, sf_dir):
     )
 
 
+_HOLT_SQL = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, ts, value,
+         DATE_TRUNC('day', ts) AS seg,
+         ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), rec AS (
+  SELECT user_id, seg, rn, event_id, ts, value,
+         CAST(value AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.seg, o.rn, o.event_id, o.ts, o.value,
+         0.5 * CAST(o.value AS DOUBLE) + 0.5 * (r.l + r.b) AS l,
+         0.5 * ((0.5 * CAST(o.value AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+           + 0.5 * r.b AS b
+  FROM rec r JOIN o ON o.user_id = r.user_id AND o.seg = r.seg
+                   AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, ts, value, l AS level, b AS trend FROM rec
+"""
+
+
+@register("holt_daily_smoothing", _HOLT_SQL)
+def q_holt_daily_smoothing(spark, sf_dir):
+    """Holt's linear (double-exponential) smoothing per user with
+    daily state reset — level AND trend per observation, the two-state
+    upgrade over ewma_user_value for drifting series (Holt 1957).
+    Sequential recurrence folded inside ONE bounded (user, day) group
+    (sorted HOF fold — the segmented_ewma memory rule: per-task state
+    is a key-day group, never a full history); the daily reset makes
+    days embarrassingly parallel. α = β = 0.5 ⇒ every coefficient
+    multiply is an exact power of two, and the oracle's recursive CTE
+    states the IDENTICAL operation tree in the identical (ts,
+    event_id) order (the level expression inlined twice in the trend
+    update on BOTH engines), so every float rounds at the same point.
+    NULL observations excluded up front on both engines."""
+    return timeseries.holt_daily_smoothing(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (driver smoke): reference read path (inclusive
     time-range scan, O1/O2) + first analytical step (per-type stats) —

@@ -646,3 +646,88 @@ def streaming_event_transitions(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_user_holt(
+    stream: DataFrame, alpha: float = 0.5, beta: float = 0.5
+) -> DataFrame:
+    """Per-user Holt level + trend maintained incrementally across
+    micro-batches — the streaming twin of the batch
+    ``operators.timeseries.holt_daily_smoothing`` recurrence (daily
+    state reset).
+
+    State per user is ONE (day, level, trend) triple — 8+8+8 bytes
+    forever, and the daily reset means a user idle past midnight
+    simply re-anchors on their next event (no unbounded drift in the
+    state's relevance). Each batch drops NULL observations (matching
+    the batch null contract), sorts by (ts, event_id), and runs the
+    recurrence row-wise with the IDENTICAL floating-point operation
+    tree as the batch fold (α·v + (1-α)·(l+b); β·(l'−l) + (1-β)·b) —
+    with α = β = 0.5 every coefficient multiply is a power of two, so
+    an availableNow drain is BIT-IDENTICAL to the batch operator
+    (pinned in tests/test_streaming.py).
+
+    Ordering contract: in-order event-time delivery per user across
+    batches (in-batch order handled here) — the streaming_user_ewma /
+    streaming_counter_rate contract.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("day_ns", LongType()),
+            StructField("l", DoubleType()),
+            StructField("b", DoubleType()),
+        ]
+    )
+    a, be = float(alpha), float(beta)
+
+    def update(key, pdfs, state: GroupState):
+        day_ns, l, b = state.get if state.exists else (None, None, None)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .dropna(subset=["value"])
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        if not len(pdf):
+            return
+        levels, trends = [], []
+        for ts, v in zip(pdf["ts"], pdf["value"].astype("float64")):
+            d = pd.Timestamp(ts).normalize().value
+            if day_ns is None or d != day_ns:
+                l, b = float(v), 0.0
+            else:
+                ln = a * v + (1.0 - a) * (l + b)
+                bn = be * (ln - l) + (1.0 - be) * b
+                l, b = ln, bn
+            day_ns = d
+            levels.append(l)
+            trends.append(b)
+        state.update((int(day_ns), float(l), float(b)))
+        out = pdf[["user_id", "event_id", "ts", "value"]].copy()
+        out["level"] = levels
+        out["trend"] = trends
+        yield out
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -852,3 +852,53 @@ def test_ivf_pq_consistent_with_cell_and_adc(spark):
     for r in got:
         assert buckets[r["vec_id"]] == buckets[0], r
         assert r["adc_u2"] == full_adc[r["vec_id"]], r
+
+
+def test_holt_daily_smoothing_matches_reference_python(spark):
+    """The folded Holt recurrence must reproduce a transparent Python
+    loop exactly (same op order, alpha=beta=0.5), reset state at each
+    day boundary, and drop NULL observations."""
+    from datetime import datetime
+
+    from chronobase_spark.operators import timeseries
+
+    rows = [
+        # day 1, user 1: three observations
+        (1, 10, datetime(2024, 1, 1, 9), 4.0),
+        (1, 11, datetime(2024, 1, 1, 10), 8.0),
+        (1, 12, datetime(2024, 1, 1, 11), 16.0),
+        # day 2, user 1: reset
+        (1, 13, datetime(2024, 1, 2, 9), 100.0),
+        (1, 14, datetime(2024, 1, 2, 10), 50.0),
+        # user 2 with a NULL observation dropped
+        (2, 20, datetime(2024, 1, 1, 9), 1.0),
+        (2, 21, datetime(2024, 1, 1, 10), None),
+        (2, 22, datetime(2024, 1, 1, 11), 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    got = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in timeseries.holt_daily_smoothing(df).collect()
+    }
+
+    def holt(vals):
+        out = []
+        l, b = vals[0], 0.0
+        out.append((l, b))
+        for v in vals[1:]:
+            ln = 0.5 * v + 0.5 * (l + b)
+            bn = 0.5 * (ln - l) + 0.5 * b
+            out.append((ln, bn))
+            l, b = ln, bn
+        return out
+
+    want = {}
+    for ids, vals in [
+        ((10, 11, 12), (4.0, 8.0, 16.0)),
+        ((13, 14), (100.0, 50.0)),
+        ((20, 22), (1.0, 3.0)),
+    ]:
+        for eid, lb in zip(ids, holt(list(vals))):
+            want[eid] = lb
+    assert got == want
+    assert 21 not in got

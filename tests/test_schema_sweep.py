@@ -60,6 +60,11 @@ _ALLOWED_DOUBLE = {
     #    F.aggregate <-> list_reduce), or min/max/first/last of raw
     #    doubles (order-insensitive picks, no summation) ---------------
     ("daily_event_stats", "total_value"),
+    # Holt: identical sequential fold (sorted HOF fold <-> recursive
+    # CTE, same op tree inlined on both engines); value is passthrough
+    ("holt_daily_smoothing", "value"),
+    ("holt_daily_smoothing", "level"),
+    ("holt_daily_smoothing", "trend"),
     ("embedding_dim_stats", "sum_val"),
     ("ewma_user_value", "ewma"),
     ("gap_fill_interp", "avg_value_interp"),

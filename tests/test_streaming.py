@@ -943,3 +943,40 @@ def test_streaming_lm_score_stage_matches_batch(spark, tmp_path):
     # which is STRICTLY below the ln(1/V) scalar a naive back-off uses
     assert got[999998] == (1, half_up_micro(1.0 / (c1_the + v)))
     assert half_up_micro(1.0 / (c1_the + v)) < half_up_micro(1.0 / v)
+
+
+def test_streaming_holt_matches_batch(spark, event_source, tmp_path):
+    """After an availableNow drain, the applyInPandasWithState Holt
+    stage must be BIT-IDENTICAL to the batch holt_daily_smoothing fold
+    (same op tree, alpha=beta=0.5 power-of-two coefficients, NULL
+    observations dropped, daily reset)."""
+    from chronobase_spark.operators import timeseries
+
+    stream = ingest.read_event_stream(spark, event_source)
+    out = ingest.streaming_user_holt(stream)
+    sink = str(tmp_path / "holt_sink")
+    ckpt = str(tmp_path / "holt_ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in timeseries.holt_daily_smoothing(
+            spark.read.parquet(event_source).select(
+                "user_id", "event_id", "ts", "value"
+            )
+        ).collect()
+    }
+    assert want
+    assert got == want
