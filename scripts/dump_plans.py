@@ -66,6 +66,9 @@ HEADLINE = [
     ("top_supplier_revenue", "TPC-H Q15 shape: grouped revenue + 1-row MAX broadcast equality join"),
     ("bigram_lm_logprob", "bigram LM: gram-TYPE LM table, gram-keyed shuffle_hash score join, 1-row vocab broadcast"),
     ("quality_weighted_sample", "importance sampling: map-only BIGINT accept test, one partial-agg groupBy"),
+    ("token_zipf_slope", "Zipf fit: vocab groupBy -> distributed top-200 head BEFORE any global work"),
+    ("quality_signal_corr", "signal correlation: two map-only integer signals, ONE moment groupBy"),
+    ("holt_daily_smoothing", "Holt level+trend: one bounded (user, day) sorted fold, no history state"),
 ]
 
 KEEP = re.compile(

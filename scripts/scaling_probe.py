@@ -458,6 +458,17 @@ def _pass(spark, factor: int) -> dict[str, float]:
         ).save()
         timings["bigram_lm"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # Holt smoothing: one bounded (user, day) fold. Replication
+        # shifts event_id but keeps user_id, so (user, day) groups GROW
+        # with the factor — this measures the fold under densifying
+        # groups (the operator's contract assumes bounded per-key daily
+        # density; real growth adds keys, not density).
+        timeseries.holt_daily_smoothing(
+            ev.select("user_id", "event_id", "ts", "value")
+        ).write.format("noop").mode("overwrite").save()
+        timings["holt_daily"] = time.perf_counter() - t0
+
     return timings
 
 
