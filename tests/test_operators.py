@@ -902,3 +902,35 @@ def test_holt_daily_smoothing_matches_reference_python(spark):
             want[eid] = lb
     assert got == want
     assert 21 not in got
+
+
+def test_holt_beta_zero_degenerates_to_ewma(spark):
+    """With beta=0 the trend must stay exactly 0.0 and the level must
+    equal the plain one-state EWMA recurrence; with alpha=1 the level
+    must equal the raw observation — the two degenerate cases that pin
+    Holt's wiring against the simpler smoother."""
+    from datetime import datetime
+
+    from chronobase_spark.operators import timeseries
+
+    vals = [3.0, 7.0, 1.0, 9.0, 5.0, 2.0]
+    rows = [
+        (1, i, datetime(2024, 1, 1, 6 + i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+
+    got_b0 = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in timeseries.holt_daily_smoothing(df, beta=0.0).collect()
+    }
+    l = vals[0]
+    for i, v in enumerate(vals):
+        if i > 0:
+            l = 0.5 * v + 0.5 * (l + 0.0)
+        assert got_b0[i] == (l, 0.0), i
+
+    got_a1 = {
+        r["event_id"]: r["level"]
+        for r in timeseries.holt_daily_smoothing(df, alpha=1.0).collect()
+    }
+    assert got_a1 == {i: v for i, v in enumerate(vals)}
