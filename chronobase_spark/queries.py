@@ -570,27 +570,36 @@ def q_approx_distinct_users(spark, sf_dir):
     "rollup_pricing",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       HAVING COUNT(*) > 0""",
 )
 def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP; the count-positive filter pins the empty-input contract
+    (on zero rows DuckDB emits the () grouping-set global row, Spark
+    emits nothing — the r7 empty-corpus oracle gate finding; on any
+    non-empty corpus every grouping-set row has count >= 1, so this is
+    a no-op)."""
     return agg.rollup_agg(
         _t(spark, sf_dir, "lineitem"),
         ["l_returnflag", "l_linestatus"],
         [F.count(F.lit(1)).alias("n_rows"), agg.dsum("l_quantity").alias("sum_qty")],
-    )
+    ).filter(F.col("n_rows") > 0)
 
 
 @register(
     "cube_order_counts",
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
-       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       HAVING COUNT(*) > 0""",
 )
 def q_cube_order_counts(spark, sf_dir):
+    """CUBE; count-positive filter = the empty-input contract pin (see
+    rollup_pricing)."""
     return agg.cube_agg(
         _t(spark, sf_dir, "orders"),
         ["o_orderstatus", "o_orderpriority"],
         [F.count(F.lit(1)).alias("n_orders")],
-    )
+    ).filter(F.col("n_orders") > 0)
 
 
 @register(
@@ -598,17 +607,20 @@ def q_cube_order_counts(spark, sf_dir):
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
        FROM lineitem
-       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       HAVING COUNT(*) > 0""",
 )
 def q_grouping_sets_revenue(spark, sf_dir):
     """Explicit GROUPING SETS — the general grouping-set form (rollup and
-    cube are special cases); one Expand + one hash aggregate."""
+    cube are special cases); one Expand + one hash aggregate. The
+    count-positive filter pins the empty-input contract (see
+    rollup_pricing)."""
     return agg.grouping_sets_agg(
         _t(spark, sf_dir, "lineitem"),
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
         ["l_returnflag", "l_linestatus"],
         [F.count(F.lit(1)).alias("n_rows"), agg.dsum("l_quantity").alias("sum_qty")],
-    )
+    ).filter(F.col("n_rows") > 0)
 
 
 @register(

@@ -99,3 +99,44 @@ def test_oracle_matches_under_nulls(spark, nully_file_sf_dir):
         f"{len(failures)} oracle queries diverge under NULLs:\n"
         + "\n".join(failures)
     )
+
+
+@pytest.fixture(scope="module")
+def empty_file_sf_dir(spark, tmp_path_factory):
+    """Zero-row corpus with exact schemas, one parquet FILE per table
+    (duck_connection reads per-file paths)."""
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("sf_empty_oracle")
+    for t in catalog.TABLES:
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(0)
+        pq.write_table(df.toArrow(), str(root / f"{t}.parquet"))
+    return str(root)
+
+
+def test_oracle_matches_on_empty_corpus(spark, empty_file_sf_dir):
+    """Every oracle-checked query must VALUE-match DuckDB on a zero-row
+    corpus — the regime where engines disagree on global-aggregate
+    semantics (does an ungrouped aggregate emit one NULL/0 row or no
+    row?) and where tests/test_empty_inputs.py only proves execution.
+    Empty partitions, new tenants, and over-filtered sub-corpora make
+    this the steady state of a 100 TB deployment, not an edge case."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duck_connection(empty_file_sf_dir)
+    failures: list[str] = []
+    for name in sorted(oracles):
+        if name in _CONTRACT_EXCLUDED:
+            continue
+        try:
+            problems = compare(
+                qs[name](spark, empty_file_sf_dir),
+                con.execute(oracles[name]).fetchdf(),
+                name,
+            )
+        except Exception as exc:  # noqa: BLE001 — collecting the sweep
+            problems = [f"{name}: {type(exc).__name__}: {exc}"[:200]]
+        failures.extend(problems)
+    assert not failures, (
+        f"{len(failures)} oracle queries diverge on the empty corpus:\n"
+        + "\n".join(failures)
+    )
