@@ -199,3 +199,54 @@ def ivf_pq_topk(
         k,
         id_col,
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    min_cosine: float = 0.35,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus (here: deterministic LSH
+    cells, the same coarse quantizer the IVF path uses), then within
+    each cell drop every vector that has a near-duplicate
+    (cosine ≥ min_cosine) with a smaller id — the smallest id of each
+    semantic group survives. Returns (vec_id, cell, kept).
+
+    Scale: identical to bucketed_near_pairs — one shuffle on the cell
+    id, pairwise cosine only within cells (Σ cell² work, controlled by
+    signature width), then a key-partitioned anti/left join for the
+    keep flag. Nothing corpus-sized is ever broadcast or windowed
+    globally. NULL embeddings are excluded up front (explicit null
+    contract; a vector store may not assume them)."""
+    planes = hyperplanes(num_planes)
+    sig = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            lsh_signature(F.col(vec_col), planes).alias("cell"),
+        )
+        .persist()
+    )
+    a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(sim >= min_cosine)
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return sig.join(drops.hint("shuffle_hash"), "vid", "left").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.coalesce(F.col("dropped") == F.lit(False), F.lit(True)).alias("kept"),
+    )

@@ -561,3 +561,35 @@ def bigram_lm_model(docs, text_col: str = "text"):
     )
     v = int(vocab.collect()[0][0])
     return lm, left, v
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (LLM-pipeline scrubbing pass)
+# ---------------------------------------------------------------------------
+# Patterns are deliberately written in the regex subset that Java
+# (Spark) and RE2 (DuckDB) evaluate identically — character classes,
+# bounded repetition, literal anchors; no backrefs, no lookaround — so
+# the scrub is oracle-checkable cross-engine. Real pipelines swap in
+# stricter pattern sets; the operator shape (map-only regexp count +
+# global replace, zero shuffles until the reporting aggregate) is what
+# matters at 100 TB.
+
+EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def email_count(text: Column) -> Column:
+    """How many email-shaped spans the document contains."""
+    return F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+
+
+def phone_count(text: Column) -> Column:
+    """How many phone-shaped spans the document contains."""
+    return F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0)))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/phone span with a typed placeholder —
+    Spark's regexp_replace is global, mirroring DuckDB's 'g' flag."""
+    red = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(red, PHONE_RE, "<PHONE>")

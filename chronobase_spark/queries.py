@@ -5937,3 +5937,443 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         agg.dsum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — completing the 22 TPC-H shapes (Q5, Q6, Q9, Q11, Q16) and the
+# PII-scrub / semantic-dedup LLM-pipeline passes
+# ---------------------------------------------------------------------------
+
+_LOCAL_SUPP_SQL = """
+WITH sr AS (
+  SELECT s_suppkey, s_nationkey, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+), co AS (
+  SELECT o_orderkey, c_nationkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT sr.n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN sr ON l_suppkey = sr.s_suppkey
+JOIN co ON l_orderkey = co.o_orderkey AND co.c_nationkey = sr.s_nationkey
+GROUP BY sr.n_name
+"""
+
+
+@register("local_supplier_revenue", _LOCAL_SUPP_SQL)
+def q_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    supplier are LOCAL to each other (c_nationkey = s_nationkey),
+    suppliers restricted to one region, orders to one year. The
+    signature Q5 move is that the nation key arrives from TWO
+    independent join paths and must agree — the equi-join condition
+    pairs the fact's supplier side with the order's customer side.
+    Scale shape: region→nation→supplier collapses to a broadcast-sized
+    map BEFORE any fact row moves; orders⋈customer broadcasts the
+    customer map and the year filter prunes the orders scan; the only
+    big shuffle is lineitem ⋈ filtered-orders on the well-spread order
+    key (shuffle_hash — both sides fact-scale at 100 TB). Revenue is
+    the exact decimal discounted price, crossing engines as TEXT
+    (FIXTURES wide-decimal rule)."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sr = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    co = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return (
+        li.join(F.broadcast(sr), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            co.hint("shuffle_hash"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(disc_price).cast("string").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_DISC_FORECAST_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS revenue_gain,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+@register("discount_revenue_forecast", _DISC_FORECAST_SQL)
+def q_discount_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: the revenue that would be gained by eliminating
+    a band of small discounts on low-quantity lines in one ship year —
+    a pure scan-filter-aggregate with NO join, the canonical predicate
+    -pushdown benchmark. All three conjuncts (ship-year range,
+    discount band, quantity cap) reach the Parquet scan as
+    PushedFilters, so at 100 TB the year range prunes row groups via
+    footer min/max before a single page decodes. The double BETWEEN
+    compares the same stored doubles against the same literals on both
+    engines (bit-identical outcome); the gained revenue is
+    price·discount in exact DECIMAL (every discount is a 2-dp value,
+    so the 4,2 cast is exact on both engines), crossing as TEXT."""
+    li = _t(spark, sf_dir, "lineitem")
+    gain = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(gain).cast("string").alias("revenue_gain"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_PROFIT_SQL = """
+SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+"""
+
+
+@register("product_profit_by_nation_year", _PROFIT_SQL)
+def q_product_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit on one product line, broken out by the
+    supplier's nation and the ship year (the schema has no partsupp /
+    supplycost, so profit is the discounted price — the shape is the
+    substring part filter fanned across every dimension). Scale: the
+    LIKE-filtered part list and the supplier→nation map both broadcast
+    (each a shrinking dimension), so the fact table is joined twice
+    map-side with ZERO shuffles before the final |nation × year|
+    aggregate — at 100 TB the only exchange is the partial-agged
+    groupBy. Profit crosses engines as TEXT (wide-decimal rule);
+    a NULL ship date groups as the NULL year on both engines."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return (
+        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(disc_price).cast("string").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_IMPORTANT_PARTS_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS part_value,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts FROM pv
+)
+SELECT l_partkey, CAST(part_value AS VARCHAR) AS part_value,
+       CAST(n_lines AS BIGINT) AS n_lines
+FROM pv, tot
+WHERE part_value * n_parts * 2 > 3 * total_value
+"""
+
+
+@register("important_part_values", _IMPORTANT_PARTS_SQL)
+def q_important_part_values(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose accumulated revenue exceeds a
+    threshold share of the global total (here 1.5× the mean per-part
+    value, so the cut is scale-invariant as |parts| grows with the
+    corpus) — the grouped aggregate filtered by a scalar subquery over
+    its own re-aggregation. Scale: one partial-agged shuffle to
+    |parts| rows, the grand total reduces those (never the fact table)
+    to ONE row that broadcasts back over the per-part aggregate; the
+    threshold compare is exact decimal cross-multiplication
+    (value·n_parts > 2·total — no division, no rounding). Values cross engines as TEXT (wide-decimal rule)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(disc_price).alias("part_value"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    tot = pv.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_value") * F.col("n_parts") * 2
+            > 3 * F.col("total_value")
+        )
+        .select(
+            "l_partkey",
+            F.col("part_value").cast("string").alias("part_value"),
+            "n_lines",
+        )
+    )
+
+
+_SUPP_CNT_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("supplier_count_by_part_attrs", _SUPP_CNT_SQL)
+def q_supplier_count_by_part_attrs(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) combination, excluding one brand and the
+    suppliers with "complaints" (negative balance stands in for the
+    comment scan — the schema has no s_comment). The two signature
+    moves: a NOT IN over a subquery (decorrelated to a broadcast
+    LEFT ANTI join — the excluded-supplier set is tiny and its keys
+    are non-null by the ingest contract, so NOT IN ≡ anti join), and
+    COUNT(DISTINCT) over a group (expand + two-phase partial agg).
+    Scale: the brand/size filter broadcasts with the part map, the
+    anti join broadcasts the bad-supplier list, so the fact table
+    reaches the distinct-aggregate shuffle already pruned."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_PII_AUG_SQL = """
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                           4, '0')
+                 ELSE '' END AS t
+  FROM documents WHERE text IS NOT NULL
+"""
+
+_PII_DET_SQL = """
+  SELECT doc_id, source, t,
+         CAST(len(regexp_extract_all(t,
+              '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)
+           AS n_phones,
+         regexp_replace(regexp_replace(t,
+              '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+              '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+  FROM aug
+"""
+
+
+def _pii_detected(spark, sf_dir):
+    """Shared PII pipeline: deterministic PII injection (the synthetic
+    corpus is digit-free, so the fixture plants emails/phones derived
+    from doc_id — identically on both engines) followed by the real
+    detect/redact pass from functions.text."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", "source", aug.alias("t"))
+    return d.select(
+        "doc_id",
+        "source",
+        "t",
+        text.email_count(F.col("t")).cast("bigint").alias("n_emails"),
+        text.phone_count(F.col("t")).cast("bigint").alias("n_phones"),
+        text.redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
+@register(
+    "pii_redact_docs",
+    f"""WITH aug AS ({_PII_AUG_SQL}), det AS ({_PII_DET_SQL})
+SELECT doc_id, n_emails, n_phones, redacted
+FROM det WHERE doc_id < 40""",
+)
+def q_pii_redact_docs(spark, sf_dir):
+    """PII scrubbing, document level: count email/phone-shaped spans
+    and replace each with a typed placeholder — the pre-training scrub
+    pass every public corpus pipeline runs (the C4/Dolma cleaning
+    step). The regex subset is chosen to evaluate identically under
+    Java (Spark) and RE2 (DuckDB), so the full redacted TEXT is
+    oracle-compared byte-for-byte. Map-only per row — zero shuffles at
+    any scale; the doc_id < 40 cut keeps the driver diff bounded while
+    pii_source_stats covers the full corpus."""
+    return (
+        _pii_detected(spark, sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "n_emails", "n_phones", "redacted")
+    )
+
+
+@register(
+    "pii_source_stats",
+    f"""WITH aug AS ({_PII_AUG_SQL}), det AS ({_PII_DET_SQL})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       CAST(SUM(length(redacted)) AS BIGINT) AS redacted_chars
+FROM det GROUP BY source""",
+)
+def q_pii_source_stats(spark, sf_dir):
+    """PII scrubbing, corpus level: per-source detection and redaction
+    totals — the audit report a scrub pass emits before a training
+    run. Scale shape: the regexp count/replace is map-only over the
+    scan, then ONE partial-agged groupBy to |sources| rows; nothing
+    else moves. NULL text is excluded up front on both engines
+    (explicit null contract)."""
+    det = _pii_detected(spark, sf_dir)
+    return det.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(0)
+        ).alias("docs_with_pii"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(F.length("redacted").cast("bigint")).alias("redacted_chars"),
+    )
+
+
+def _semdedup_sql() -> str:
+    planes = emb_dedup.hyperplanes(8)
+    sig = emb_dedup.sql_signature_expr("e.embedding", planes)
+    return f"""
+WITH sigs AS (
+  SELECT e.vec_id, e.embedding, CAST(({sig}) AS BIGINT) AS cell
+  FROM embeddings e WHERE e.embedding IS NOT NULL
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a', 'b')} >= 0.35
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
+FROM sigs s LEFT JOIN drops d ON s.vec_id = d.vec_id
+"""
+
+
+@register("semantic_dedup_assign", _semdedup_sql())
+def q_semantic_dedup_assign(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): LSH
+    cells as the clustering, then within each cell every vector with a
+    smaller-id near-duplicate at cosine ≥ 0.35 is dropped — the keep/
+    drop ASSIGNMENT for the whole corpus, not just the pair list
+    (embedding_near_pairs). Literal hyperplanes + rounded cosine make
+    the whole decision oracle-checkable. See dedup.embedding.
+    semantic_dedup for the 100 TB shape (cell-bucketed pairs, keyed
+    keep-flag join, zero corpus broadcasts)."""
+    return emb_dedup.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), num_planes=8, min_cosine=0.35
+    )
