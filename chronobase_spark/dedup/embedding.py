@@ -245,8 +245,10 @@ def semantic_dedup(
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
+    # kept == "no drop-join match", mirroring the oracle's
+    # d.vec_id IS NULL
     return sig.join(drops.hint("shuffle_hash"), "vid", "left").select(
         F.col("vid").alias("vec_id"),
         "cell",
-        F.coalesce(F.col("dropped") == F.lit(False), F.lit(True)).alias("kept"),
+        F.col("dropped").isNull().alias("kept"),
     )

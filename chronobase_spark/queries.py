@@ -5977,9 +5977,11 @@ def q_local_supplier_revenue(spark, sf_dir):
     signature Q5 move is that the nation key arrives from TWO
     independent join paths and must agree — the equi-join condition
     pairs the fact's supplier side with the order's customer side.
-    Scale shape: region→nation→supplier collapses to a broadcast-sized
-    map BEFORE any fact row moves; orders⋈customer broadcasts the
-    customer map and the year filter prunes the orders scan; the only
+    Scale shape: nation and region (25/5 rows, SF-invariant) broadcast
+    explicitly; supplier and customer are SF-PROPORTIONAL, so their
+    joins carry no hint — size-based autoBroadcast handles small SFs
+    and at 100 TB they become key-partitioned shuffle joins on their
+    own. The year filter prunes the orders scan; the one guaranteed
     big shuffle is lineitem ⋈ filtered-orders on the well-spread order
     key (shuffle_hash — both sides fact-scale at 100 TB). Revenue is
     the exact decimal discounted price, crossing engines as TEXT
@@ -5999,7 +6001,7 @@ def q_local_supplier_revenue(spark, sf_dir):
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
             & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00"))
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
     li = _t(spark, sf_dir, "lineitem").select(
@@ -6010,7 +6012,7 @@ def q_local_supplier_revenue(spark, sf_dir):
         " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
     )
     return (
-        li.join(F.broadcast(sr), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sr, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             co.hint("shuffle_hash"),
             (F.col("l_orderkey") == F.col("o_orderkey"))
@@ -6088,12 +6090,13 @@ def q_product_profit_by_nation_year(spark, sf_dir):
     supplier's nation and the ship year (the schema has no partsupp /
     supplycost, so profit is the discounted price — the shape is the
     substring part filter fanned across every dimension). Scale: the
-    LIKE-filtered part list and the supplier→nation map both broadcast
-    (each a shrinking dimension), so the fact table is joined twice
-    map-side with ZERO shuffles before the final |nation × year|
-    aggregate — at 100 TB the only exchange is the partial-agged
-    groupBy. Profit crosses engines as TEXT (wide-decimal rule);
-    a NULL ship date groups as the NULL year on both engines."""
+    nation map (25 rows) broadcasts explicitly; the LIKE-filtered part
+    list and the supplier→nation map are SF-PROPORTIONAL, so they
+    carry no broadcast hint — autoBroadcast keeps them map-side while
+    they fit, and at 100 TB they degrade gracefully to key-partitioned
+    shuffle joins instead of OOMing the driver. Profit crosses engines
+    as TEXT (wide-decimal rule); a NULL ship date groups as the NULL
+    year on both engines."""
     pf = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%gear%"))
@@ -6113,8 +6116,8 @@ def q_product_profit_by_nation_year(spark, sf_dir):
         " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
     )
     return (
-        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name", F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(
             F.sum(disc_price).cast("string").alias("profit"),
@@ -6137,7 +6140,8 @@ WITH pv AS (
 SELECT l_partkey, CAST(part_value AS VARCHAR) AS part_value,
        CAST(n_lines AS BIGINT) AS n_lines
 FROM pv, tot
-WHERE part_value * n_parts * 2 > 3 * total_value
+WHERE CAST(part_value AS DECIMAL(26,4)) * CAST(2 * n_parts AS DECIMAL(11,0))
+      > CAST(3 AS DECIMAL(1,0)) * CAST(total_value AS DECIMAL(35,4))
 """
 
 
@@ -6150,8 +6154,15 @@ def q_important_part_values(spark, sf_dir):
     its own re-aggregation. Scale: one partial-agged shuffle to
     |parts| rows, the grand total reduces those (never the fact table)
     to ONE row that broadcasts back over the per-part aggregate; the
-    threshold compare is exact decimal cross-multiplication
-    (value·n_parts > 2·total — no division, no rounding). Values cross engines as TEXT (wide-decimal rule)."""
+    threshold compare is exact decimal cross-multiplication with
+    CONTROLLED widths — part_value·(2·n_parts) as (26,4)×(11,0) →
+    (38,4) and 3·total as (1,0)×(35,4) → (37,4), both ≤ 38 digits so
+    NEITHER engine leaves exact decimal (unbounded widths would make
+    Spark round via precision-loss adjustment while DuckDB falls back
+    to DOUBLE — a borderline part could flip). The bounds hold far
+    past 100 TB: (26,4) carries 10^22 of per-part revenue, (35,4)
+    10^31 of corpus total, (11,0) 10^11 parts. Values cross engines
+    as TEXT (wide-decimal rule)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
@@ -6170,8 +6181,10 @@ def q_important_part_values(spark, sf_dir):
     return (
         pv.crossJoin(F.broadcast(tot))
         .filter(
-            F.col("part_value") * F.col("n_parts") * 2
-            > 3 * F.col("total_value")
+            F.col("part_value").cast("decimal(26,4)")
+            * (F.col("n_parts") * 2).cast("decimal(11,0)")
+            > F.lit(3).cast("decimal(1,0)")
+            * F.col("total_value").cast("decimal(35,4)")
         )
         .select(
             "l_partkey",
@@ -6188,6 +6201,7 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1'
   AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey IS NOT NULL
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
 """
@@ -6199,13 +6213,16 @@ def q_supplier_count_by_part_attrs(spark, sf_dir):
     (brand, type, size) combination, excluding one brand and the
     suppliers with "complaints" (negative balance stands in for the
     comment scan — the schema has no s_comment). The two signature
-    moves: a NOT IN over a subquery (decorrelated to a broadcast
-    LEFT ANTI join — the excluded-supplier set is tiny and its keys
-    are non-null by the ingest contract, so NOT IN ≡ anti join), and
+    moves: a NOT IN over a subquery (decorrelated to a LEFT ANTI
+    join — sound only when BOTH sides are null-free: the subquery's
+    s_suppkey is non-null by the ingest contract, and the PROBE side
+    gets an explicit l_suppkey IS NOT NULL on both engines, because
+    NOT IN filters a NULL probe while an anti join keeps it), and
     COUNT(DISTINCT) over a group (expand + two-phase partial agg).
-    Scale: the brand/size filter broadcasts with the part map, the
-    anti join broadcasts the bad-supplier list, so the fact table
-    reaches the distinct-aggregate shuffle already pruned."""
+    Scale: the filtered part map and bad-supplier list are
+    SF-PROPORTIONAL, so neither carries a broadcast hint —
+    autoBroadcast keeps them map-side while small; at 100 TB they
+    become key-partitioned shuffle joins instead of driver OOMs."""
     pf = (
         _t(spark, sf_dir, "part")
         .filter(
@@ -6219,11 +6236,15 @@ def q_supplier_count_by_part_attrs(spark, sf_dir):
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     return (
-        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pf, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )

@@ -226,6 +226,15 @@ _SCALE_FLAG_ALLOWLIST = {
     # two 1-row scalars (corpus total, temperature-sum) broadcast over
     # the |sources|-sized count table (source_mix_weights pattern)
     "source_mix_temperature": {"bnlj", "single-partition"},
+    # Q6 shape: pure scan-filter-aggregate to ONE row — the
+    # SinglePartition exchange carries one partial (sum, count) row
+    # per task, never the data (small_quantity_revenue pattern)
+    "discount_revenue_forecast": {"single-partition"},
+    # Q11 shape: the 1-row (total_value, n_parts) scalar broadcasts
+    # back over the |parts|-sized aggregate as a literal-free cross
+    # (BNLJ of 1 row × |parts|); only partial-agged rows cross the
+    # SinglePartition exchange (orders_above_avg pattern)
+    "important_part_values": {"bnlj", "single-partition"},
 }
 
 
