@@ -290,3 +290,28 @@ def lm_score_stage(
             F.sum("term_micro").alias("logprob_micro"),
         )
     )
+
+
+def pii_scrub_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing IN the stream — the in-stream twin of the batch
+    ``pii_redact_docs`` pass (functions.text.redact_pii), so documents
+    land in storage ALREADY scrubbed and audited instead of requiring
+    a second corpus pass before training.
+
+    Stateless by construction: span counting and the typed-placeholder
+    replace are pure regexp expressions per document — no explode, no
+    state store, the stream stays fully pipelined (the cheapest kind
+    of streaming stage; at 100 TB ingest this is bandwidth-bound, not
+    state-bound). Emits the SAME columns the batch scrub derives
+    (n_emails, n_phones, redacted) next to the original text so the
+    downstream audit aggregate (pii_source_stats shape) can run on
+    either surface; drained-equal-to-batch pinned in
+    tests/test_streaming.py. NULL text yields NULL counts/redaction,
+    matching batch."""
+    t = F.col(text_col)
+    return stream.select(
+        "*",
+        text.email_count(t).cast("bigint").alias("n_emails"),
+        text.phone_count(t).cast("bigint").alias("n_phones"),
+        text.redact_pii(t).alias("redacted"),
+    )

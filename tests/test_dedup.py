@@ -424,3 +424,65 @@ def test_bpe_token_count_oracle_survives_merge_exhaustion(spark):
             for r in con.execute(bpe.doc_token_counts_oracle_sql(3)).fetchall()
         }
         assert got == want and got, texts
+
+
+def test_semantic_dedup_matches_bruteforce_within_cells(spark):
+    """SemDeDup pin (Abbas et al. 2023 keep-one-per-group rule): the
+    distributed kept/dropped assignment must equal a brute-force
+    all-pairs within-cell cosine pass computed in plain Python with the
+    EXACT same arithmetic — sequential float64 folds for dot/norm (the
+    order functions.similarity fixes) and Spark's HALF_UP 6-dp rounding
+    (Decimal(binary double), not Python's bankers round)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from chronobase_spark.dedup import embedding as emb
+
+    df = catalog.table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in emb.semantic_dedup(df, num_planes=8, min_cosine=0.35).collect()
+    }
+
+    planes = emb.hyperplanes(8)
+    rows = df.filter(F.col("embedding").isNotNull()).collect()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    cells: dict[int, int] = {}
+    vecs: dict[int, list] = {}
+    for r in rows:
+        v = r["embedding"]
+        sig = 0
+        for i, p in enumerate(planes):
+            if fold_dot(v, [float(x) for x in p]) >= 0:
+                sig += 1 << i
+        cells[r["vec_id"]] = sig
+        vecs[r["vec_id"]] = v
+
+    def cos6(a, b):
+        import math
+
+        c = fold_dot(a, b) / (
+            math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        )
+        return float(
+            Decimal(c).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    ids = sorted(vecs)
+    want = {}
+    for vid in ids:
+        dropped = any(
+            cells[o] == cells[vid] and o < vid and cos6(vecs[o], vecs[vid]) >= 0.35
+            for o in ids
+        )
+        want[vid] = (cells[vid], not dropped)
+
+    assert got == want
+    assert any(not kept for _, kept in want.values()), (
+        "corpus should contain planted semantic dups"
+    )

@@ -934,3 +934,44 @@ def test_holt_beta_zero_degenerates_to_ewma(spark):
         for r in timeseries.holt_daily_smoothing(df, alpha=1.0).collect()
     }
     assert got_a1 == {i: v for i, v in enumerate(vals)}
+
+
+def test_pii_scrub_matches_python_re_on_edge_cases(spark):
+    """PII scrub pin: crafted edge rows (plus-sign international
+    phones, dotted/uppercase locals that only partially match the
+    lowercase pattern, adjacent and back-to-back spans, span at
+    end-of-string, NULL text) must produce the same counts and
+    byte-identical redacted text as a plain-Python ``re`` reference
+    over the very same patterns — pinning that Spark's Java regex and
+    the documented RE2-safe subset agree span-for-span."""
+    import re
+
+    cases = [
+        "reach me at john.doe@example.com or call +1-555-1234 now",
+        "a@b.c x@y.zz back-to-backa@b.cc555-0000",
+        "555-12345 overlong still hits 555-1234 inside",
+        "ends with mail tail@host.org",
+        "UPPER@CASE.COM stays, lower@case.com goes",
+        "no pii here at all",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], ["i", "t"])
+    got = {
+        r["i"]: (r["ne"], r["np"], r["red"])
+        for r in df.select(
+            "i",
+            text.email_count(F.col("t")).alias("ne"),
+            text.phone_count(F.col("t")).alias("np"),
+            text.redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    email, phone = re.compile(text.EMAIL_RE), re.compile(text.PHONE_RE)
+    for i, t in enumerate(cases):
+        if t is None:
+            assert got[i] == (None, None, None), got[i]
+            continue
+        ne = len(email.findall(t))
+        np_ = len(phone.findall(t))
+        red = phone.sub("<PHONE>", email.sub("<EMAIL>", t))
+        assert got[i] == (ne, np_, red), (t, got[i], (ne, np_, red))

@@ -980,3 +980,74 @@ def test_streaming_holt_matches_batch(spark, event_source, tmp_path):
     }
     assert want
     assert got == want
+
+
+def test_streaming_pii_scrub_stage_matches_batch(spark, tmp_path):
+    """The stateless in-stream PII scrub must drain EQUAL to the batch
+    scrub (same regexp expressions per row): identical span counts and
+    byte-identical redacted text, NULL text carried through as NULL.
+    Run through a real stream so the stage is proven stateless (no
+    watermark, no state store)."""
+    from chronobase_spark.functions import text as textfn
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "piisrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(50)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit(" ping user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+    nulltext = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    base.union(nulltext).repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "pii_sink")
+    q = (
+        docstream.pii_scrub_stage(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "pii_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["redacted"])
+        for r in out.collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["redacted"])
+        for r in spark.read.parquet(src)
+        .select(
+            "doc_id",
+            textfn.email_count(F.col("text")).cast("bigint").alias("n_emails"),
+            textfn.phone_count(F.col("text")).cast("bigint").alias("n_phones"),
+            textfn.redact_pii(F.col("text")).alias("redacted"),
+        )
+        .collect()
+    }
+    assert got == batch
+    assert got[999999] == (None, None, None)
+    assert any(ne and ne > 0 for ne, _, _ in got.values())
