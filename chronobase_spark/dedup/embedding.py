@@ -223,15 +223,70 @@ def semantic_dedup(
     globally. NULL embeddings are excluded up front (explicit null
     contract; a vector store may not assume them)."""
     planes = hyperplanes(num_planes)
-    sig = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
-            lsh_signature(F.col(vec_col), planes).alias("cell"),
-        )
-        .persist()
+    sig = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("cell"),
     )
+    return _dedup_assign(sig, min_cosine, round_digits)
+
+
+def semantic_dedup_scaled(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cell_size: int = 32,
+    max_planes: int = 16,
+    min_cosine: float = 0.35,
+    round_digits: int = 6,
+) -> DataFrame:
+    """``semantic_dedup`` with a quantizer that SCALES WITH THE CORPUS —
+    the SemDeDup paper's posture (cluster count grows with n so cluster
+    size stays constant). A fixed plane count is a quadratic time bomb:
+    cells ≈ 2^planes is constant, so expected cell size grows with n
+    and the within-cell pairwise pass is Σ cell² ≈ n²/2^planes. Here
+    the number of ACTIVE planes k is derived from the corpus count —
+    the smallest k with 2^k · target_cell_size ≥ n (clamped to
+    max_planes) — so expected cell size stays ≈ target_cell_size and
+    pair work stays ≈ n · target/2: LINEAR in the corpus.
+
+    Fully distributed: every row computes the full max_planes-bit
+    signature once (plane i is bit i, so "first k planes" ≡ masking to
+    the low k bits); n is ONE partial-agged count whose 1-row result
+    broadcasts back to mask the signature — the corpus itself is never
+    collected, windowed, or broadcast. k is picked by an integer
+    threshold test over sequence(1..max_planes) — no float log2, so an
+    ANSI SQL oracle computes the identical k (cross-engine exact).
+    Returns (vec_id, cell, kept) like semantic_dedup."""
+    planes = hyperplanes(max_planes)
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    k = base.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(
+            f"coalesce(array_min(filter(sequence(1, {max_planes}),"
+            f" k -> shiftleft(cast(1 as bigint), k) * {target_cell_size}"
+            f" >= n)), {max_planes})"
+        ).alias("k")
+    )
+    sig = base.crossJoin(F.broadcast(k)).select(
+        "vid",
+        "vec",
+        F.expr("sig & (shiftleft(cast(1 as bigint), k) - 1)").alias("cell"),
+    )
+    return _dedup_assign(sig, min_cosine, round_digits)
+
+
+def _dedup_assign(
+    sig: DataFrame, min_cosine: float, round_digits: int
+) -> DataFrame:
+    """Shared SemDeDup keep/drop pass over (vid, vec, cell): pairwise
+    cosine within cells, smallest id per semantic group survives."""
+    # persist: the (num_planes × dim fold per row) signature feeds both
+    # sides of the self-join — compute once.
+    sig = sig.persist()
     a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
     sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
     drops = (

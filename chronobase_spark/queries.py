@@ -6398,3 +6398,48 @@ def q_semantic_dedup_assign(spark, sf_dir):
     return emb_dedup.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), num_planes=8, min_cosine=0.35
     )
+
+
+def _semdedup_scaled_sql() -> str:
+    planes = emb_dedup.hyperplanes(16)
+    sig = emb_dedup.sql_signature_expr("e.embedding", planes)
+    return f"""
+WITH sigs0 AS (
+  SELECT e.vec_id, e.embedding, CAST(({sig}) AS BIGINT) AS sig
+  FROM embeddings e WHERE e.embedding IS NOT NULL
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sigs0
+), kk AS (
+  SELECT COALESCE(list_min(list_filter(range(1, 17),
+           k -> (CAST(1 AS BIGINT) << k) * 32 >= n)),
+         CAST(16 AS BIGINT)) AS k
+  FROM nn
+), sigs AS (
+  SELECT s.vec_id, s.embedding,
+         s.sig & ((CAST(1 AS BIGINT) << k) - 1) AS cell
+  FROM sigs0 s, kk
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a', 'b')} >= 0.35
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
+FROM sigs s LEFT JOIN drops d ON s.vec_id = d.vec_id
+"""
+
+
+@register("semantic_dedup_scaled", _semdedup_scaled_sql())
+def q_semantic_dedup_scaled(spark, sf_dir):
+    """SemDeDup with a CORPUS-SCALED quantizer — the 100 TB variant of
+    semantic_dedup_assign. A fixed cell count makes the within-cell
+    pairwise pass Σ cell² ≈ n²/cells (quadratic); here the active
+    plane count k is the smallest with 2^k · 32 ≥ n, so cells grow
+    with the corpus, expected cell size stays ≈ 32, and pair work
+    stays LINEAR (SCALING.md semantic_dedup row). k derives from one
+    partial-agged count broadcast back as a 1-row mask — an integer
+    threshold test (no float log2), so DuckDB computes the identical
+    k and the whole adaptive decision stays hash-checked. See
+    dedup.embedding.semantic_dedup_scaled."""
+    return emb_dedup.semantic_dedup_scaled(
+        _t(spark, sf_dir, "embeddings"), target_cell_size=32, max_planes=16
+    )

@@ -469,6 +469,131 @@ def _pass(spark, factor: int) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save()
         timings["holt_daily"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        # Corpus-scaled SemDeDup: the adaptive quantizer is the claim
+        # under test — active planes k grows with n so cell size stays
+        # ~32 and pair work stays linear. DE-CLIQUED like minhash:
+        # verbatim replicas share one cell at EVERY k (identical
+        # vectors ⇒ identical signatures), an f²-pair artifact of the
+        # probe data; rotating each copy's vector by its copy index
+        # re-randomizes it against the fixed Gaussian planes, so
+        # replication behaves like honest corpus growth.
+        from chronobase_spark.dedup import embedding as _emb
+
+        rot = (F.col("vec_id") / 10_000_000).cast("int") % 64
+        rotated = emb.withColumn("rot", rot).selectExpr(
+            "vec_id",
+            "concat(slice(embedding, rot + 1, 64 - rot),"
+            " slice(embedding, 1, rot)) AS embedding",
+        )
+        _emb.semantic_dedup_scaled(rotated).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["semantic_dedup"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # PII scrub audit shape: map-only regexp count/replace over the
+        # scan + ONE partial-agged groupBy to |sources| rows
+        (
+            docs.filter(F.col("text").isNotNull())
+            .select(
+                "source",
+                text.email_count(F.col("text")).cast("bigint").alias("ne"),
+                text.phone_count(F.col("text")).cast("bigint").alias("np"),
+                F.length(text.redact_pii(F.col("text")))
+                .cast("bigint")
+                .alias("rc"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("ne").alias("total_emails"),
+                F.sum("np").alias("total_phones"),
+                F.sum("rc").alias("redacted_chars"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["pii_stats"] = time.perf_counter() - t0
+
+        # TPC-H fact-table shapes: replicate lineitem (order key
+        # shifted), keep the dimensions at base size — honest fact
+        # growth (a real warehouse's facts grow ~linearly while dims
+        # saturate), so the dimension joins stay map-side and the
+        # slope isolates the fact scan + partial-agged shuffles.
+        li_path = replicate(spark, "lineitem", factor, "l_orderkey")
+        li = spark.read.parquet(li_path)
+        from chronobase_spark import catalog as _cat
+
+        disc_price = F.expr(
+            "CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+        )
+
+        t0 = time.perf_counter()
+        # Q9 shape: LIKE-filtered part + supplier→nation map joined
+        # map-side onto the fact, |nation × year| aggregate
+        pf = (
+            _cat.table(spark, BASE_SF, "part")
+            .filter(F.col("p_name").like("%gear%"))
+            .select("p_partkey")
+        )
+        sn = (
+            _cat.table(spark, BASE_SF, "supplier")
+            .join(
+                F.broadcast(
+                    _cat.table(spark, BASE_SF, "nation").select(
+                        "n_nationkey", "n_name"
+                    )
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", "n_name")
+        )
+        (
+            li.select(
+                "l_partkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount",
+            )
+            .join(pf, F.col("l_partkey") == F.col("p_partkey"))
+            .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(
+                "n_name", F.year("l_shipdate").cast("bigint").alias("ship_year")
+            )
+            .agg(
+                F.sum(disc_price).cast("string").alias("profit"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["tpch_q9_profit"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # Q11 shape: fact → |parts| partial-agged aggregate → 1-row
+        # grand total broadcast back for the exact-decimal threshold
+        pv = (
+            li.select("l_partkey", "l_extendedprice", "l_discount")
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(disc_price).alias("part_value"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+        tot = pv.agg(
+            F.sum("part_value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        (
+            pv.crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("part_value").cast("decimal(26,4)")
+                * (F.col("n_parts") * 2).cast("decimal(11,0)")
+                > F.lit(3).cast("decimal(1,0)")
+                * F.col("total_value").cast("decimal(35,4)")
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        timings["important_parts"] = time.perf_counter() - t0
+
     return timings
 
 

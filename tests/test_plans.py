@@ -235,6 +235,12 @@ _SCALE_FLAG_ALLOWLIST = {
     # (BNLJ of 1 row × |parts|); only partial-agged rows cross the
     # SinglePartition exchange (orders_above_avg pattern)
     "important_part_values": {"bnlj", "single-partition"},
+    # corpus-scaled SemDeDup: the adaptive plane count k is a 1-row
+    # count aggregate (partial rows cross the SinglePartition
+    # exchange) broadcast back as a literal-free cross over the
+    # signature table (BNLJ of 1 row × n) — the corpus itself only
+    # ever moves through the cell-keyed shuffle_hash joins
+    "semantic_dedup_scaled": {"bnlj", "single-partition"},
 }
 
 
