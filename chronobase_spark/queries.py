@@ -6400,11 +6400,13 @@ def q_semantic_dedup_assign(spark, sf_dir):
     )
 
 
-def _semdedup_scaled_sql() -> str:
+def _semdedup_scaled_ctes() -> str:
+    """The corpus-scaled SemDeDup decision as reusable CTEs (sigs0 →
+    nn → kk → sigs → drops), shared by semantic_dedup_scaled and the
+    composed pretrain_pipeline_report."""
     planes = emb_dedup.hyperplanes(16)
     sig = emb_dedup.sql_signature_expr("e.embedding", planes)
-    return f"""
-WITH sigs0 AS (
+    return f"""sigs0 AS (
   SELECT e.vec_id, e.embedding, CAST(({sig}) AS BIGINT) AS sig
   FROM embeddings e WHERE e.embedding IS NOT NULL
 ), nn AS (
@@ -6422,7 +6424,12 @@ WITH sigs0 AS (
   SELECT DISTINCT b.vec_id
   FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE {_cos_sql('a', 'b')} >= 0.35
-)
+)"""
+
+
+def _semdedup_scaled_sql() -> str:
+    return f"""
+WITH {_semdedup_scaled_ctes()}
 SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
 FROM sigs s LEFT JOIN drops d ON s.vec_id = d.vec_id
 """
@@ -6442,4 +6449,159 @@ def q_semantic_dedup_scaled(spark, sf_dir):
     dedup.embedding.semantic_dedup_scaled."""
     return emb_dedup.semantic_dedup_scaled(
         _t(spark, sf_dir, "embeddings"), target_cell_size=32, max_planes=16
+    )
+
+
+def _pipeline_sql() -> str:
+    return f"""
+WITH {_semdedup_scaled_ctes()}, sem AS (
+  SELECT s.vec_id AS doc_id, (d.vec_id IS NULL) AS kept
+  FROM sigs s LEFT JOIN drops d ON s.vec_id = d.vec_id
+), corpus AS (
+  SELECT doc_id, lang, text FROM documents
+), canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY {_NORM}) AS is_canonical
+  FROM corpus
+), tkd AS (
+  SELECT doc_id, {_TOKS} AS toks FROM corpus
+), sp AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' '))
+           AS span_hash
+  FROM tkd, LATERAL (
+      SELECT unnest(generate_series(1, greatest(len(toks) - {_SPAN_W - 1}, 0)))
+        AS i
+  ) g
+), spc AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY span_hash) AS canonical_doc
+  FROM sp
+), spanstats AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN canonical_doc < doc_id THEN 1 ELSE 0 END) AS n_removable
+  FROM spc GROUP BY doc_id
+), feats AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM tkd
+), flags AS (
+  SELECT c.lang, f.n_tokens,
+         k.is_canonical AS k1,
+         k.is_canonical AND COALESCE(s.kept, TRUE) AS k2,
+         k.is_canonical AND COALESCE(s.kept, TRUE)
+           AND NOT COALESCE(2 * t.n_removable > t.n_spans, FALSE) AS k3,
+         k.is_canonical AND COALESCE(s.kept, TRUE)
+           AND NOT COALESCE(2 * t.n_removable > t.n_spans, FALSE)
+           AND f.n_tokens >= 20 AND f.n_distinct * 4 >= f.n_tokens AS k4
+  FROM corpus c
+  JOIN canon k ON c.doc_id = k.doc_id
+  JOIN feats f ON c.doc_id = f.doc_id
+  LEFT JOIN sem s ON c.doc_id = s.doc_id
+  LEFT JOIN spanstats t ON c.doc_id = t.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_exact,
+       CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_semantic,
+       CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_span,
+       CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN k4 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS packed_tokens,
+       CAST((SUM(CASE WHEN k4 THEN n_tokens ELSE 0 END) + 2047) // 2048
+            AS BIGINT) AS n_packs
+FROM flags GROUP BY lang
+"""
+
+
+@register("pretrain_pipeline_report", _pipeline_sql())
+def q_pretrain_pipeline_report(spark, sf_dir):
+    """The FULL pre-training data path as ONE oracle-checked query:
+    per language, corpus survival through exact dedup → semantic
+    dedup (SemDeDup, corpus-scaled quantizer) → span-level dedup
+    (ExactSubstr majority-removable gate) → quality funnel, then the
+    packed 2048-token context-window count the survivors fill — the
+    number a training run actually budgets against. Extends
+    clean_corpus_counts with the embedding-space and span stages so
+    every dedup family the registry checks individually is also
+    checked COMPOSED (stage interactions included).
+
+    Pipeline semantics: each gate applies cumulatively; a doc with no
+    embedding passes the semantic gate (no signal ≠ duplicate) and a
+    doc with no 8-token span passes the span gate. One tokenization
+    defines both the quality features and the packing token count
+    (n_packs = ceil over the integer token sum — exact on both
+    engines via (x + 2047) DIV 2048).
+
+    Scale shape: every stage is the registry-checked distributed
+    shape it composes — one normalized-text window shuffle (exact),
+    cell-keyed pair joins + 1-row k broadcast (semantic), one
+    span-hash window + doc rollup (span), map-side features — then
+    four doc_id-keyed shuffle_hash joins and ONE |langs| aggregate.
+    Nothing corpus-sized is broadcast, windowed globally, or
+    collected."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", text.tokens(F.col("text")).alias("toks")
+    )
+    canon = exact_dedup.canonical_map(docs).select("doc_id", "is_duplicate")
+    sem = emb_dedup.semantic_dedup_scaled(
+        _t(spark, sf_dir, "embeddings"), target_cell_size=32, max_planes=16
+    ).select(F.col("vec_id").alias("doc_id"), "kept")
+    spans = F.expr(
+        f"""CASE WHEN size(toks) >= {_SPAN_W}
+                 THEN transform(sequence(1, size(toks) - {_SPAN_W - 1}),
+                                i -> md5(array_join(slice(toks, i, {_SPAN_W}), ' ')))
+                 ELSE array() END"""
+    )
+    sp = base.select("doc_id", F.explode(spans).alias("span_hash")).distinct()
+    spanstats = (
+        sp.withColumn(
+            "canonical_doc",
+            F.min("doc_id").over(Window.partitionBy("span_hash")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("canonical_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_removable"),
+        )
+    )
+    feats = base.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    j = (
+        feats.join(canon.hint("shuffle_hash"), "doc_id")
+        .join(sem.hint("shuffle_hash"), "doc_id", "left")
+        .join(spanstats.hint("shuffle_hash"), "doc_id", "left")
+    )
+    k1 = ~F.col("is_duplicate")
+    k2 = k1 & F.coalesce(F.col("kept"), F.lit(True))
+    k3 = k2 & ~F.coalesce(
+        F.col("n_removable") * 2 > F.col("n_spans"), F.lit(False)
+    )
+    k4 = (
+        k3
+        & (F.col("n_tokens") >= 20)
+        & (F.col("n_distinct") * 4 >= F.col("n_tokens"))
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(k1, 1).otherwise(0)).alias("n_after_exact"),
+            F.sum(F.when(k2, 1).otherwise(0)).alias("n_after_semantic"),
+            F.sum(F.when(k3, 1).otherwise(0)).alias("n_after_span"),
+            F.sum(F.when(k4, 1).otherwise(0)).alias("n_clean"),
+            F.sum(F.when(k4, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("packed_tokens"),
+        )
+        .withColumn(
+            "n_packs",
+            F.expr("CAST((packed_tokens + 2047) DIV 2048 AS BIGINT)"),
+        )
     )

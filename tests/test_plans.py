@@ -241,6 +241,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # signature table (BNLJ of 1 row × n) — the corpus itself only
     # ever moves through the cell-keyed shuffle_hash joins
     "semantic_dedup_scaled": {"bnlj", "single-partition"},
+    # composed pipeline embeds the semantic_dedup_scaled stage, so it
+    # inherits that stage's reviewed 1-row-k scalar broadcast
+    "pretrain_pipeline_report": {"bnlj", "single-partition"},
 }
 
 
