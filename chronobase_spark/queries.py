@@ -153,6 +153,25 @@ _FORCE_REGRADE = {
     # key here would silently overwrite the newer round number).
     "gap_fill_locf": 4,
     "gap_fill_interp": 4,
+    # r8 (commit 2e89033, shipped while 8 CORRECTNESS files existed):
+    # query AND oracle rewritten together (decimal widths, NOT-IN null
+    # fix, broadcast-hint drops) but absent from r9's 50-query subset —
+    # no cross-engine hash evidence post-change (r9 advisor note).
+    "important_part_values": 8,
+    "supplier_count_by_part_attrs": 8,
+    "local_supplier_revenue": 8,
+    "product_profit_by_nation_year": 8,
+    # r10: the six r9-verdict broadcast hints (plus two more unfiltered
+    # supplier broadcasts the new static gate caught) deleted — results
+    # are plan-invariant, but the recorded green predates the new plans.
+    "promo_revenue_ratio": 9,
+    "returned_customer_revenue": 9,
+    "large_order_customers": 9,
+    "nation_revenue_share": 9,
+    "disjunctive_part_revenue": 9,
+    "top_volume_orders": 9,
+    "sole_late_supplier": 9,
+    "top_supplier_revenue": 9,
 }
 
 # Families whose driver evidence matters most while slots are scarce
@@ -2269,16 +2288,18 @@ _DEC_DISC_PRICE = (
 )
 def q_promo_revenue_ratio(spark, sf_dir):
     """TPC-H Q14-shaped promo ratio per ship month: fact-side filter
-    pushed to the parquet scan, broadcast join to the part dimension,
-    conditional decimal-exact revenue sums, ratio taken in double at
-    the end (identical IEEE op order on both engines). One shuffle on
-    the month key; the dimension never shuffles."""
+    pushed to the parquet scan, join to the part dimension left to
+    size-based autoBroadcast (part grows with SF — a forced hint would
+    OOM the driver at 100×; at bench SFs the size check keeps it
+    map-side anyway), conditional decimal-exact revenue sums, ratio
+    taken in double at the end (identical IEEE op order on both
+    engines). One shuffle on the month key at worst."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     disc = F.expr(_DEC_DISC_PRICE)
     zero = F.lit(0).cast("decimal(18,4)")
     promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
@@ -2364,8 +2385,11 @@ def q_percent_rank_value(spark, sf_dir):
 )
 def q_returned_customer_revenue(spark, sf_dir):
     """TPC-H Q10-shaped: who returned the most revenue. Fact-fact join
-    on orderkey (co-shuffled), broadcast joins to customer and nation,
-    decimal-exact revenue, global top-20 (TakeOrderedAndProject — no
+    on orderkey (co-shuffled); the customer join is left to size-based
+    autoBroadcast (customer is SF-proportional — forcing the hint OOMs
+    at 100×, while at 100 TB the plan correctly degrades to a keyed
+    shuffle join); nation (25 rows, constant) keeps its hint.
+    Decimal-exact revenue, global top-20 (TakeOrderedAndProject — no
     full sort at scale). The returnflag filter reaches the parquet
     scan."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -2374,7 +2398,7 @@ def q_returned_customer_revenue(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     j = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     disc = F.expr(_DEC_DISC_PRICE)
@@ -2402,7 +2426,10 @@ def q_large_order_customers(spark, sf_dir):
     threshold. The heavy side aggregates lineitem per orderkey FIRST
     (map-side partials shrink the shuffle), the HAVING filter then cuts
     the join input to the rare large orders — aggregate-then-join, the
-    order that survives a 100× scale-up."""
+    order that survives a 100× scale-up. The customer join carries no
+    hint: customer is SF-proportional, so size-based autoBroadcast
+    keeps it map-side at bench SFs and degrades it to a shuffle join
+    at 100 TB instead of OOMing the driver."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -2415,7 +2442,7 @@ def q_large_order_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
@@ -4128,8 +4155,11 @@ FROM per_nation, tot
 def q_nation_revenue_share(spark, sf_dir):
     """Ratio-to-report: each nation's share of total order revenue —
     the reporting primitive SQL calls RATIO_TO_REPORT (Oracle) or
-    share-of-total windows. Shape: dimension joins broadcast (nation,
-    customer), ONE revenue shuffle, then the 1-row total broadcasts
+    share-of-total windows. Shape: nation (25 rows, constant) joins
+    broadcast; the customer join carries NO hint — customer is
+    SF-proportional, so size-based autoBroadcast keeps it map-side at
+    bench SFs and degrades to a keyed shuffle join at 100 TB. ONE
+    revenue shuffle, then the 1-row total broadcasts
     back over the |nations| aggregate — never a SinglePartition window
     over data rows (a w := Window.partitionBy() here would serialize
     the corpus through one task at 100 TB). Share = one unrounded
@@ -4143,7 +4173,7 @@ def q_nation_revenue_share(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     per_nation = (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
@@ -4545,15 +4575,18 @@ def q_disjunctive_part_revenue(spark, sf_dir):
     3-way DISJUNCTION of (brand, size-range, quantity-range) clauses —
     the predicate form that defeats naive single-column pushdown.
     Catalyst extracts the common sub-predicates it can (brand/size
-    reach the broadcast part side; quantity stays on the fact scan)
-    and the dimension join broadcasts. Revenue accumulates as exact
+    reach the part side; quantity stays on the fact scan). The part
+    join carries NO hint — part is SF-proportional, so size-based
+    autoBroadcast keeps it map-side at bench SFs and degrades to a
+    keyed shuffle join at 100 TB instead of OOMing the driver.
+    Revenue accumulates as exact
     DECIMAL and crosses engines as TEXT (FIXTURES.md wide-decimal
     rule), so the disjunction is fully oracle-checked."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
     pred = (
         ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
@@ -4848,9 +4881,11 @@ def q_top_volume_orders(spark, sf_dir):
     leaves only the rare big orders, and the semi join keeps orders
     from duplicating against multi-line matches. The quantity re-sum
     then re-joins lineitem on the SAME orderkey partitioning (the
-    shuffle is reused), customer broadcasts, and the final top-100 is
-    a TakeOrderedAndProject — no global sort. All-integer quantities;
-    o_totalprice is a raw stored double (passthrough)."""
+    shuffle is reused), the customer join is left to size-based
+    autoBroadcast (customer is SF-proportional — no forced hint; at
+    100 TB the plan degrades to a shuffle join), and the final top-100
+    is a TakeOrderedAndProject — no global sort. All-integer
+    quantities; o_totalprice is a raw stored double (passthrough)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
@@ -4868,7 +4903,7 @@ def q_top_volume_orders(spark, sf_dir):
         "left_semi",
     )
     return (
-        o_big.join(F.broadcast(cust), o_big.o_custkey == cust.c_custkey)
+        o_big.join(cust, o_big.o_custkey == cust.c_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice", "c_name")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
@@ -4916,7 +4951,9 @@ def q_sole_late_supplier(spark, sf_dir):
     orderkey with the supplier-inequality as the join residual, so
     every self-join shuffles on the well-spread order key and nothing
     plans a BNLJ. The status filter prunes the orders scan before the
-    fact-fact join; supplier broadcasts; the final top-100 is a
+    fact-fact join; the supplier name join carries no hint (supplier
+    is SF-proportional — autoBroadcast keeps it map-side at bench SFs
+    and degrades to a shuffle join at 100 TB); the final top-100 is a
     TakeOrderedAndProject. All-integer counts, timestamp comparisons
     exact on both engines."""
     fo = (
@@ -4954,7 +4991,7 @@ def q_sole_late_supplier(spark, sf_dir):
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        blocked.join(F.broadcast(sup), F.col("s1") == F.col("s_suppkey"))
+        blocked.join(sup, F.col("s1") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -5331,7 +5368,8 @@ def q_top_supplier_revenue(spark, sf_dir):
     the SAME derived table. Scale shape: the quarter filter prunes the
     lineitem scan (min/max stats), ONE shuffle builds the per-supplier
     revenue table, the 1-row MAX broadcasts back onto it (never a
-    global window), and the supplier dim broadcasts for the name.
+    global window), and the supplier name join is left to size-based
+    autoBroadcast (supplier is SF-proportional — no forced hint).
     Exactness: revenue stays decimal end-to-end, the tie comparison is
     exact decimal equality on both engines, and the output crosses as
     TEXT (wide-decimal rule)."""
@@ -5349,7 +5387,7 @@ def q_top_supplier_revenue(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",

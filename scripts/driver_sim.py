@@ -8,6 +8,9 @@ from pyspark.sql import SparkSession
 from tests.oracle_harness import compare, duck_connection
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional argv[2]: comma-separated query names — verify just an edited
+# subset without paying the full 165-query sweep
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 # FAITHFUL to the driver: a bare session with ZERO engine configs — the
 # engine must repair session state itself (catalog.ensure_session_conf).
 # Using the repo's own get_spark() here is exactly how the round-1 nanos
@@ -22,6 +25,8 @@ qs, oracles = mod.queries(), mod.oracle_sql()
 con = duck_connection(SF)
 failed = []
 for name in sorted(qs):
+    if ONLY is not None and name not in ONLY:
+        continue
     t0 = time.perf_counter()
     if name in oracles:
         problems = compare(qs[name](spark, SF), con.execute(oracles[name]).fetchdf(), name)

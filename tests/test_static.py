@@ -94,3 +94,104 @@ def test_no_unresolved_names_anywhere():
     assert len(paths) > 20  # the glob actually found the repo
     bad = {os.path.relpath(p, REPO): m for p in paths if (m := _unresolved(p))}
     assert not bad, f"unresolved names: {bad}"
+
+
+# --- broadcast-hint gate -------------------------------------------------
+
+# Tables whose row count grows linearly with scale factor. Broadcasting
+# one of these UNFILTERED overrides Spark's size-based autoBroadcast
+# check: fine at sf0.1 (customer ~15k rows), fatal at 100 TB where the
+# driver must materialize a multi-GB relation (the exact OOM the r1
+# scaling probe recorded — SCALING.md). Rule established in commit
+# 2e89033, retro-applied to the whole registry in r10; this gate keeps
+# the class from recurring. nation/region (constant 25/5 rows),
+# aggregated frames (.groupBy/.agg/.limit) and filtered frames are all
+# legitimately broadcastable and are NOT flagged.
+_SF_PROPORTIONAL = {
+    "customer",
+    "part",
+    "supplier",
+    "orders",
+    "lineitem",
+    "partsupp",
+    "events",
+    "documents",
+    "embeddings",
+}
+
+# Chained methods that do NOT bound the size of an SF-proportional
+# frame: the result is still one row per input row.
+_SIZE_PRESERVING = {"select", "alias", "hint", "drop", "withColumnRenamed", "selectExpr"}
+
+
+def _broadcast_base_table(expr: ast.expr, env: dict[str, ast.expr], depth: int = 0):
+    """If `expr` resolves to an UNFILTERED scan of an SF-proportional
+    table (a `_t(spark, sf_dir, "<table>")` call chained only through
+    size-preserving methods), return the table name; else None. Any
+    filter/groupBy/agg/limit/join/distinct in the chain returns None —
+    those either bound the size or at least record a deliberate
+    selectivity decision."""
+    if depth > 8:
+        return None
+    if isinstance(expr, ast.Call):
+        f = expr.func
+        if isinstance(f, ast.Name) and f.id == "_t" and len(expr.args) >= 3:
+            tbl = expr.args[2]
+            if isinstance(tbl, ast.Constant) and tbl.value in _SF_PROPORTIONAL:
+                return tbl.value
+            return None
+        if isinstance(f, ast.Attribute):
+            if f.attr in _SIZE_PRESERVING:
+                return _broadcast_base_table(f.value, env, depth + 1)
+            return None
+        return None
+    if isinstance(expr, ast.Name):
+        bound = env.get(expr.id)
+        if bound is not None:
+            return _broadcast_base_table(bound, env, depth + 1)
+    return None
+
+
+def test_no_broadcast_of_unfiltered_sf_proportional_tables():
+    """r9 verdict item 1: six queries forced F.broadcast on full
+    part/customer — invisible at sf0.1, OOM at 100×. The hints are
+    deleted; this gate statically bans the whole class across the
+    package (queries, operators, dedup, functions, entry, bench)."""
+    paths = glob.glob(
+        os.path.join(REPO, "chronobase_spark/**/*.py"), recursive=True
+    ) + [os.path.join(REPO, "bench.py"), os.path.join(REPO, "__spark_entry__.py")]
+    bad: list[str] = []
+    for p in paths:
+        tree = ast.parse(open(p).read())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            env: dict[str, ast.expr] = {}
+            calls: list[ast.Call] = []
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Assign) and len(node.targets) == 1:
+                    t = node.targets[0]
+                    if isinstance(t, ast.Name):
+                        # straight-line query bodies: reassignment keeps
+                        # the LAST binding, matching runtime order
+                        env[t.id] = node.value
+                if isinstance(node, ast.Call):
+                    f = node.func
+                    is_bcast = (isinstance(f, ast.Name) and f.id == "broadcast") or (
+                        isinstance(f, ast.Attribute) and f.attr == "broadcast"
+                    )
+                    if is_bcast and node.args:
+                        calls.append(node)
+            for node in calls:
+                tbl = _broadcast_base_table(node.args[0], env)
+                if tbl is not None:
+                    bad.append(
+                        f"{os.path.relpath(p, REPO)}:{node.lineno} in "
+                        f"{fn.name}: broadcast of unfiltered '{tbl}'"
+                    )
+    assert not bad, (
+        "explicit broadcast of an unfiltered SF-proportional table "
+        "(forces driver materialization at 100 TB; let size-based "
+        "autoBroadcast decide — rule per commit 2e89033):\n"
+        + "\n".join(bad)
+    )
