@@ -6438,11 +6438,21 @@ def q_semantic_dedup_assign(spark, sf_dir):
     )
 
 
+# The corpus-scaled SemDeDup parameters, defined ONCE and consumed by
+# BOTH the oracle CTEs and the registered Spark calls below — any edit
+# changes query and oracle together, so they cannot silently
+# desynchronize (r9 advisor note: the CTE used to hardcode 16/32 while
+# the Python call was parameterized).
+_SEMDEDUP_MAX_PLANES = 16
+_SEMDEDUP_CELL_SIZE = 32
+_SEMDEDUP_MIN_COSINE = 0.35
+
+
 def _semdedup_scaled_ctes() -> str:
     """The corpus-scaled SemDeDup decision as reusable CTEs (sigs0 →
     nn → kk → sigs → drops), shared by semantic_dedup_scaled and the
     composed pretrain_pipeline_report."""
-    planes = emb_dedup.hyperplanes(16)
+    planes = emb_dedup.hyperplanes(_SEMDEDUP_MAX_PLANES)
     sig = emb_dedup.sql_signature_expr("e.embedding", planes)
     return f"""sigs0 AS (
   SELECT e.vec_id, e.embedding, CAST(({sig}) AS BIGINT) AS sig
@@ -6450,9 +6460,9 @@ def _semdedup_scaled_ctes() -> str:
 ), nn AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sigs0
 ), kk AS (
-  SELECT COALESCE(list_min(list_filter(range(1, 17),
-           k -> (CAST(1 AS BIGINT) << k) * 32 >= n)),
-         CAST(16 AS BIGINT)) AS k
+  SELECT COALESCE(list_min(list_filter(range(1, {_SEMDEDUP_MAX_PLANES + 1}),
+           k -> (CAST(1 AS BIGINT) << k) * {_SEMDEDUP_CELL_SIZE} >= n)),
+         CAST({_SEMDEDUP_MAX_PLANES} AS BIGINT)) AS k
   FROM nn
 ), sigs AS (
   SELECT s.vec_id, s.embedding,
@@ -6461,7 +6471,7 @@ def _semdedup_scaled_ctes() -> str:
 ), drops AS (
   SELECT DISTINCT b.vec_id
   FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {_cos_sql('a', 'b')} >= 0.35
+  WHERE {_cos_sql('a', 'b')} >= {_SEMDEDUP_MIN_COSINE}
 )"""
 
 
@@ -6486,7 +6496,10 @@ def q_semantic_dedup_scaled(spark, sf_dir):
     k and the whole adaptive decision stays hash-checked. See
     dedup.embedding.semantic_dedup_scaled."""
     return emb_dedup.semantic_dedup_scaled(
-        _t(spark, sf_dir, "embeddings"), target_cell_size=32, max_planes=16
+        _t(spark, sf_dir, "embeddings"),
+        target_cell_size=_SEMDEDUP_CELL_SIZE,
+        max_planes=_SEMDEDUP_MAX_PLANES,
+        min_cosine=_SEMDEDUP_MIN_COSINE,
     )
 
 
@@ -6583,7 +6596,10 @@ def q_pretrain_pipeline_report(spark, sf_dir):
     )
     canon = exact_dedup.canonical_map(docs).select("doc_id", "is_duplicate")
     sem = emb_dedup.semantic_dedup_scaled(
-        _t(spark, sf_dir, "embeddings"), target_cell_size=32, max_planes=16
+        _t(spark, sf_dir, "embeddings"),
+        target_cell_size=_SEMDEDUP_CELL_SIZE,
+        max_planes=_SEMDEDUP_MAX_PLANES,
+        min_cosine=_SEMDEDUP_MIN_COSINE,
     ).select(F.col("vec_id").alias("doc_id"), "kept")
     spans = F.expr(
         f"""CASE WHEN size(toks) >= {_SPAN_W}

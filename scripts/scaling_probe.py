@@ -477,7 +477,16 @@ def _pass(spark, factor: int) -> dict[str, float]:
         # vectors ⇒ identical signatures), an f²-pair artifact of the
         # probe data; rotating each copy's vector by its copy index
         # re-randomizes it against the fixed Gaussian planes, so
-        # replication behaves like honest corpus growth.
+        # replication behaves like honest corpus growth. The rotation
+        # space is the 64 positions of a dim-64 vector, so above 64
+        # copies two replicas 64 apart would share a rotation and
+        # re-clique — guard rather than silently reintroduce the f²
+        # artifact (r9 advisor note).
+        assert factor <= 64, (
+            f"de-clique rotation covers <=64 copies; factor={factor} "
+            "would re-clique replicas 64 apart (compose a second "
+            "perturbation before probing beyond 64x)"
+        )
         from chronobase_spark.dedup import embedding as _emb
 
         rot = (F.col("vec_id") / 10_000_000).cast("int") % 64

@@ -431,8 +431,13 @@ def test_semantic_dedup_matches_bruteforce_within_cells(spark):
     distributed kept/dropped assignment must equal a brute-force
     all-pairs within-cell cosine pass computed in plain Python with the
     EXACT same arithmetic — sequential float64 folds for dot/norm (the
-    order functions.similarity fixes) and Spark's HALF_UP 6-dp rounding
-    (Decimal(binary double), not Python's bankers round)."""
+    order functions.similarity fixes) and Spark's HALF_UP 6-dp rounding.
+    Spark rounds doubles via BigDecimal.valueOf, i.e. the SHORTEST
+    round-trip decimal string — so the mirror is Decimal(repr(c)), NOT
+    Decimal(c) (the exact binary expansion): on a knife-edge cosine
+    whose shortest repr ends in ...5 at 6 dp while the exact binary
+    value sits just below it, the two disagree (FIXTURES.md; r9
+    advisor note)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     from chronobase_spark.dedup import embedding as emb
@@ -470,7 +475,7 @@ def test_semantic_dedup_matches_bruteforce_within_cells(spark):
             math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
         )
         return float(
-            Decimal(c).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            Decimal(repr(c)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         )
 
     ids = sorted(vecs)
