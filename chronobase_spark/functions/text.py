@@ -593,3 +593,26 @@ def redact_pii(text: Column) -> Column:
     Spark's regexp_replace is global, mirroring DuckDB's 'g' flag."""
     red = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(red, PHONE_RE, "<PHONE>")
+
+
+def span_hashes(toks_col: str = "toks", width: int = 8) -> Column:
+    """md5 fingerprint of every ``width``-token sliding window of a
+    token-array column — the candidate unit of ExactSubstr span dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), with the suffix array replaced by hash
+    aggregation. Defined ONCE here so the batch span queries
+    (repeated_spans, span_dedup_assign, pretrain_pipeline_report) and
+    the in-stream twin (streaming/docs.span_stage) share the literal
+    expression and stay drained-equal by construction.
+
+    Guard: Spark's sequence(1, n) is DESCENDING for n < 1 (would emit
+    phantom spans for docs shorter than the window); the CASE gates it
+    to an empty array, matching DuckDB's empty generate_series. NULL
+    token arrays (NULL text) also fall to the empty array — a NULL doc
+    contributes no spans on either engine."""
+    return F.expr(
+        f"""CASE WHEN size({toks_col}) >= {width}
+                 THEN transform(sequence(1, size({toks_col}) - {width - 1}),
+                                i -> md5(array_join(slice({toks_col}, i, {width}), ' ')))
+                 ELSE array() END"""
+    )

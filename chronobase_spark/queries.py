@@ -3287,15 +3287,7 @@ def q_repeated_spans(spark, sf_dir):
     ExactSubstr pipeline, with the suffix-array replaced by hash
     aggregation that AQE can re-balance."""
     docs = _t(spark, sf_dir, "documents")
-    # guard: Spark's sequence(1, n) is DESCENDING for n < 1 (would emit
-    # phantom spans for docs shorter than the window); DuckDB's
-    # generate_series is empty there, so gate explicitly.
-    spans = F.expr(
-        f"""CASE WHEN size(toks) >= {_SPAN_W}
-                 THEN transform(sequence(1, size(toks) - {_SPAN_W - 1}),
-                                i -> md5(array_join(slice(toks, i, {_SPAN_W}), ' ')))
-                 ELSE array() END"""
-    )
+    spans = text.span_hashes("toks", _SPAN_W)
     return (
         docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(spans).alias("span_hash"))
@@ -3408,12 +3400,7 @@ def q_span_dedup_assign(spark, sf_dir):
     and the per-doc rollup shuffles on doc_id. No joins, no
     collect."""
     docs = _t(spark, sf_dir, "documents")
-    spans = F.expr(
-        f"""CASE WHEN size(toks) >= {_SPAN_W}
-                 THEN transform(sequence(1, size(toks) - {_SPAN_W - 1}),
-                                i -> md5(array_join(slice(toks, i, {_SPAN_W}), ' ')))
-                 ELSE array() END"""
-    )
+    spans = text.span_hashes("toks", _SPAN_W)
     sp = (
         docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(spans).alias("span_hash"))
@@ -6601,12 +6588,7 @@ def q_pretrain_pipeline_report(spark, sf_dir):
         max_planes=_SEMDEDUP_MAX_PLANES,
         min_cosine=_SEMDEDUP_MIN_COSINE,
     ).select(F.col("vec_id").alias("doc_id"), "kept")
-    spans = F.expr(
-        f"""CASE WHEN size(toks) >= {_SPAN_W}
-                 THEN transform(sequence(1, size(toks) - {_SPAN_W - 1}),
-                                i -> md5(array_join(slice(toks, i, {_SPAN_W}), ' ')))
-                 ELSE array() END"""
-    )
+    spans = text.span_hashes("toks", _SPAN_W)
     sp = base.select("doc_id", F.explode(spans).alias("span_hash")).distinct()
     spanstats = (
         sp.withColumn(

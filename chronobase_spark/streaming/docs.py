@@ -315,3 +315,30 @@ def pii_scrub_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
         text.phone_count(t).cast("bigint").alias("n_phones"),
         text.redact_pii(t).alias("redacted"),
     )
+
+
+def span_stage(
+    stream: DataFrame, text_col: str = "text", width: int = 8
+) -> DataFrame:
+    """Span-hash emission IN the stream — the in-stream twin of the
+    batch ExactSubstr candidate pass (queries.repeated_spans /
+    span_dedup_assign / the span stage of pretrain_pipeline_report),
+    completing the stream-side counterpart set for every stage the
+    composed pre-training pipeline runs (exact dedup: content_dedup;
+    semantic: signature_stage family; quality: quality_gate; PII:
+    pii_scrub_stage; span: here).
+
+    Stateless by construction: the md5 window fingerprints are a pure
+    per-row expression (functions.text.span_hashes — the LITERAL same
+    expression the batch queries compile, so drained output is equal by
+    construction, pinned in tests/test_streaming.py). Documents land in
+    storage already carrying their span fingerprints; the global
+    ≥2-docs aggregate (repeated_spans shape) runs downstream on either
+    surface. No explode in-stream — the array column keeps the stage
+    map-only and one-row-per-doc (token-linear bytes, the 100 TB
+    concern is bandwidth, not state). Docs shorter than the window —
+    and NULL text — carry an empty array: they cannot share a span."""
+    toks = text.tokens(F.col(text_col))
+    return stream.withColumn("_toks", toks).withColumn(
+        "span_hashes", text.span_hashes("_toks", width)
+    ).drop("_toks")

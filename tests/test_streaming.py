@@ -1051,3 +1051,56 @@ def test_streaming_pii_scrub_stage_matches_batch(spark, tmp_path):
     assert got == batch
     assert got[999999] == (None, None, None)
     assert any(ne and ne > 0 for ne, _, _ in got.values())
+
+
+def test_streaming_span_stage_matches_batch(spark, tmp_path):
+    """The stateless in-stream span-hash emission must drain EQUAL to
+    the batch ExactSubstr candidate expression (same md5 window
+    fingerprints per row, same order), with a short doc (< window) and
+    NULL text both carried through as EMPTY arrays — they cannot share
+    a span with anything. Run through a real stream so the stage is
+    proven stateless (no watermark, no state store)."""
+    from chronobase_spark.functions import text as textfn
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "spansrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(50)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    short = base.limit(1).withColumn("doc_id", F.lit(999998)).withColumn(
+        "text", F.lit("only four tokens here")
+    )
+    nulltext = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    base.union(short).union(nulltext).repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "span_sink")
+    q = (
+        docstream.span_stage(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "span_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+
+    got = {r["doc_id"]: list(r["span_hashes"]) for r in out.collect()}
+    batch = {
+        r["doc_id"]: list(r["span_hashes"])
+        for r in spark.read.parquet(src)
+        .select("doc_id", textfn.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", textfn.span_hashes("toks").alias("span_hashes"))
+        .collect()
+    }
+    assert got == batch
+    assert got[999998] == [] and got[999999] == []
+    assert any(len(v) > 0 for v in got.values()), "corpus should emit spans"
