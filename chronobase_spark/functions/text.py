@@ -418,7 +418,7 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     # diamond DAG; the dup_clusters edge persist is the same pattern)
     doc_grams = _doc_bigram_tf(docs, id_col, text_col).persist()
     gram_counts = doc_grams.groupBy("gram").agg(F.sum("tf").alias("c12"))
-    lm = _lm_from_gram_counts(gram_counts, _lm_vocab(docs, text_col))
+    lm = _lm_from_gram_counts(gram_counts, _lm_vocab(gram_counts, docs, text_col))
     return (
         doc_grams.join(lm.hint("shuffle_hash"), "gram")
         .groupBy(id_col)
@@ -487,13 +487,29 @@ def _doc_bigram_tf(docs, id_col: str, text_col: str):
     )
 
 
-def _lm_vocab(docs, text_col: str):
-    """1-row corpus unigram vocabulary size (map-side partial distinct;
-    counts tokens from ALL docs, including single-token docs that
-    produce no bigrams — the add-one denominator's V)."""
-    return docs.select(
-        F.explode(lm_tokens(F.col(text_col))).alias("t")
-    ).agg(F.countDistinct("t").alias("v"))
+def _lm_vocab(gram_counts, docs, text_col: str):
+    """1-row corpus unigram vocabulary size — the add-one denominator's
+    V, counting tokens from ALL docs including single-token docs that
+    produce no bigrams — WITHOUT a second corpus-wide token explode.
+
+    Identity: every token of a doc is the left context w1 of some
+    bigram EXCEPT the doc's last token, so
+    vocab = {w1 over gram TYPES} ∪ {last token per doc}
+    (a single-token doc's only token IS its last token; empty/NULL
+    docs contribute nothing). The w1 side reads the already-aggregated
+    gram-type table (bounded by distinct bigrams, not token
+    instances); the last-token side is one map-only F.get per row
+    (0-based, NULL-safe out of range — ANSI element_at(-1) would throw
+    on empty docs). This replaces the full token-instance explode +
+    distinct shuffle the derivation used to pay — the explode was the
+    redundant second corpus pass in the suite's slowest query
+    (q_bigram_lm_logprob r9 bench 6.5 s)."""
+    tk = lm_tokens(F.col(text_col))
+    last = docs.select(F.get(tk, F.size(tk) - 1).alias("t")).where(
+        F.col("t").isNotNull()
+    )
+    w1s = gram_counts.select(F.substring_index("gram", " ", 1).alias("t"))
+    return w1s.unionByName(last).agg(F.countDistinct("t").alias("v"))
 
 
 def _lm_from_gram_counts(gram_counts, vocab):
@@ -536,7 +552,9 @@ def bigram_lm_table(docs, text_col: str = "text"):
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
-    return _lm_from_gram_counts(gram_counts, _lm_vocab(docs, text_col))
+    return _lm_from_gram_counts(
+        gram_counts, _lm_vocab(gram_counts, docs, text_col)
+    )
 
 
 def bigram_lm_model(docs, text_col: str = "text"):
@@ -552,7 +570,7 @@ def bigram_lm_model(docs, text_col: str = "text"):
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
-    vocab = _lm_vocab(docs, text_col)
+    vocab = _lm_vocab(gram_counts, docs, text_col)
     lm = _lm_from_gram_counts(gram_counts, vocab)
     left = (
         gram_counts.withColumn("w1", F.substring_index("gram", " ", 1))
