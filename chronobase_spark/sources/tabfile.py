@@ -405,6 +405,70 @@ def register_tab_source(spark) -> None:
     ):
         _TabReader.pushFilters = _push_filters
 
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class _TabStreamReader(DataSourceStreamReader):
+        """Micro-batch STREAMING over a directory of ``.tab`` tablets —
+        the reference's ingest lifecycle (flush drops an immutable
+        sorted tablet into the data dir, reference tablet.go:124-132)
+        replayed as a Structured Streaming source, so the whole
+        document pipeline (scrub → signatures → LM scoring,
+        streaming/docs.py) can ride tablet arrival directly instead of
+        requiring a parquet conversion hop.
+
+        Offset = the sorted list of tablet file paths already ingested
+        (tablets are immutable once flushed, so file arrival is the
+        only progress dimension; JSON-serializable and monotone — files
+        are only ever appended to the offset). Each micro-batch plans
+        ONE SPARK TASK PER BLOCK of each newly discovered tablet — the
+        identical partition unit (and decode path) as the batch reader,
+        so batch and stream read bit-identical rows. Writers must drop
+        tablets atomically (write temp + rename), the reference's own
+        flush discipline — a half-written file would be scanned once
+        and never re-read."""
+
+        def __init__(self, options):
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError("chronotab: .load(path) is required")
+
+        def _list(self) -> list[str]:
+            root = Path(self.root)
+            files = root.rglob("*.tab") if root.is_dir() else [root]
+            return sorted(str(p) for p in files)
+
+        def initialOffset(self) -> dict:
+            return {"seen": []}
+
+        def latestOffset(self) -> dict:
+            return {"seen": self._list()}
+
+        def partitions(self, start: dict, end: dict):
+            done = set(start.get("seen", []))
+            parts = []
+            for f in end.get("seen", []):
+                if f in done:
+                    continue
+                parts.extend(
+                    _BlockPartition(f, off)
+                    for off in read_tab_index(f).block_offsets
+                )
+            return parts
+
+        def read(self, partition):
+            import datetime as dt
+
+            epoch = dt.datetime(1970, 1, 1)
+            for key, ts_ns, data in read_block(
+                partition.path, partition.offset
+            ):
+                # same integer ns→µs truncation as the batch reader
+                ts = epoch + dt.timedelta(microseconds=ts_ns // 1000)
+                yield (key, ts, ts_ns, data)
+
+        def commit(self, end):
+            pass  # progress lives in the checkpoint's offset log
+
     class ChronoTabDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -415,5 +479,8 @@ def register_tab_source(spark) -> None:
 
         def reader(self, schema):  # noqa: ARG002 — fixed schema source
             return _TabReader(self.options)
+
+        def streamReader(self, schema):  # noqa: ARG002 — fixed schema
+            return _TabStreamReader(self.options)
 
     spark.dataSource.register(ChronoTabDataSource)

@@ -1104,3 +1104,129 @@ def test_streaming_span_stage_matches_batch(spark, tmp_path):
     assert got == batch
     assert got[999998] == [] and got[999999] == []
     assert any(len(v) > 0 for v in got.values()), "corpus should emit spans"
+
+
+def test_tab_stream_end_to_end_pipeline(spark, tmp_path):
+    """The reference's whole lifecycle — flush drops immutable .tab
+    tablets, ingest scrubs/fingerprints/scores documents, queries read
+    the result — replayed as ONE Spark-native flow over the chronotab
+    STREAMING source (sources/tabfile._TabStreamReader): tablets →
+    readStream → PII scrub → MinHash signature → parquet, plus the
+    frozen-LM scoring aggregate, both drained availableNow.
+
+    Pins: (1) the streamed rows decode bit-identical to the batch
+    chronotab read (same block decode path, so scrub/signature columns
+    match the batch-applied stages exactly); (2) LM scores equal the
+    batch bigram_lm_scores integers; (3) a tablet dropped AFTER the
+    first drain is picked up INCREMENTALLY by a second availableNow
+    run on the same checkpoint — old tablets are not re-read (offset =
+    ingested tablet set, the file-arrival progress dimension)."""
+    from chronobase_spark.functions import text as textf
+    from chronobase_spark.sources import tabfile
+    from chronobase_spark.streaming import docs as docstream
+
+    docs = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(40)
+        .select("doc_id", "text", "lang", "source")
+        .withColumn(
+            "text",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit(" contact zz@zz.com or 555-0000"),
+                ).otherwise(F.lit("")),
+            ),
+        )
+    )
+
+    def payload(d):
+        return d.select(
+            F.col("doc_id").cast("string").cast("binary").alias("key"),
+            (
+                (F.lit(1_700_000_000) + F.col("doc_id"))
+                * F.lit(1_000_000_000)
+            ).alias("ts_ns"),
+            F.to_json(F.struct("doc_id", "text", "lang", "source"))
+            .cast("binary")
+            .alias("data"),
+        )
+
+    tabdir = str(tmp_path / "tablets")
+    n1 = tabfile.write_tab_dir(payload(docs), tabdir, block_size=4096, partitions=3)
+    assert n1 == 40
+
+    tabfile.register_tab_source(spark)
+    json_schema = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+
+    def decode(df):
+        return df.select(
+            F.from_json(F.col("data").cast("string"), json_schema).alias("d"),
+            F.col("ts").alias("ingest_ts"),
+        ).select("d.doc_id", "d.text", "d.lang", "d.source", "ingest_ts")
+
+    batch_docs = decode(spark.read.format("chronotab").load(tabdir))
+    lm, left, v = textf.bigram_lm_model(batch_docs)
+
+    stream_docs = decode(spark.readStream.format("chronotab").load(tabdir))
+    enriched = docstream.signature_stage(docstream.pii_scrub_stage(stream_docs))
+    sink = str(tmp_path / "tab_sink")
+    ckpt = str(tmp_path / "tab_ckpt")
+
+    def drain_rows():
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain_rows()
+    scored = docstream.lm_score_stage(stream_docs, lm, left, v)
+    q2 = (
+        scored.writeStream.format("memory")
+        .queryName("tab_lm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+
+    def row_key(r):
+        sig = tuple(r["minhash_sig"]) if r["minhash_sig"] is not None else None
+        return (r["n_emails"], r["n_phones"], r["redacted"], sig)
+
+    got = {r["doc_id"]: row_key(r) for r in spark.read.parquet(sink).collect()}
+    want = {
+        r["doc_id"]: row_key(r)
+        for r in docstream.signature_stage(
+            docstream.pii_scrub_stage(batch_docs)
+        ).collect()
+    }
+    assert len(got) == 40 and got == want
+
+    got_lm = {
+        r["doc_id"]: (r["n_grams"], r["logprob_micro"])
+        for r in spark.sql("SELECT * FROM tab_lm").collect()
+    }
+    want_lm = {
+        r["doc_id"]: (r["n_grams"], r["logprob_micro"])
+        for r in textf.bigram_lm_scores(batch_docs).collect()
+    }
+    assert want_lm and got_lm == want_lm
+
+    # late tablet: a second flush lands AFTER the first drain — the
+    # same checkpoint must ingest only the new file
+    late = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    n2 = tabfile.write_tab_dir(
+        payload(late), str(tmp_path / "tablets" / "late"), block_size=4096
+    )
+    assert n2 == 5
+    drain_rows()
+    out2 = spark.read.parquet(sink)
+    assert out2.count() == 45  # 40 old rows NOT re-ingested
+    assert out2.filter(F.col("doc_id") >= 100000).count() == 5
