@@ -606,7 +606,76 @@ def _pass(spark, factor: int) -> dict[str, float]:
     return timings
 
 
+def skew_probe(spark, factor: int) -> dict:
+    """Does AQE's skew-join optimization actually FIRE on a hot gram
+    key in the bigram-LM score join? The LM docstrings lean on "AQE
+    splits skewed keys" — this measures it instead of assuming.
+
+    Corpus: ``factor × 50k`` synthetic docs, each "w{i} zzhot zzb
+    w{i}x" — three gram TYPES per doc, ONE of them ("zzhot zzb")
+    shared by EVERY doc. The per-doc TF collapse removes instance
+    skew by design (repeated grams within a doc become one row), so
+    the only remaining skew channel is many DOCS sharing a gram: the
+    hot gram's shuffle partition carries n_docs rows while a median
+    partition carries ~n_docs/16 — a deliberate ~16× Zipf violation.
+
+    Thresholds are scaled to probe bytes (the defaults target 256 MB
+    partitions; the question is WHETHER OptimizeSkewedJoin splits the
+    hot partition in this exact join shape, not whether the probe can
+    reach production bytes). Runs the identical query with skewJoin
+    OFF then ON and reads the final adaptive plan for the skew
+    markers; reports wall times, whether 'skew=true' appeared, and
+    the final-stage partition counts (the ON-minus-OFF delta is the
+    number of extra sub-partitions the hot key was split into)."""
+    n_docs = factor * 50_000
+    docs = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("w"), F.col("doc_id")),
+                F.lit("zzhot"),
+                F.lit("zzb"),
+                F.concat(F.lit("w"), F.col("doc_id"), F.lit("x")),
+            ),
+        )
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+    out = {"factor": factor, "n_docs": n_docs}
+    for mode in ("off", "on"):
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            "true" if mode == "on" else "false",
+        )
+        res = text.bigram_lm_scores(docs)
+        t0 = time.perf_counter()
+        rows = res.collect()
+        out[f"secs_{mode}"] = round(time.perf_counter() - t0, 2)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        out[f"skew_marks_{mode}"] = plan.count("skew=true")
+        out[f"parts_{mode}"] = res.rdd.getNumPartitions()
+        assert len(rows) == n_docs
+    return out
+
+
 def main():
+    if sys.argv[1:2] == ["--skew"]:
+        factors = [int(a) for a in sys.argv[2:]] or [16, 64]
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"skew-probe-x{factor}", shuffle_partitions=32
+            )
+            print(f"skew {skew_probe(spark, factor)}", flush=True)
+            spark.stop()
+        return
     factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     SCRATCH.mkdir(parents=True, exist_ok=True)
     rows = []
