@@ -182,6 +182,27 @@ def test_no_broadcast_of_unfiltered_sf_proportional_tables():
                     )
                     if is_bcast and node.args:
                         calls.append(node)
+            for node in ast.walk(fn):
+                # the string-hint spelling of the same scale-killer:
+                # df.hint("broadcast") on an unfiltered base table
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "hint"
+                    and node.args
+                    and isinstance(node.args[0], ast.Constant)
+                    and node.args[0].value == "broadcast"
+                ):
+                    calls.append(
+                        ast.copy_location(
+                            ast.Call(
+                                func=node.func,
+                                args=[node.func.value],
+                                keywords=[],
+                            ),
+                            node,
+                        )
+                    )
             for node in calls:
                 tbl = _broadcast_base_table(node.args[0], env)
                 if tbl is not None:
