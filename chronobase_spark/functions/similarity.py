@@ -140,6 +140,52 @@ def assign_nearest_centroid(
     )
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Unsupervised Lloyd's k-means over an embedding column — the
+    trained coarse quantizer the IVF/SemDeDup family assumes (SemDeDup
+    clusters with k-means before the per-cell cosine sweep; the
+    label-seeded ``label_centroids``/``assign_nearest_centroid`` pair
+    covers only one supervised step of it).
+
+    Deterministic by construction: seeds are the ``k`` vectors with
+    ``id < k`` (the synthetic corpus ids are dense from 0; a hash-pick
+    would be engine-specific), assignment rounds the distance before
+    the argmin with ties broken by centroid label, and the update step
+    is the micro-integer exact mean of ``label_centroids`` — so a fixed
+    ``iters`` unrolls to identical arithmetic in any engine.
+
+    Scale shape (100 TB): iterate on the AGGREGATE, never the corpus —
+    each round is one broadcast-centroid assign pass (corpus streams
+    once, min(struct) argmin with map-side partials) plus one
+    |k|·dim centroid aggregate; the only corpus-keyed shuffle is the
+    id join gluing assignment back to its vector, hinted shuffle_hash.
+    ``iters`` is a small constant so the lazy plan stays linear in it
+    (beyond ~5 rounds you would collect the k·dim centroid table into
+    literals per round — the BPE/CC literal-argmax pattern — instead of
+    growing lineage).
+
+    Returns (id, assigned, dist) after the final assignment.
+    """
+    base = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    cents = base.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("clabel"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+    )
+    for _ in range(iters - 1):
+        assigned = assign_nearest_centroid(
+            base, cents, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "assigned")
+        members = assigned.join(base.hint("shuffle_hash"), id_col)
+        cents = label_centroids(members, label_col="assigned", vec_col=vec_col)
+    return assign_nearest_centroid(base, cents, id_col=id_col, vec_col=vec_col)
+
+
 def int8_quant_stats(vec: Column, round_digits: int = 6) -> Column:
     """Symmetric int8 quantization of one embedding vector, summarized
     as struct(qscale, q_sum, q_min, q_max, n_sat).

@@ -2845,6 +2845,62 @@ def q_ivf_assign_counts(spark, sf_dir):
     )
 
 
+# k and iters appear in BOTH the Python call and the oracle CTE via
+# these module constants (the semdedup_scaled shared-constant rule) so
+# they cannot silently desynchronize. iters is fixed at 2 = the seeds
+# round plus ONE Lloyd update, unrolled in the oracle as chained
+# MATERIALIZED CTEs (plain DuckDB CTEs inline and go exponential on
+# iterative shapes — FIXTURES.md).
+_KMEANS_K = 8
+
+_KMEANS_SQL = f"""
+WITH seeds AS MATERIALIZED (
+  SELECT vec_id AS clabel, list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_KMEANS_K}
+), a1 AS MATERIALIZED (
+  SELECT vec_id, assigned FROM (
+    SELECT e.vec_id, c.clabel AS assigned,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({_SQDIST_SQL}, 6), c.clabel) AS rnk
+    FROM embeddings e CROSS JOIN seeds c
+    WHERE e.embedding IS NOT NULL) t
+  WHERE rnk = 1
+), c1 AS MATERIALIZED (
+  SELECT assigned AS clabel, i AS pos, {_CENTROID_AVG_SQL} AS avg_v
+  FROM a1 JOIN embeddings e USING (vec_id)
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY assigned, i
+), cv1 AS MATERIALIZED (
+  SELECT clabel, list(avg_v ORDER BY pos) AS cvec FROM c1 GROUP BY clabel
+)
+SELECT vec_id, assigned, dist FROM (
+  SELECT e.vec_id, c.clabel AS assigned, ROUND({_SQDIST_SQL}, 6) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND({_SQDIST_SQL}, 6), c.clabel) AS rnk
+  FROM embeddings e CROSS JOIN cv1 c
+  WHERE e.embedding IS NOT NULL) t
+WHERE rnk = 1
+"""
+
+
+@register("kmeans_lloyd_assign", _KMEANS_SQL)
+def q_kmeans_lloyd_assign(spark, sf_dir):
+    """Unsupervised k-means (Lloyd's) over the embedding corpus:
+    deterministic seeds (vec_id < k), one exact-arithmetic update
+    round, final assignment with rounded-distance argmin — the trained
+    coarse quantizer IVF/SemDeDup assume, and the registry's only
+    ITERATIVE embedding operator (embedding_centroids/ivf_assign_counts
+    are its two steps run once, supervised by the true label).
+
+    Scale shape: per round, centroids broadcast (k·dim), corpus
+    streams once through the assign pass, centroid update is a
+    partial-agged (label, pos) aggregate; the one corpus-keyed shuffle
+    is the vec_id join gluing assignment to vector (shuffle_hash).
+    See functions.similarity.kmeans_lloyd."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
+
+
 _DECONTAM_SQL = """
 WITH toks AS (
   SELECT doc_id, source,

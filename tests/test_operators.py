@@ -679,6 +679,72 @@ def test_pq_assign_shape_and_semantics(spark):
             assert got[(vid, s)] == (best[1], best[0]), (vid, s)
 
 
+def test_kmeans_lloyd_matches_textbook(spark):
+    """kmeans_lloyd pinned against a straight-line Python Lloyd's
+    implementation stating the SAME deterministic arithmetic (seed ids
+    < k, float64 sequential-fold distance rounded half-up at 6 dp with
+    label tie-break, micro-integer exact centroid mean) — proving the
+    distributed composition against the algorithm, not against itself."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = catalog.table(spark, SF_SMOKE, "embeddings")
+    k = 4
+    got = {
+        r["vec_id"]: (r["assigned"], r["dist"])
+        for r in similarity.kmeans_lloyd(emb, k=k, iters=2).collect()
+    }
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("embedding").isNotNull()).collect()
+    }
+
+    def micro(x):
+        # multiply-then-round half-up on the shortest decimal string =
+        # Spark round() on DoubleType (BigDecimal.valueOf semantics)
+        return int(
+            Decimal(repr(x * 1000000.0)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def sqdist(v, c):
+        acc = 0.0
+        for a, b in zip(v, c):
+            acc += (a - b) * (a - b)
+        return acc
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            out[vid] = min(
+                (r6(sqdist(v, c)), lbl) for lbl, c in cents.items()
+            )
+        return out  # vid -> (dist, label)
+
+    cents = {vid: vecs[vid] for vid in vecs if vid < k}
+    a1 = assign(cents)
+    dim = len(next(iter(vecs.values())))
+    sums, counts = {}, {}
+    for vid, (_, lbl) in a1.items():
+        counts[lbl] = counts.get(lbl, 0) + 1
+        s = sums.setdefault(lbl, [0] * dim)
+        for i, x in enumerate(vecs[vid]):
+            s[i] += micro(x)
+    cents = {
+        lbl: [s[i] / (counts[lbl] * 1000000.0) for i in range(dim)]
+        for lbl, s in sums.items()
+    }
+    a2 = assign(cents)
+
+    assert set(got) == set(a2)
+    for vid, (dist, lbl) in a2.items():
+        assert got[vid] == (lbl, dist), (vid, got[vid], (lbl, dist))
+
+
 def test_char_entropy_known_distributions(spark):
     """Entropy micro-nats pinned against closed-form values: uniform
     over k symbols = ln(k); constant string = 0; NULL/empty -> NULL."""

@@ -193,6 +193,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # intended broadcasts of tiny sides (probes / centroids / totals)
     "topk_cosine": {"bnlj"},  # brute-force baseline over ~3 probe rows
     "ivf_assign_counts": {"bnlj"},  # |labels| centroid rows broadcast
+    # two Lloyd assign passes, each a k-row centroid broadcast cross
+    # (ivf_assign_counts pattern, once per iteration)
+    "kmeans_lloyd_assign": {"bnlj"},
     "tfidf_top_terms": {"bnlj", "single-partition"},  # doc-count scalar
     "bm25_top_terms": {"bnlj", "single-partition"},  # N/avgdl 1-row consts
     # 1-row probe + N/avgdl consts broadcast; the global rank windows
