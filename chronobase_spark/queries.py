@@ -127,7 +127,8 @@ _FORCE_REGRADE = {
     # re-proven vs the oracle at sf0.01 AND on the nully corpus
     "percent_rank_value": 6,
     "value_ntiles": 6,
-    "cheapest_supplier_per_part": 6,
+    # cheapest_supplier_per_part's r7 pin is superseded by its r10
+    # entry below (duplicate keys silently overwrite — keep one).
     "ohlc_daily_rollup": 6,
     "doc_fingerprint": 6,
     "doc_repetition": 6,
@@ -172,6 +173,17 @@ _FORCE_REGRADE = {
     "top_volume_orders": 9,
     "sole_late_supplier": 9,
     "top_supplier_revenue": 9,
+    # r10: the stricter gate (filter/join keep the SF-proportional
+    # class) flagged 11 more forced broadcasts of constant-fraction
+    # part/customer/supplier subsets — hints deleted; plan-invariant
+    # results, but the recorded greens predate the new plans.
+    "shipping_priority_top10": 9,
+    "cheapest_supplier_per_part": 9,
+    "small_quantity_revenue": 9,
+    "dominant_part_suppliers": 9,
+    "nation_pair_trade": 9,
+    "nation_market_share": 9,
+    "regional_cheapest_supplier": 9,
 }
 
 # Families whose driver evidence matters most while slots are scarce
@@ -1781,8 +1793,11 @@ def q_multimodal_frame_sample(spark, sf_dir):
        LIMIT 10""",
 )
 def q_shipping_priority_top10(spark, sf_dir):
-    """TPC-H Q3 shape: selective dimension filter → broadcast customer
-    into orders → shuffle join lineitem on orderkey → grouped revenue →
+    """TPC-H Q3 shape: selective dimension filter → customer into
+    orders (size-based autoBroadcast keeps it map-side at small SFs;
+    the filtered set is still SF-proportional, so no forced hint —
+    commit 2e89033 rule) → shuffle join lineitem on orderkey →
+    grouped revenue →
     global top-10 (TakeOrderedAndProject: each partition keeps 10 rows,
     the driver merges 10×partitions, never a full sort). Revenue summed
     as exact decimal so the top-10 cut is deterministic; final ordering
@@ -1797,7 +1812,7 @@ def q_shipping_priority_top10(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            o.join(c, o.o_custkey == c.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -2528,7 +2543,9 @@ def q_moment_stats_by_type(spark, sf_dir):
 def q_cheapest_supplier_per_part(spark, sf_dir):
     """TPC-H Q2-shaped argmin-per-group: for every part ever shipped,
     the cheapest supplier that shipped it. Implemented as min(struct(
-    acctbal, suppkey)) after a broadcast join — lexicographic struct min
+    acctbal, suppkey)) after the supplier join (autoBroadcast-sized:
+    supplier is SF-proportional, so no forced hint) — lexicographic
+    struct min
     IS argmin-with-tiebreak, it is associative (map-side partial
     aggregation), and duplicates from repeat shipments can't change a
     min, so no distinct is needed: ONE shuffle on l_partkey total. The
@@ -2544,7 +2561,7 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
         .filter(F.col("s_acctbal").isNotNull())
         .select("s_suppkey", "s_acctbal")
     )
-    j = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    j = li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
     best = F.min(F.struct("s_acctbal", "s_suppkey")).alias("best")
     return (
         j.groupBy("l_partkey")
@@ -2853,8 +2870,11 @@ def q_ivf_assign_counts(spark, sf_dir):
 # iterative shapes — FIXTURES.md).
 _KMEANS_K = 8
 
-_KMEANS_SQL = f"""
-WITH seeds AS MATERIALIZED (
+# Shared CTE chain: seeds → first assignment → exact-mean update →
+# final assignment (a2). Both the kmeans query and the IVF search
+# built on its cells consume a2, so quantizer and searcher can never
+# desynchronize.
+_KMEANS_CTES = f"""seeds AS MATERIALIZED (
   SELECT vec_id AS clabel, list_transform(embedding, x -> x::DOUBLE) AS cvec
   FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_KMEANS_K}
 ), a1 AS MATERIALIZED (
@@ -2872,14 +2892,19 @@ WITH seeds AS MATERIALIZED (
   GROUP BY assigned, i
 ), cv1 AS MATERIALIZED (
   SELECT clabel, list(avg_v ORDER BY pos) AS cvec FROM c1 GROUP BY clabel
-)
-SELECT vec_id, assigned, dist FROM (
-  SELECT e.vec_id, c.clabel AS assigned, ROUND({_SQDIST_SQL}, 6) AS dist,
-         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY ROUND({_SQDIST_SQL}, 6), c.clabel) AS rnk
-  FROM embeddings e CROSS JOIN cv1 c
-  WHERE e.embedding IS NOT NULL) t
-WHERE rnk = 1
+), a2 AS MATERIALIZED (
+  SELECT vec_id, assigned, dist FROM (
+    SELECT e.vec_id, c.clabel AS assigned, ROUND({_SQDIST_SQL}, 6) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({_SQDIST_SQL}, 6), c.clabel) AS rnk
+    FROM embeddings e CROSS JOIN cv1 c
+    WHERE e.embedding IS NOT NULL) t
+  WHERE rnk = 1
+)"""
+
+_KMEANS_SQL = f"""
+WITH {_KMEANS_CTES}
+SELECT vec_id, assigned, dist FROM a2
 """
 
 
@@ -2899,6 +2924,52 @@ def q_kmeans_lloyd_assign(spark, sf_dir):
     See functions.similarity.kmeans_lloyd."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
+
+
+_KMEANS_PROBE_IDS = (0, 1, 2)
+_KMEANS_TOPK = 10
+
+_KMEANS_IVF_SQL = f"""
+WITH {_KMEANS_CTES},
+cells AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, a.assigned
+  FROM embeddings e JOIN a2 a USING (vec_id)
+), probes AS (
+  SELECT vec_id AS q_id, embedding, assigned AS q_cell
+  FROM cells WHERE vec_id IN {_KMEANS_PROBE_IDS}
+)
+SELECT q_id, n_id, sim FROM (
+  SELECT p.q_id, s.vec_id AS n_id, {_cos_sql('s', 'p')} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id
+                            ORDER BY {_cos_sql('s', 'p')} DESC, s.vec_id) AS rnk
+  FROM cells s JOIN probes p ON s.assigned = p.q_cell AND s.vec_id <> p.q_id) t
+WHERE rnk <= {_KMEANS_TOPK}
+"""
+
+
+@register("ivf_kmeans_topk", _KMEANS_IVF_SQL)
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """ANN top-k over the TRAINED coarse quantizer: each probe searches
+    only its own Lloyd's-k-means cell, exact cosine re-rank inside the
+    cell — the canonical IVF composition (train → assign → search)
+    that ivf_topk_cosine approximates with untrained random
+    hyperplanes. Oracle shares the quantizer's whole CTE chain
+    (_KMEANS_CTES) plus the probe/k constants, so searcher and
+    quantizer cannot desynchronize.
+
+    Scale shape: quantizer cost is the kmeans_lloyd_assign shape; the
+    search adds one vec_id-keyed shuffle_hash join gluing cells to
+    vectors, a |probes|-row broadcast, and a per-probe top-k window
+    over single-cell candidates (~n/k rows per probe, never the
+    corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_kmeans_topk(
+        emb,
+        probe_ids=list(_KMEANS_PROBE_IDS),
+        k=_KMEANS_TOPK,
+        kmeans_k=_KMEANS_K,
+        iters=2,
+    )
 
 
 _DECONTAM_SQL = """
@@ -4865,8 +4936,11 @@ def q_small_quantity_revenue(spark, sf_dir):
     below 20% of that part's average quantity — the correlated scalar
     aggregate (`0.2 * avg(l_quantity)` per part) decorrelated into an
     aggregate-then-join, exactly what Catalyst's DecorrelateInnerQuery
-    produces. Scale shape: the brand filter broadcasts to BOTH
-    lineitem passes (scan-pruned), the per-part aggregate shrinks to
+    produces. Scale shape: the brand-filtered part set prunes BOTH
+    lineitem passes (map-side at small SFs via autoBroadcast; a
+    constant fraction of part stays SF-proportional, so the join
+    degrades to shuffle at 100× instead of forcing a driver
+    materialization), the per-part aggregate shrinks to
     |filtered parts| rows before the shuffle_hash re-join on the
     well-spread part key, and the threshold never divides — quantity
     is integer-exact, so `qty·5·cnt < Σqty` is the FIXTURES
@@ -4880,7 +4954,7 @@ def q_small_quantity_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    lif = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).drop("p_partkey")
+    lif = li.join(pf, li.l_partkey == pf.p_partkey).drop("p_partkey")
     th = lif.groupBy("l_partkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
         F.count(F.lit(1)).alias("cnt"),
@@ -5082,7 +5156,7 @@ def q_dominant_part_suppliers(spark, sf_dir):
         "l_suppkey", "l_partkey", "l_quantity"
     )
     sp = (
-        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        li.join(pf, li.l_partkey == pf.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
     )
@@ -5175,7 +5249,9 @@ def q_nation_pair_trade(spark, sf_dir):
     the pair predicate (supp ≠ cust within the filtered pair) runs
     AFTER both joins. Scale shape: both nation filters cut their
     fan-out joins to ~2/25 of suppliers/customers BEFORE any fact row
-    moves; supplier- and customer-side maps broadcast; the only big
+    moves; the supplier- and customer-side maps are still
+    SF-proportional, so they carry no broadcast hint (autoBroadcast
+    keeps them map-side at small SFs, shuffle at 100×); the only big
     shuffle is the lineitem ⋈ orders equi-join on the well-spread
     order key (shuffle_hash, never broadcast). Revenue is the
     decimal-exact discounted price cast to DOUBLE at the very end
@@ -5198,7 +5274,7 @@ def q_nation_pair_trade(spark, sf_dir):
     )
     oc = (
         _t(spark, sf_dir, "orders")
-        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "cust_nation")
     )
     li = _t(spark, sf_dir, "lineitem").select(
@@ -5209,7 +5285,7 @@ def q_nation_pair_trade(spark, sf_dir):
         " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
     )
     return (
-        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             oc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey")
         )
@@ -5264,9 +5340,11 @@ def q_nation_market_share(spark, sf_dir):
     volume sold into a region, by order year — the conditional-
     aggregate ratio (CASE inside SUM over the same rows as the
     denominator), which needs ONE pass where a naive twin-query port
-    would scan twice. Scale shape: the part-type filter broadcasts and
-    prunes lineitem first (most selective), the region-filtered
-    customer set broadcasts into orders, supplier→nation broadcasts,
+    would scan twice. Scale shape: the part-type filter prunes
+    lineitem first (most selective), the region-filtered customer set
+    joins into orders, supplier joins nation — each a constant
+    FRACTION of an SF-proportional table, so none carries a forced
+    broadcast hint (autoBroadcast keeps them map-side at small SFs) —
     and the single big shuffle is lineitem ⋈ orders on the order key.
     Exactness: both sums are decimal-exact, cast to DOUBLE once, and
     the share is one unrounded division of those exact operands (the
@@ -5302,7 +5380,7 @@ def q_nation_market_share(spark, sf_dir):
         .select("p_partkey")
     )
     orders = _t(spark, sf_dir, "orders").join(
-        F.broadcast(rn), F.col("o_custkey") == F.col("c_custkey")
+        rn, F.col("o_custkey") == F.col("c_custkey")
     )
     v = F.expr(
         "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -5310,8 +5388,8 @@ def q_nation_market_share(spark, sf_dir):
     ).alias("v")
     vol = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             orders.hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -5648,8 +5726,10 @@ def q_regional_cheapest_supplier(spark, sf_dir):
     cheapest_supplier_per_part (single-winner argmin via min(struct)):
     Q2's contract returns ALL tied minimum rows, which forces the
     min-equality join back instead of a struct argmin. Scale shape:
-    the region/nation/size dims filter and broadcast BEFORE any fact
-    row moves; the part-supplier pair distinct is one shuffle on the
+    the region/nation/size dims filter BEFORE any fact row moves
+    (nation/region broadcast — constant 25/5 rows; the filtered
+    part/supplier sets are SF-proportional and carry no hint); the
+    part-supplier pair distinct is one shuffle on the
     well-spread part key and the mins table re-joins on that SAME key
     (shuffle_hash, partitioning reused); the final top-100 is a
     TakeOrderedAndProject. s_acctbal is a raw stored double on both
@@ -5677,8 +5757,8 @@ def q_regional_cheapest_supplier(spark, sf_dir):
         .select("p_partkey")
     )
     costed = (
-        ps.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .join(rs, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal")
     )
     mins = costed.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
@@ -5961,6 +6041,73 @@ def q_cross_source_dup_matrix(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# iteration count shared by the Spark loop and the oracle's unrolled
+# CTE chain (the semdedup_scaled shared-constant rule)
+_PAGERANK_ITERS = 2
+
+
+def _pagerank_iter_cte(i: int) -> str:
+    prev = "r0" if i == 1 else f"r{i - 1}"
+    return f"""m{i} AS MATERIALIZED (
+  SELECT e.e_dst AS node, SUM(r.rank_micro // d.degree) AS s
+  FROM edges e
+  JOIN {prev} r ON e.e_src = r.node
+  JOIN deg d ON e.e_src = d.e_src
+  GROUP BY e.e_dst
+), r{i} AS MATERIALIZED (
+  SELECT node, CAST(150000 + (850 * s) // 1000 AS BIGINT) AS rank_micro
+  FROM m{i}
+)"""
+
+
+_PAGERANK_SQL = (
+    f"""
+WITH pairs AS MATERIALIZED (
+{_minhash_md5_sql()}
+), edges AS MATERIALIZED (
+  SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS e_src, doc_a AS e_dst FROM pairs
+), deg AS MATERIALIZED (
+  SELECT e_src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY e_src
+), r0 AS MATERIALIZED (
+  SELECT e_src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg
+), """
+    + ",\n".join(_pagerank_iter_cte(i) for i in range(1, _PAGERANK_ITERS + 1))
+    + f"""
+SELECT d.e_src AS doc_id, d.degree, r.rank_micro
+FROM deg d JOIN r{_PAGERANK_ITERS} r ON d.e_src = r.node
+"""
+)
+
+
+@register("dup_graph_pagerank", _PAGERANK_SQL)
+def q_dup_graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-duplicate graph (nodes = docs
+    in ≥1 md5-MinHash pair, symmetric edges): the canonical-pick
+    signal "which copy is the hub" — complements min-id CC
+    (dup_clusters) the way argmax complements argmin. Pure-BIGINT
+    power iteration (rank div degree messages, constant teleport
+    150000 micro, damping 850/1000), so the fixed {2}-round loop
+    unrolls to identical truncating integer arithmetic in both
+    engines; the oracle's CTE chain is generated from the SAME
+    iteration count (dedup.cluster.graph_pagerank).
+
+    Scale shape: per round one src-keyed shuffle_hash join + one
+    partial-agged dst sum, both linear in |edges|; pairs persisted
+    once (each round's lineage references them; at 100 TB they'd be
+    a materialized table between stages, the dup_clusters note)."""
+    from chronobase_spark.dedup import cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        minhash.minhash_md5_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    return cluster.graph_pagerank(pairs, iters=_PAGERANK_ITERS)
 
 
 _HOLT_SQL = """
@@ -6533,7 +6680,8 @@ def q_semantic_dedup_scaled(spark, sf_dir):
     pairwise pass Σ cell² ≈ n²/cells (quadratic); here the active
     plane count k is the smallest with 2^k · 32 ≥ n, so cells grow
     with the corpus, expected cell size stays ≈ 32, and pair work
-    stays LINEAR (SCALING.md semantic_dedup row). k derives from one
+    stays LINEAR (measured: SCALING.md round-10 semantic_dedup column,
+    64× data → 3.1× wall). k derives from one
     partial-agged count broadcast back as a 1-row mask — an integer
     threshold test (no float log2), so DuckDB computes the identical
     k and the whole adaptive decision stays hash-checked. See
