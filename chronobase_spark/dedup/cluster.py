@@ -135,3 +135,63 @@ def assign_clusters(
             F.coalesce("label", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def graph_pagerank(
+    pairs: DataFrame,
+    iters: int = 2,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """PageRank over the undirected near-dup graph — centrality-ranked
+    duplicates (the canonical-pick signal "which copy is the hub";
+    min-id CC keeps the smallest id, this keeps the most-connected).
+
+    Power iteration in PURE BIGINT so a fixed ``iters`` unrolls to
+    identical arithmetic in any engine (both Spark's `div` and
+    DuckDB's `//` truncate, and every operand here is positive, so
+    floor == trunc on both): ranks start at 1e6 micro-units, each
+    round a node emits ``rank div degree`` along every edge and
+    collects ``150000 + (850 · Σ incoming) div 1000`` — the damping
+    d=0.85 with a CONSTANT teleport term (un-normalized formulation:
+    no 1/N division, which would not be integer-exact). Symmetrized
+    edges mean every node has in-edges, so no dangling-mass term.
+
+    Scale shape: per round, one src-keyed shuffle_hash join (ranks ⋈
+    edges) and one partial-agged dst-keyed sum — both linear in
+    |edges|; nothing collects to the driver, and ``iters`` is a small
+    literal constant so the lazy plan stays linear in it (the
+    BPE/CC literal-loop pattern). Returns (doc_id, degree,
+    rank_micro).
+    """
+    edges = pairs.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).unionAll(
+        pairs.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+    )
+    deg = edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("degree"))
+    ranks = deg.select(
+        F.col("e_src").alias("node"),
+        F.lit(1000000).cast("bigint").alias("rank_micro"),
+    )
+    for _ in range(iters):
+        contrib = ranks.join(
+            deg.hint("shuffle_hash"), ranks["node"] == deg["e_src"]
+        ).select("node", F.expr("rank_micro div degree").alias("c"))
+        ranks = (
+            edges.join(
+                contrib.hint("shuffle_hash"),
+                edges["e_src"] == contrib["node"],
+            )
+            .groupBy("e_dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.lit(150000) + F.expr("(850 * s) div 1000"))
+                .cast("bigint")
+                .alias("rank_micro"),
+            )
+        )
+    return deg.join(ranks.hint("shuffle_hash"), deg["e_src"] == ranks["node"]).select(
+        F.col("node").alias("doc_id"), "degree", "rank_micro"
+    )

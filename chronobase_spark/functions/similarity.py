@@ -186,6 +186,55 @@ def kmeans_lloyd(
     return assign_nearest_centroid(base, cents, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_kmeans_topk(
+    df: DataFrame,
+    probe_ids: list,
+    k: int = 10,
+    kmeans_k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF search over the unsupervised ``kmeans_lloyd`` quantizer:
+    probes search only their own trained cell, exact cosine re-rank
+    inside it — train → assign → search, the full IVF lifecycle (the
+    hyperplane variant in dedup.embedding.ivf_topk skips training).
+
+    Scale shape: on top of the quantizer's per-round broadcast-assign
+    passes, the search adds ONE corpus-keyed shuffle (the id join
+    gluing each vector to its cell, shuffle_hash), a |probes|-row
+    broadcast, and a per-probe rank window over one cell's candidates
+    (~n/kmeans_k rows per probe — sub-linear in the corpus, never
+    all-pairs). Returns (q_id, n_id, sim).
+    """
+    base = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    cells = base.join(
+        kmeans_lloyd(df, k=kmeans_k, iters=iters, id_col=id_col, vec_col=vec_col)
+        .select(id_col, "assigned")
+        .hint("shuffle_hash"),
+        id_col,
+    )
+    probes = cells.filter(F.col(id_col).isin(list(probe_ids))).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("assigned").alias("q_cell"),
+    )
+    cand = cells.join(
+        F.broadcast(probes),
+        (F.col("assigned") == F.col("q_cell"))
+        & (F.col(id_col) != F.col("q_id")),
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("q_vec")), round_digits)
+    scored = cand.select("q_id", F.col(id_col).alias("n_id"), sim.alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def int8_quant_stats(vec: Column, round_digits: int = 6) -> Column:
     """Symmetric int8 quantization of one embedding vector, summarized
     as struct(qscale, q_sum, q_min, q_max, n_sat).

@@ -491,3 +491,38 @@ def test_semantic_dedup_matches_bruteforce_within_cells(spark):
     assert any(not kept for _, kept in want.values()), (
         "corpus should contain planted semantic dups"
     )
+
+
+def test_pagerank_matches_reference_python(spark):
+    """graph_pagerank pinned against a straight-line Python power
+    iteration stating the SAME integer arithmetic (rank div degree
+    messages, teleport 150000, damping 850//1000) on a hand-built
+    graph with a clear hub — proving the distributed loop against the
+    algorithm, not against itself."""
+    from chronobase_spark.dedup import cluster
+
+    # star (0 is hub of 1..3) + a 2-clique + asymmetric path 6-7-8
+    raw = [(0, 1), (0, 2), (0, 3), (4, 5), (6, 7), (7, 8)]
+    pairs = spark.createDataFrame(raw, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: (r["degree"], r["rank_micro"])
+        for r in cluster.graph_pagerank(pairs, iters=3).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    for a, b in raw:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ranks = {n: 1_000_000 for n in adj}
+    for _ in range(3):
+        nxt = {n: 0 for n in adj}
+        for n, nbrs in adj.items():
+            c = ranks[n] // len(nbrs)
+            for m in nbrs:
+                nxt[m] += c
+        ranks = {n: 150_000 + (850 * s) // 1000 for n, s in nxt.items()}
+    want = {n: (len(adj[n]), ranks[n]) for n in adj}
+
+    assert got == want
+    hub = max(ranks, key=ranks.get)
+    assert hub == 0, "star hub must out-rank leaves"

@@ -196,6 +196,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # two Lloyd assign passes, each a k-row centroid broadcast cross
     # (ivf_assign_counts pattern, once per iteration)
     "kmeans_lloyd_assign": {"bnlj"},
+    # same quantizer passes + the |probes|-row broadcast for the
+    # cell-restricted search
+    "ivf_kmeans_topk": {"bnlj"},
     "tfidf_top_terms": {"bnlj", "single-partition"},  # doc-count scalar
     "bm25_top_terms": {"bnlj", "single-partition"},  # N/avgdl 1-row consts
     # 1-row probe + N/avgdl consts broadcast; the global rank windows

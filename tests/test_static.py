@@ -104,9 +104,14 @@ def test_no_unresolved_names_anywhere():
 # driver must materialize a multi-GB relation (the exact OOM the r1
 # scaling probe recorded — SCALING.md). Rule established in commit
 # 2e89033, retro-applied to the whole registry in r10; this gate keeps
-# the class from recurring. nation/region (constant 25/5 rows),
-# aggregated frames (.groupBy/.agg/.limit) and filtered frames are all
-# legitimately broadcastable and are NOT flagged.
+# the class from recurring. nation/region (constant 25/5 rows) and
+# aggregated/limited frames (.agg/.limit bound the output) are
+# legitimately broadcastable and are NOT flagged. A `.filter`, `.join`
+# or `.distinct` does NOT clear the flag (r10 tightening): a
+# constant-fraction subset of a linear table is still linear —
+# `customer ⋈ nation` is the full customer table, and an
+# `isNotNull()` filter has selectivity ~1 — so those chains keep the
+# SF-proportional class and the hint must come out.
 _SF_PROPORTIONAL = {
     "customer",
     "part",
@@ -120,8 +125,28 @@ _SF_PROPORTIONAL = {
 }
 
 # Chained methods that do NOT bound the size of an SF-proportional
-# frame: the result is still one row per input row.
-_SIZE_PRESERVING = {"select", "alias", "hint", "drop", "withColumnRenamed", "selectExpr"}
+# frame: the result is at most one row per input row but still grows
+# linearly with SF (filters/joins/distinct only scale by a constant
+# factor). Only aggregation and limit actually bound the size.
+_SIZE_PRESERVING = {
+    "select",
+    "alias",
+    "hint",
+    "drop",
+    "withColumnRenamed",
+    "selectExpr",
+    "withColumn",
+    "filter",
+    "where",
+    "distinct",
+    "dropDuplicates",
+    "join",
+    "crossJoin",
+    "repartition",
+    "sortWithinPartitions",
+    "cache",
+    "persist",
+}
 
 
 def _broadcast_base_table(expr: ast.expr, env: dict[str, ast.expr], depth: int = 0):
@@ -142,7 +167,14 @@ def _broadcast_base_table(expr: ast.expr, env: dict[str, ast.expr], depth: int =
             return None
         if isinstance(f, ast.Attribute):
             if f.attr in _SIZE_PRESERVING:
-                return _broadcast_base_table(f.value, env, depth + 1)
+                got = _broadcast_base_table(f.value, env, depth + 1)
+                if got is not None:
+                    return got
+                # a join is linear if EITHER side is (nation.join(
+                # customer) is still the full customer table)
+                if f.attr in ("join", "crossJoin") and expr.args:
+                    return _broadcast_base_table(expr.args[0], env, depth + 1)
+                return None
             return None
         return None
     if isinstance(expr, ast.Name):
