@@ -6845,3 +6845,150 @@ def q_pretrain_pipeline_report(spark, sf_dir):
             F.expr("CAST((packed_tokens + 2047) DIV 2048 AS BIGINT)"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — TS autocorrelation + categorical corpus statistics
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+_ACF_SQL = f"""
+WITH base AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, ts, event_id,
+         CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+), led AS (
+  SELECT event_type, x,
+         LEAD(x, 1) OVER w AS y1,
+         LEAD(x, 2) OVER w AS y2,
+         LEAD(x, 3) OVER w AS y3
+  FROM base
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+), pairs AS (
+  SELECT event_type, t.lag, x,
+         CASE t.lag WHEN 1 THEN y1 WHEN 2 THEN y2 ELSE y3 END AS y
+  FROM led CROSS JOIN (SELECT CAST(unnest({list(_ACF_LAGS)}) AS BIGINT) AS lag) t
+  WHERE CASE t.lag WHEN 1 THEN y1 WHEN 2 THEN y2 ELSE y3 END IS NOT NULL
+), m AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pairs GROUP BY event_type, lag
+), v AS (
+  SELECT event_type, lag, n_pairs,
+         CAST(CAST(n_pairs * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS varx,
+         CAST(CAST(n_pairs * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vary,
+         CAST(CAST(n_pairs * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov,
+         (n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0) AS ok
+  FROM m
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN ok THEN cov / (sqrt(varx) * sqrt(vary)) END AS acf
+FROM v
+"""
+
+
+@register("value_autocorr_daily", _ACF_SQL)
+def q_value_autocorr_daily(spark, sf_dir):
+    """Intraday lag-k autocorrelation of the value series per event
+    type (k = 1..3): the seasonality/memory diagnostic behind "is EWMA
+    enough or do we need Holt" — Pearson r between x_t and x_{t+k}
+    within each (event_type, day) segment, moments pooled across days
+    per (event_type, lag).
+
+    Scale shape: lead windows partition on (event_type, DAY) — the
+    bounded-fold rule (a per-type-only window would make one executor
+    own a whole type's 100 TB history); one explode (|lags| = 3 rows
+    per observation) and ONE partial-agged groupBy carrying six exact
+    moments; nothing global. Exactness: x is micro-quantized BIGINT
+    (multiply-then-ROUND at digit 0 — the LTTB/TWA-proven recipe),
+    products fit BIGINT (|x| ≤ 5.6e8 at the observed value range) and
+    sum as exact DECIMAL (HUGEINT in the oracle); varx/vary/cov stay
+    in EXACT integer arithmetic (≤32 digits, inside decimal(38,0) /
+    HUGEINT), and the single int→double conversion goes through a
+    STRING round-trip on BOTH engines — string→double parsing is
+    correctly rounded everywhere, whereas Spark's BigDecimal→double
+    vs DuckDB's HUGEINT→double diverge by 1 ulp above 2^53 (measured:
+    sf0.1 MISMATCHed with direct casts, 2/15 acf values off at the
+    16th digit). The final r is then IEEE-exact ops on identical
+    doubles; zero-variance groups emit NULL on both engines (the
+    quality_signal_corr recipe). NULL values are excluded up front
+    (null-contract rule)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast(
+        "bigint"
+    )
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        x.alias("x"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    led = base.select(
+        "event_type",
+        "x",
+        *[F.lead("x", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
+    )
+    pairs = (
+        led.select(
+            "event_type",
+            "x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("lag"),
+                            F.col(f"y{k}").alias("y"),
+                        )
+                        for k in _ACF_LAGS
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("x").cast("decimal(28,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,0)")).alias("sxy"),
+    )
+    # Exact integer moments: n is ≤8 digits, sxx ≤23 digits, sx² ≤32
+    # digits — every product/difference fits decimal(38,0), so varx/
+    # vary/cov are EXACT integers on both engines.
+    n_dec = F.col("n_pairs").cast("decimal(12,0)")
+    varx = n_dec * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n_dec * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n_dec * F.col("sxy") - F.col("sx") * F.col("sy")
+    # The one int→double conversion goes through a string round-trip:
+    # string→double is correctly rounded on both engines, direct
+    # decimal/HUGEINT→double is not (1-ulp sf0.1 mismatch, docstring).
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    v = m.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        to_d(varx).alias("varx"),
+        to_d(vary).alias("vary"),
+        to_d(cov).alias("cov"),
+        ((varx > 0) & (vary > 0)).alias("ok"),
+    )
+    return v.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.when(
+            F.col("ok"),
+            F.col("cov") / (F.sqrt(F.col("varx")) * F.sqrt(F.col("vary"))),
+        ).alias("acf"),
+    )
