@@ -184,6 +184,11 @@ _FORCE_REGRADE = {
     "nation_pair_trade": 9,
     "nation_market_share": 9,
     "regional_cheapest_supplier": 9,
+    # r10: vocabulary derived from the doc_token_stats TF pass instead
+    # of a second corpus-wide explode (commit 4426bb4) — hash-green in
+    # driver_sim at sf0.01/0.1 this session, but the recorded driver
+    # green predates the rewrite.
+    "bigram_lm_logprob": 9,
 }
 
 # Families whose driver evidence matters most while slots are scarce
