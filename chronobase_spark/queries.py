@@ -6997,3 +6997,148 @@ def q_value_autocorr_daily(spark, sf_dir):
             F.col("cov") / (F.sqrt(F.col("varx")) * F.sqrt(F.col("vary"))),
         ).alias("acf"),
     )
+
+
+_PMI_CELLS_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+), marg AS (
+  SELECT lang, source, n_docs,
+         SUM(n_docs) OVER (PARTITION BY lang) AS c_l,
+         SUM(n_docs) OVER (PARTITION BY source) AS c_s,
+         SUM(n_docs) OVER () AS n
+  FROM cells
+)
+SELECT lang, source, n_docs,
+       CAST(ROUND(ln(CAST(CAST(CAST(n_docs AS HUGEINT) * n AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(c_l * c_s AS VARCHAR) AS DOUBLE))
+                  * 1000000.0, 0) AS BIGINT) AS pmi_micro
+FROM marg
+"""
+
+
+@register("lang_source_pmi", _PMI_CELLS_SQL)
+def q_lang_source_pmi(spark, sf_dir):
+    """Pointwise mutual information of every observed (lang, source)
+    cell — the mixture diagnostic behind source-mixing decisions: a
+    strongly positive PMI cell means a source is a de-facto proxy for
+    a language (dropping the source silently drops the language), a
+    negative cell flags a source whose coverage of that language is
+    thinner than independence predicts.
+
+    Scale shape: ONE partial-agged groupBy(lang, source) reduces the
+    corpus to a CONSTANT-size cell table (|langs| x |sources|); the
+    marginal/total windows run on those constant rows only — the
+    zipf/rrf bounded-head rule, never a corpus-sized window.
+    Exactness: counts are exact BIGINT/decimal; the PMI operand is a
+    ratio of two exact integer products (n_docs*N, c_l*c_s — kept in
+    decimal(38,0)/HUGEINT, they exceed BIGINT at 100 TB doc counts)
+    converted via the STRING round-trip (the value_autocorr_daily
+    rule: string->double parses correctly rounded on both engines,
+    direct wide-int->double casts diverge by 1 ulp past 2^53), so ln
+    sees identical doubles and the result is micro-quantized."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    as_dec = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
+    marg = cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.sum(as_dec("n_docs")).over(Window.partitionBy("lang")).alias("c_l"),
+        F.sum(as_dec("n_docs"))
+        .over(Window.partitionBy("source"))
+        .alias("c_s"),
+        F.sum(as_dec("n_docs")).over(Window.partitionBy()).alias("n"),
+    )
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    ratio = to_d(as_dec("n_docs") * F.col("n")) / to_d(
+        F.col("c_l") * F.col("c_s")
+    )
+    return marg.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(F.log(ratio) * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("pmi_micro"),
+    )
+
+
+_MI_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c_ls
+  FROM documents GROUP BY lang, source
+), marg AS (
+  SELECT lang, source, c_ls,
+         SUM(c_ls) OVER (PARTITION BY lang) AS c_l,
+         SUM(c_ls) OVER (PARTITION BY source) AS c_s,
+         SUM(c_ls) OVER () AS n
+  FROM cells
+), pmi AS (
+  SELECT c_ls, n,
+         CAST(ROUND(ln(CAST(CAST(CAST(c_ls AS HUGEINT) * n AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(c_l * c_s AS VARCHAR) AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS pmi_micro
+  FROM marg
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(CAST(SUM(CAST(c_ls AS HUGEINT) * pmi_micro) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mi_micro_nats
+FROM pmi GROUP BY n
+"""
+
+
+@register("lang_source_mi", _MI_SQL)
+def q_lang_source_mi(spark, sf_dir):
+    """Corpus-level mutual information I(lang; source) in micro-nats —
+    the single-number redundancy score between the two partitioning
+    dimensions (0 = independent, ln(min(|L|,|S|)) = one determines the
+    other). The plug-in estimator over observed cells: I = (1/N) *
+    sum_cells c_ls * pmi(cell), with pmi the micro-quantized cell PMI
+    of lang_source_pmi.
+
+    Scale shape: identical to lang_source_pmi — one corpus groupBy,
+    then constant-row windows and a constant-row final aggregate.
+    Exactness: the weighted sum uses the QUANTIZED integer PMIs, so
+    sum(c_ls * pmi_micro) is EXACT integer arithmetic (decimal(38,0) /
+    HUGEINT — summation order cannot matter), string-routed to double
+    for the single final division by N. Determinism never rests on a
+    float summation order (the sequential-fold rule made unnecessary
+    by integer weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c_ls")
+    )
+    as_dec = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
+    marg = cells.select(
+        "c_ls",
+        F.sum(as_dec("c_ls")).over(Window.partitionBy("lang")).alias("c_l"),
+        F.sum(as_dec("c_ls")).over(Window.partitionBy("source")).alias("c_s"),
+        F.sum(as_dec("c_ls")).over(Window.partitionBy()).alias("n"),
+    )
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    ratio = to_d(as_dec("c_ls") * F.col("n")) / to_d(
+        F.col("c_l") * F.col("c_s")
+    )
+    pmi = marg.select(
+        "c_ls",
+        "n",
+        F.round(F.log(ratio) * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("pmi_micro"),
+    )
+    return pmi.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            to_d(F.sum((as_dec("c_ls") * F.col("pmi_micro")).cast("decimal(38,0)")))
+            / to_d(F.col("n"))
+        ).alias("mi_micro_nats"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        "n_cells",
+        "mi_micro_nats",
+    )

@@ -250,6 +250,12 @@ _SCALE_FLAG_ALLOWLIST = {
     # composed pipeline embeds the semantic_dedup_scaled stage, so it
     # inherits that stage's reviewed 1-row-k scalar broadcast
     "pretrain_pipeline_report": {"bnlj", "single-partition"},
+    # the corpus is reduced to a |langs|x|sources| CONSTANT cell table
+    # by one partial-agged groupBy; the grand-total window's
+    # SinglePartition exchange carries those constant rows only
+    # (zipf bounded-head rule)
+    "lang_source_pmi": {"single-partition"},
+    "lang_source_mi": {"single-partition"},
 }
 
 

@@ -136,6 +136,13 @@ _ALLOWED_DOUBLE = {
     # Pearson r from exact integer moments; sqrt is IEEE-754
     # correctly-rounded, so deterministic like division
     ("quality_signal_corr", "pearson_r"),
+    # Pearson r from exact decimal(38,0)/HUGEINT moments string-routed
+    # to double (correctly-rounded parse on both engines; direct
+    # wide-int casts diverge 1 ulp past 2^53)
+    ("value_autocorr_daily", "acf"),
+    # one unrounded division of a string-routed exact integer (sum of
+    # count x quantized-PMI products) by the exact corpus total
+    ("lang_source_mi", "mi_micro_nats"),
     ("pricing_summary", "avg_qty"),
     ("pricing_summary", "sum_base_price"),
     ("pricing_summary", "sum_disc_price"),
@@ -162,6 +169,13 @@ _ALLOWED_DOUBLE = {
     ("embedding_near_pairs", "cosine"),
     ("ivf_topk_cosine", "sim"),
     ("topk_cosine", "sim"),
+    # sequential-fold cosine over the kmeans-cell-restricted candidate
+    # set (ivf_topk_cosine form)
+    ("ivf_kmeans_topk", "sim"),
+    # 6dp-rounded sequential-fold squared distance (the tie-break key
+    # is the ROUNDED value on both engines, so knife-edges cannot
+    # reorder the argmin)
+    ("kmeans_lloyd_assign", "dist"),
     # -- no-oracle queries (pytest-pinned, never driver-hashed) --------
     ("approx_value_percentiles", "p50"),
     ("approx_value_percentiles", "p90"),
