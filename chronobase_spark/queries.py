@@ -7142,3 +7142,203 @@ def q_lang_source_mi(spark, sf_dir):
         "n_cells",
         "mi_micro_nats",
     )
+
+
+# One-sided CUSUM drift threshold, in micro value-units of cumulative
+# positive deviation from the segment mean. Shared between the Spark
+# query and the oracle (the semdedup_scaled shared-constant rule).
+# 400 units sits near the observed peak-CUSUM median at sf0.01 (~47%
+# of day-segments alarm), so both alarm branches stay exercised.
+_CUSUM_H_MICRO = 400_000_000
+
+_CUSUM_SQL = f"""
+WITH base AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, ts, event_id,
+         CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+), seg AS (
+  SELECT event_type, day, ts, event_id, x,
+         COUNT(*) OVER w_all AS n,
+         SUM(CAST(x AS HUGEINT)) OVER w_all AS s
+  FROM base
+  WINDOW w_all AS (PARTITION BY event_type, day)
+), pre AS (
+  SELECT event_type, day, n,
+         SUM(CAST(n AS HUGEINT) * x - s) OVER w_ord AS p,
+         ROW_NUMBER() OVER w_ord AS idx
+  FROM seg
+  WINDOW w_ord AS (PARTITION BY event_type, day ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cus AS (
+  SELECT event_type, day, n, idx,
+         p - LEAST(CAST(0 AS HUGEINT), MIN(p) OVER w2) AS cusum
+  FROM pre
+  WINDOW w2 AS (PARTITION BY event_type, day ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(MAX(n) AS BIGINT) AS n_obs,
+       CAST(COUNT(*) FILTER (
+         WHERE cusum > CAST(n AS HUGEINT) * {_CUSUM_H_MICRO}) AS BIGINT)
+         AS n_alarms,
+       CAST(MIN(CASE WHEN cusum > CAST(n AS HUGEINT) * {_CUSUM_H_MICRO}
+                     THEN idx END) AS BIGINT) AS first_alarm_idx
+FROM cus GROUP BY event_type, day
+"""
+
+
+@register("cusum_changepoints", _CUSUM_SQL)
+def q_cusum_changepoints(spark, sf_dir):
+    """One-sided CUSUM changepoint detection (Page 1954) per
+    (event_type, day) segment: alarms where the cumulative positive
+    deviation of the value series from the segment mean exceeds
+    _CUSUM_H_MICRO — the standard sequential drift detector a metrics
+    pipeline runs before trusting a day's data.
+
+    The recurrence S_t = max(0, S_{t-1} + d_t) is NOT associative, but
+    it has the exact prefix closed form S_t = P_t - min(0, min_{j<=t}
+    P_j) with P the prefix sum of deviations — so the whole detector
+    is two ordered windows (prefix sum, prefix min) inside bounded
+    (event_type, day) partitions, zero iteration, zero driver loops.
+    Deviations are n-SCALED to stay integer (d_t = n*x_t - sum_seg
+    avoids the non-integer mean; the alarm test compares against n*H),
+    and all prefix algebra runs in exact decimal(38,0)/HUGEINT — at a
+    1e9-row day-segment n^2*x exceeds BIGINT, which silent-overflows,
+    so the wide type is the 100 TB posture, not pedantry. Outputs are
+    pure integers (counts + first alarm index): no division, no
+    doubles, no summation-order hazard anywhere. Explicit ROWS frames
+    pinned on both engines (RANGE would include ts peers)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast(
+        "bigint"
+    )
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        x.alias("x"),
+    )
+    w_all = Window.partitionBy("event_type", "day")
+    as_dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
+    seg = base.select(
+        "event_type",
+        "day",
+        "ts",
+        "event_id",
+        "x",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(as_dec(F.col("x"))).over(w_all).alias("s"),
+    )
+    w_ord = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = as_dec(F.col("n")) * as_dec(F.col("x")) - F.col("s")
+    pre = seg.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum(d).over(w_ord).alias("p"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+        )
+        .cast("bigint")
+        .alias("idx"),
+    )
+    w2 = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = pre.select(
+        "event_type",
+        "day",
+        "n",
+        "idx",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("decimal(38,0)"), F.min("p").over(w2))
+        ).alias("cusum"),
+    )
+    alarm = F.col("cusum") > as_dec(F.col("n")) * F.lit(_CUSUM_H_MICRO).cast(
+        "decimal(28,0)"
+    )
+    return cus.groupBy("event_type", "day").agg(
+        F.max("n").cast("bigint").alias("n_obs"),
+        F.count(F.when(alarm, F.lit(1))).cast("bigint").alias("n_alarms"),
+        F.min(F.when(alarm, F.col("idx"))).cast("bigint").alias(
+            "first_alarm_idx"
+        ),
+    )
+
+
+# Per-cluster survivor quota for the diversity sample (D4 posture:
+# equalize cluster mass). 40 < the ~62-vec mean cell size at sf0.01,
+# so most cells thin while small cells pass whole — both branches of
+# the keep rule stay exercised. Shared with the oracle via f-string.
+_DIVERSITY_QUOTA = 40
+
+_CLUSTER_SAMPLE_SQL = f"""
+WITH {_KMEANS_CTES},
+cnt AS (
+  SELECT assigned, COUNT(*) AS c FROM a2 GROUP BY assigned
+), sel AS (
+  SELECT a.assigned, a.vec_id, c.c,
+         CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4))
+              AS BIGINT) AS bucket
+  FROM a2 a JOIN cnt c USING (assigned)
+)
+SELECT assigned,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN bucket * c < {_DIVERSITY_QUOTA} * 65536
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN bucket * c < {_DIVERSITY_QUOTA} * 65536
+                     THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM sel GROUP BY assigned
+"""
+
+
+@register("cluster_balanced_sample", _CLUSTER_SAMPLE_SQL)
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (the D4 recipe, Tirumala et
+    al. 2023: dedup then DIVERSIFY by equalizing k-means cluster mass):
+    every vector keeps with probability min(1, quota/|cell|) under its
+    trained Lloyd's cell, so over-represented semantic regions thin
+    toward the per-cluster quota while rare regions survive whole.
+
+    Determinism/exactness: the keep test is the quality_weighted_sample
+    pure-BIGINT cross-multiplication — md5 16-bit bucket of vec_id
+    versus quota·65536/|cell| rearranged to integers — and the oracle
+    shares the quantizer's entire CTE chain (_KMEANS_CTES) plus the
+    quota constant, so sampler and quantizer cannot desynchronize.
+    Content-free hash ⇒ rerunnable and stable under re-partitioning.
+
+    Scale shape: quantizer cost is kmeans_lloyd_assign's (broadcast
+    centroids, corpus streamed once per round); on top of it ONE
+    k-row cell-count aggregate joined back (autoBroadcast — constant
+    k rows, never SF-proportional) and one map-side keep test; final
+    output is k rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_lloyd(emb, k=_KMEANS_K, iters=2).select(
+        "vec_id", "assigned"
+    )
+    cnt = assigned.groupBy("assigned").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    sel = assigned.join(cnt, "assigned").select(
+        "assigned", "vec_id", "c", bucket.alias("bucket")
+    )
+    keep = F.col("bucket") * F.col("c") < F.lit(_DIVERSITY_QUOTA * 65536)
+    return sel.groupBy("assigned").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count(F.when(keep, F.lit(1))).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("vec_id")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )

@@ -199,6 +199,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # same quantizer passes + the |probes|-row broadcast for the
     # cell-restricted search
     "ivf_kmeans_topk": {"bnlj"},
+    # inherits the quantizer's k-row centroid broadcast cross; the
+    # sampler itself adds only a k-row count join + map-side keep test
+    "cluster_balanced_sample": {"bnlj"},
     "tfidf_top_terms": {"bnlj", "single-partition"},  # doc-count scalar
     "bm25_top_terms": {"bnlj", "single-partition"},  # N/avgdl 1-row consts
     # 1-row probe + N/avgdl consts broadcast; the global rank windows
