@@ -7342,3 +7342,110 @@ def q_cluster_balanced_sample(spark, sf_dir):
         .cast("bigint")
         .alias("kept_id_sum"),
     )
+
+
+# Fixed-reference Page CUSUM constants: K_REF is the known target mean
+# (the corpus value mean ~49.6 units), H the alarm threshold — ~1/3 of
+# sf0.01 day-segments alarm, so both branches stay exercised. Shared
+# with the oracle AND the streaming twin (streaming/ingest).
+_CUSUM_K_REF_MICRO = 50_000_000
+_CUSUM_H_FIXED_MICRO = 500_000_000
+
+_CUSUM_REF_SQL = f"""
+WITH base AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, ts, event_id,
+         CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+), pre AS (
+  SELECT event_type, day,
+         SUM(CAST(x - {_CUSUM_K_REF_MICRO} AS HUGEINT)) OVER w AS p,
+         ROW_NUMBER() OVER w AS idx
+  FROM base
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cus AS (
+  SELECT event_type, day, idx,
+         p - LEAST(CAST(0 AS HUGEINT), MIN(p) OVER w2) AS cusum
+  FROM pre
+  WINDOW w2 AS (PARTITION BY event_type, day ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(COUNT(*) FILTER (WHERE cusum > {_CUSUM_H_FIXED_MICRO})
+            AS BIGINT) AS n_alarms,
+       CAST(MIN(CASE WHEN cusum > {_CUSUM_H_FIXED_MICRO} THEN idx END)
+            AS BIGINT) AS first_alarm_idx,
+       CAST(MAX(cusum) AS BIGINT) AS peak_cusum_micro
+FROM cus GROUP BY event_type, day
+"""
+
+
+@register("cusum_fixed_ref", _CUSUM_REF_SQL)
+def q_cusum_fixed_ref(spark, sf_dir):
+    """Page's CUSUM against a KNOWN reference mean (the textbook
+    monitoring form: K_REF is the in-control target, not estimated
+    from the window) per (event_type, day) — the single-pass variant
+    of cusum_changepoints, and the form a STREAMING monitor can
+    maintain incrementally (see streaming/ingest.streaming_cusum_
+    alarms, pinned drained-equal to this prefix algebra).
+
+    Same exact prefix closed form (S_t = P_t − min(0, min_j P_j)),
+    but deviations x − K are plain micro-BIGINTs (no n-scaling needed
+    when the reference is a constant); prefix sums still run in
+    decimal(38,0)/HUGEINT — a 1e9-row day at max deviation reaches
+    5.6e17 which FITS bigint, but the margin is one order, not a
+    posture. Pure-integer outputs incl. the peak excursion."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.round(F.col("value").cast("double") * F.lit(1000000.0), 0).cast(
+        "bigint"
+    )
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        x.alias("x"),
+    )
+    w_ord = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (F.col("x") - F.lit(_CUSUM_K_REF_MICRO)).cast("decimal(28,0)")
+    pre = base.select(
+        "event_type",
+        "day",
+        F.sum(d).over(w_ord).alias("p"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+        )
+        .cast("bigint")
+        .alias("idx"),
+    )
+    w2 = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = pre.select(
+        "event_type",
+        "day",
+        "idx",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("decimal(38,0)"), F.min("p").over(w2))
+        ).alias("cusum"),
+    )
+    alarm = F.col("cusum") > F.lit(_CUSUM_H_FIXED_MICRO).cast(
+        "decimal(28,0)"
+    )
+    return cus.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.count(F.when(alarm, F.lit(1))).cast("bigint").alias("n_alarms"),
+        F.min(F.when(alarm, F.col("idx"))).cast("bigint").alias(
+            "first_alarm_idx"
+        ),
+        F.max("cusum").cast("bigint").alias("peak_cusum_micro"),
+    )

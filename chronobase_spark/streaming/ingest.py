@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -725,6 +726,97 @@ def streaming_user_holt(
         yield out
 
     return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_cusum_alarms(
+    stream: DataFrame,
+    k_ref_micro: int = 50_000_000,
+    h_micro: int = 500_000_000,
+) -> DataFrame:
+    """Per-event-type Page CUSUM monitor maintained incrementally —
+    the streaming twin of the batch ``cusum_fixed_ref`` prefix algebra
+    (queries.py): S_t = max(0, S_{t-1} + (x_t − K)) against the KNOWN
+    reference mean, alarm while S_t > H, daily reset.
+
+    The batch operator computes the same S_t through the exact prefix
+    closed form (P_t − min(0, min_j P_j)); here the recurrence runs
+    directly — both are pure INTEGER arithmetic on the same
+    micro-quantized x, so an availableNow drain is EQUAL row-for-row
+    (pinned in tests/test_streaming.py). Quantization mirrors Spark's
+    ``round(value*1e6, 0)`` HALF_UP-on-shortest-repr semantics via
+    ``Decimal(repr(v*1e6))`` (the FIXTURES BigDecimal.valueOf rule).
+
+    State per event_type is ONE (day_ns, s, idx) triple — 24 bytes
+    forever, reset at midnight like streaming_user_holt. Ordering
+    contract: in-order event-time delivery per key across batches
+    (in-batch order handled here) — the streaming_user_ewma contract.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("idx", LongType()),
+            StructField("cusum_micro", LongType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("day_ns", LongType()),
+            StructField("s", LongType()),
+            StructField("idx", LongType()),
+        ]
+    )
+    k_ref, h = int(k_ref_micro), int(h_micro)
+
+    def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        day_ns, s, idx = state.get if state.exists else (None, 0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .dropna(subset=["value"])
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        if not len(pdf):
+            return
+        idxs, sums, alarms = [], [], []
+        for ts, v in zip(pdf["ts"], pdf["value"].astype("float64")):
+            d = pd.Timestamp(ts).normalize().value
+            if day_ns is None or d != day_ns:
+                day_ns, s, idx = d, 0, 0
+            x = int(
+                Decimal(repr(float(v) * 1e6)).quantize(
+                    0, rounding=ROUND_HALF_UP
+                )
+            )
+            idx += 1
+            s = max(0, s + (x - k_ref))
+            idxs.append(idx)
+            sums.append(s)
+            alarms.append(s > h)
+        state.update((int(day_ns), int(s), int(idx)))
+        out = pdf[["event_type", "event_id", "ts"]].copy()
+        out["idx"] = idxs
+        out["cusum_micro"] = sums
+        out["alarm"] = alarms
+        yield out
+
+    return stream.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

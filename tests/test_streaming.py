@@ -1230,3 +1230,91 @@ def test_tab_stream_end_to_end_pipeline(spark, tmp_path):
     out2 = spark.read.parquet(sink)
     assert out2.count() == 45  # 40 old rows NOT re-ingested
     assert out2.filter(F.col("doc_id") >= 100000).count() == 5
+
+
+def test_streaming_cusum_matches_batch_prefix_form(spark, event_source, tmp_path):
+    """After an availableNow drain, the applyInPandasWithState CUSUM
+    monitor (direct integer recurrence S_t = max(0, S+(x-K))) must be
+    EQUAL row-for-row to the batch prefix closed form
+    S_t = P_t - min(0, min_j P_j) that cusum_fixed_ref uses — same
+    micro quantization, same daily reset, pure-integer state."""
+    from pyspark.sql.window import Window
+
+    # H far below the production threshold: sf0.001 day-segments are
+    # ~10 rows, so the registered 500-unit H never fires there — the
+    # test must exercise BOTH alarm branches.
+    K, H = 50_000_000, 50_000_000
+    stream = ingest.read_event_stream(spark, event_source)
+    out = ingest.streaming_cusum_alarms(stream, k_ref_micro=K, h_micro=H)
+    sink = str(tmp_path / "cusum_sink")
+    ckpt = str(tmp_path / "cusum_ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_id"]: (r["idx"], r["cusum_micro"], r["alarm"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    ev = (
+        spark.read.parquet(event_source)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "ts",
+            "event_id",
+            F.round(F.col("value").cast("double") * F.lit(1000000.0), 0)
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    w_ord = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = ev.select(
+        "event_id",
+        F.sum((F.col("x") - F.lit(K)).cast("decimal(28,0)"))
+        .over(w_ord)
+        .alias("p"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+        )
+        .cast("bigint")
+        .alias("idx"),
+        F.col("event_type"),
+        F.col("day"),
+    )
+    w2 = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = pre.select(
+        "event_id",
+        "idx",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("decimal(38,0)"), F.min("p").over(w2))
+        )
+        .cast("bigint")
+        .alias("cusum"),
+    )
+    want = {
+        r["event_id"]: (r["idx"], r["cusum"], r["cusum"] > H)
+        for r in cus.collect()
+    }
+    assert want
+    assert got == want
+    assert any(v[2] for v in want.values()), "no alarm rows — H too high"
+    assert not all(v[2] for v in want.values()), "every row alarmed — H too low"
