@@ -7449,3 +7449,119 @@ def q_cusum_fixed_ref(spark, sf_dir):
         ),
         F.max("cusum").cast("bigint").alias("peak_cusum_micro"),
     )
+
+
+_XCORR_SQL = """
+WITH mins AS (
+  SELECT event_type AS t, DATE_TRUNC('minute', ts) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, DATE_TRUNC('minute', ts)
+), days AS (
+  SELECT CAST(COUNT(DISTINCT DATE_TRUNC('day', ts)) AS BIGINT) AS nd
+  FROM events
+), stats AS (
+  SELECT t, SUM(CAST(c AS HUGEINT)) AS sx, SUM(CAST(c AS HUGEINT) * c) AS sxx
+  FROM mins GROUP BY t
+), xy AS (
+  SELECT a.t AS ta, b.t AS tb, SUM(CAST(a.c AS HUGEINT) * b.c) AS sxy
+  FROM mins a JOIN mins b ON a.b = b.b AND a.t < b.t
+  GROUP BY a.t, b.t
+), pairs AS (
+  SELECT sa.t AS ta, sb.t AS tb, sa.sx AS sx, sa.sxx AS sxx,
+         sb.sx AS sy, sb.sxx AS syy,
+         COALESCE(xy.sxy, CAST(0 AS HUGEINT)) AS sxy,
+         CAST(1440 AS HUGEINT) * d.nd AS n
+  FROM stats sa JOIN stats sb ON sa.t < sb.t
+  LEFT JOIN xy ON xy.ta = sa.t AND xy.tb = sb.t
+  CROSS JOIN days d
+)
+SELECT ta AS type_a, tb AS type_b, CAST(n AS BIGINT) AS n_buckets,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+       END AS corr_xy
+FROM pairs
+"""
+
+
+@register("event_type_minute_corr", _XCORR_SQL)
+def q_event_type_minute_corr(spark, sf_dir):
+    """Cross-correlation of per-minute arrival counts between every
+    event-type pair — "does the error rate track the purchase rate":
+    Pearson r over the complete minute grid of all observed days.
+
+    The zero-count buckets a naive join would need a densified spine
+    for contribute NOTHING to any moment sum — only to n. So n comes
+    from arithmetic (1440 × distinct days, both engines exact) and
+    every sum from the sparse non-zero buckets: sx/sxx per type from
+    one groupBy, sxy per pair from ONE bucket-keyed equi self-join
+    (the only corpus-proportional shuffle; a.t < b.t halves it),
+    pairs with no co-active minute kept by a left join with sxy=0.
+    The |types|² pair frame and the 1-row day count are constant-size
+    broadcasts. Exactness: all moments are exact HUGEINT/decimal
+    integers, string-routed to double for the closed-form r
+    (value_autocorr_daily recipe); zero-variance pairs NULL on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    mins = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("minute", "ts").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = ev.agg(
+        F.countDistinct(F.date_trunc("day", "ts")).cast("bigint").alias("nd")
+    )
+    as_dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
+    stats = mins.groupBy("t").agg(
+        F.sum(as_dec(F.col("c"))).alias("sx"),
+        F.sum(as_dec(F.col("c") * F.col("c"))).alias("sxx"),
+    )
+    a = mins.select(
+        F.col("t").alias("ta"), F.col("b").alias("ab"), F.col("c").alias("ca")
+    )
+    b = mins.select(
+        F.col("t").alias("tb"), F.col("b").alias("bb"), F.col("c").alias("cb")
+    )
+    xy = (
+        a.join(b, (F.col("ab") == F.col("bb")) & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.sum(as_dec(F.col("ca") * F.col("cb"))).alias("sxy"))
+    )
+    sa = stats.select(
+        F.col("t").alias("ta"), F.col("sx").alias("sx"), F.col("sxx").alias("sxx")
+    )
+    sb = stats.select(
+        F.col("t").alias("tb"), F.col("sx").alias("sy"), F.col("sxx").alias("syy")
+    )
+    pairs = (
+        sa.join(sb, F.col("ta") < F.col("tb"))
+        .join(xy, ["ta", "tb"], "left")
+        .crossJoin(days)
+        .select(
+            "ta",
+            "tb",
+            "sx",
+            "sxx",
+            "sy",
+            "syy",
+            F.coalesce(F.col("sxy"), F.lit(0).cast("decimal(38,0)")).alias(
+                "sxy"
+            ),
+            (F.lit(1440).cast("decimal(28,0)") * as_dec(F.col("nd"))).alias(
+                "n"
+            ),
+        )
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return pairs.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n").cast("bigint").alias("n_buckets"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            to_d(cov) / (F.sqrt(to_d(varx)) * F.sqrt(to_d(vary))),
+        ).alias("corr_xy"),
+    )

@@ -143,6 +143,9 @@ _ALLOWED_DOUBLE = {
     # one unrounded division of a string-routed exact integer (sum of
     # count x quantized-PMI products) by the exact corpus total
     ("lang_source_mi", "mi_micro_nats"),
+    # Pearson r from exact HUGEINT/decimal moments, string-routed
+    # (value_autocorr_daily form)
+    ("event_type_minute_corr", "corr_xy"),
     ("pricing_summary", "avg_qty"),
     ("pricing_summary", "sum_base_price"),
     ("pricing_summary", "sum_disc_price"),
