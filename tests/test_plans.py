@@ -253,6 +253,10 @@ _SCALE_FLAG_ALLOWLIST = {
     # composed pipeline embeds the semantic_dedup_scaled stage, so it
     # inherits that stage's reviewed 1-row-k scalar broadcast
     "pretrain_pipeline_report": {"bnlj", "single-partition"},
+    # the 1-row bigram-total scalar (partial rows cross the exchange)
+    # broadcast back over the vocabulary-sized candidate table as a
+    # literal-free cross — the orders_above_avg scalar pattern
+    "collocation_topk": {"bnlj", "single-partition"},
     # the |types|^2 non-equi pair frame (tiny x tiny) and the 1-row
     # day-count scalar; the only corpus-proportional work is the
     # bucket-keyed equi self-join, which plans as a shuffle join
