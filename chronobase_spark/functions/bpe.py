@@ -258,3 +258,83 @@ SELECT toks.{id_col}, CAST(SUM(vocab.n_syms) AS BIGINT) AS n_bpe_tokens
 FROM toks JOIN vocab ON toks.w = vocab.w
 GROUP BY toks.{id_col}"""
     )
+
+
+def lang_fertility(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer FERTILITY per language — mean subword tokens per word
+    under the freshly trained BPE: the standard multilingual-fairness
+    metric (a language the merges under-serve pays more context budget
+    per word, cf. the SentencePiece/XLM-R fertility tables).
+
+    Same shape as doc_trained_token_counts (train on the aggregate,
+    join the vocab's per-word symbol count back to one exploded corpus
+    pass, shuffle_hash — vocab grows with the corpus, never broadcast);
+    the groupBy key is the language, so the output is |langs| rows.
+    Fertility is ONE unrounded division of exact integer operands
+    (token and word totals are far inside 2^53), identical on both
+    engines.
+    """
+    base = encoded_word_freqs(docs, text_col).persist()
+    try:
+        _merges, cur = _train(base, n_merges)
+        n_syms = F.size(F.split(F.expr("btrim(ws, '|')"), r"\|\|"))
+        vocab = cur.select("w", n_syms.alias("n_syms"))
+        toks = docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)
+                )
+            ).alias("w"),
+        )
+        agg = (
+            toks.join(vocab.hint("shuffle_hash"), "w")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            )
+        )
+        return agg.select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    finally:
+        base.unpersist()
+
+
+def lang_fertility_oracle_sql(
+    n_merges: int = 12, table: str = "documents", lang_col: str = "lang"
+) -> str:
+    """DuckDB twin of lang_fertility: the same training chain, per-word
+    symbol counts joined to the exploded corpus, grouped by language."""
+    return (
+        _bpe_cte_chain(n_merges, table)
+        + f"""
+, vocab AS MATERIALIZED (
+  SELECT w, len(string_split(trim(ws, '|'), '||')) AS n_syms
+  FROM words{n_merges}
+), toks AS (
+  SELECT {lang_col} AS lang, unnest(regexp_extract_all(lower(text),
+                                                       '{TOKEN_PATTERN}')) AS w
+  FROM {table}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(vocab.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(vocab.n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS fertility
+FROM toks JOIN vocab ON toks.w = vocab.w
+GROUP BY lang"""
+    )

@@ -7669,3 +7669,18 @@ def q_collocation_topk(spark, sf_dir):
     return scored.orderBy(
         F.col("pmi_micro").desc(), "gram"
     ).limit(_COLLOC_TOPK)
+
+
+@register(
+    "bpe_lang_fertility", bpe.lang_fertility_oracle_sql(_N_BPE_MERGES)
+)
+def q_bpe_lang_fertility(spark, sf_dir):
+    """Tokenizer fertility by language under the corpus-trained BPE —
+    mean subword tokens per word, the multilingual-fairness metric a
+    tokenizer report leads with (a language the merges under-serve
+    pays proportionally more context budget per word). Same trained
+    vocab + shuffle_hash application shape as doc_bpe_trained_tokens,
+    aggregated to |langs| rows; fertility is one unrounded division
+    of exact integer totals (identical doubles on both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.lang_fertility(spark, docs, n_merges=_N_BPE_MERGES)

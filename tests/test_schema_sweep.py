@@ -93,6 +93,8 @@ _ALLOWED_DOUBLE = {
     ("doc_repetition", "dup_2gram_ratio"),
     ("doc_repetition", "top_token_ratio"),
     ("doc_token_stats", "avg_tokens"),
+    # one unrounded division of exact integer totals (< 2^53)
+    ("bpe_lang_fertility", "fertility"),
     ("embedding_quant_int8", "qscale"),
     ("json_value_by_type", "avg_k"),
     ("moment_stats_by_type", "mean_value"),
