@@ -7684,3 +7684,129 @@ def q_bpe_lang_fertility(spark, sf_dir):
     of exact integer totals (identical doubles on both engines)."""
     docs = _t(spark, sf_dir, "documents")
     return bpe.lang_fertility(spark, docs, n_merges=_N_BPE_MERGES)
+
+
+_LSH_RECALL_SQL = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_SQL}) x
+), found AS (
+  SELECT doc_a, doc_b FROM ({_minhash_md5_sql()}) x
+), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM found),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM truth JOIN found USING (doc_a, doc_b))
+SELECT t.n AS n_truth, f.n AS n_found, c.n AS n_common,
+       CASE WHEN t.n > 0 THEN CAST(c.n AS DOUBLE) / CAST(t.n AS DOUBLE) END
+         AS lsh_recall,
+       CASE WHEN f.n > 0 THEN CAST(c.n AS DOUBLE) / CAST(f.n AS DOUBLE) END
+         AS lsh_precision
+FROM t, f, c
+"""
+
+
+@register("minhash_lsh_recall", _LSH_RECALL_SQL)
+def q_minhash_lsh_recall(spark, sf_dir):
+    """LSH index-quality evaluation: recall and precision of the
+    md5-MinHash banding pipeline against the exact shingle-Jaccard
+    pair finder at the SAME threshold and shingle definition — the
+    ann_recall_at_10 metric for the near-dup family (LSH parameters
+    tune recall; this query is what a pipeline tunes them WITH).
+
+    Both sides are the registry's own pinned operators composed
+    unchanged (ngram.jaccard_pairs truth / minhash.minhash_md5_pairs
+    found); the intersection is one (doc_a, doc_b)-keyed join of two
+    pair tables (each already sub-quadratic), and the three counts are
+    1-row scalar aggregates crossed together — constant-size, reviewed.
+    Truth carries the documented max_df posting-list pruning; the
+    metric therefore reads as recall AGAINST THE PRUNED exact finder
+    (identically on both engines). Divisions are exact-int operands
+    with zero-count guards NULL on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram.jaccard_pairs(docs, threshold=0.5, max_df=50).select(
+        "doc_a", "doc_b"
+    )
+    found = minhash.minhash_md5_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    f_ = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    c = truth.join(found, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        t.crossJoin(f_)
+        .crossJoin(c)
+        .select(
+            "n_truth",
+            "n_found",
+            "n_common",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_common").cast("double")
+                / F.col("n_truth").cast("double"),
+            ).alias("lsh_recall"),
+            F.when(
+                F.col("n_found") > 0,
+                F.col("n_common").cast("double")
+                / F.col("n_found").cast("double"),
+            ).alias("lsh_precision"),
+        )
+    )
+
+
+_TRIANGLE_SQL = f"""
+WITH edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({_minhash_md5_sql()}) x
+), wedges AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedges w JOIN edges e3 ON w.a = e3.a AND w.c = e3.b
+), nn AS (
+  SELECT CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+), ne AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+)
+SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri
+"""
+
+
+@register("dup_graph_triangles", _TRIANGLE_SQL)
+def q_dup_graph_triangles(spark, sf_dir):
+    """Triangle count of the near-duplicate graph — the clustering-
+    coefficient numerator that tells DENSE duplicate families (cliques
+    from template spam) apart from CHAINS (incremental edits), which
+    min-label CC and PageRank cannot distinguish.
+
+    The classic ordered-wedge algorithm: edges are already oriented
+    a < b by construction, so every triangle a<b<c is counted exactly
+    once as wedge (a-b, b-c) closed by edge (a, c) — two node-keyed
+    equi-joins on the (small, sub-quadratic) pair table, no
+    per-triangle dedup pass. Edges persist once for their three
+    consumers. Scalar outputs; the count aggregates are the reviewed
+    1-row pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        minhash.minhash_md5_pairs(docs, threshold=0.5)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.hint("shuffle_hash").alias("e2")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc")
+    )
+    e3 = edges.hint("shuffle_hash").alias("e3")
+    tri = wedges.join(
+        e3, (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+    )
+    base = nodes.agg(
+        F.countDistinct("node").cast("bigint").alias("n_nodes")
+    ).crossJoin(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+    return base.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -253,6 +253,10 @@ _SCALE_FLAG_ALLOWLIST = {
     # composed pipeline embeds the semantic_dedup_scaled stage, so it
     # inherits that stage's reviewed 1-row-k scalar broadcast
     "pretrain_pipeline_report": {"bnlj", "single-partition"},
+    # three 1-row count scalars crossed together (partial rows cross
+    # the exchange; the pair tables themselves join key-equi)
+    "minhash_lsh_recall": {"bnlj", "single-partition"},
+    "dup_graph_triangles": {"bnlj", "single-partition"},
     # the 1-row bigram-total scalar (partial rows cross the exchange)
     # broadcast back over the vocabulary-sized candidate table as a
     # literal-free cross — the orders_above_avg scalar pattern

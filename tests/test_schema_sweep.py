@@ -87,6 +87,9 @@ _ALLOWED_DOUBLE = {
     # -- unrounded arithmetic of EXACT operands (int/int division,
     #    decimal-sum operands, already-quantized micro-unit inputs) ----
     ("ann_recall_at_10", "recall_at_10"),
+    # exact pair-count divisions with zero-count NULL guards
+    ("minhash_lsh_recall", "lsh_recall"),
+    ("minhash_lsh_recall", "lsh_precision"),
     ("counter_rate", "increase"),
     ("counter_rate", "rate_per_s"),
     ("doc_quality", "stop_ratio"),
