@@ -7810,3 +7810,108 @@ def q_dup_graph_triangles(spark, sf_dir):
         F.countDistinct("node").cast("bigint").alias("n_nodes")
     ).crossJoin(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
     return base.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+# Top-k |covariance| dim pairs to report; shared with the oracle.
+_DIMCOV_TOPK = 20
+
+_DIMCOV_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+           AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE embedding IS NOT NULL
+), dimstats AS (
+  SELECT pos, SUM(CAST(x AS HUGEINT)) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY pos
+), xy AS (
+  SELECT a.pos AS pos_a, b.pos AS pos_b,
+         SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos < b.pos
+  GROUP BY a.pos, b.pos
+), cov AS (
+  SELECT pos_a, pos_b, da.n AS n_vecs,
+         da.n * sxy - da.s * db.s AS cov_i
+  FROM xy JOIN dimstats da ON xy.pos_a = da.pos
+          JOIN dimstats db ON xy.pos_b = db.pos
+)
+SELECT pos_a, pos_b, n_vecs,
+       CAST(CAST(cov_i AS VARCHAR) AS DOUBLE) AS cov_scaled
+FROM cov
+ORDER BY abs(cov_i) DESC, pos_a, pos_b LIMIT {_DIMCOV_TOPK}
+"""
+
+
+@register("embedding_dim_cov_topk", _DIMCOV_SQL)
+def q_embedding_dim_cov_topk(spark, sf_dir):
+    """Top-k most-covarying embedding dimension pairs — the whitening /
+    PCA-prep diagnostic (strongly covarying dims mean the cosine
+    metric double-counts a direction; a whitening step or PQ subspace
+    rotation is warranted). Reports n·Σxy − Σx·Σy per (dim_a, dim_b)
+    in micro²-units, ranked by magnitude.
+
+    Scale shape: one posexplode (constant 64 rows/vector) and one
+    vec_id-keyed self-join (constant 2016 pair rows/vector — LINEAR in
+    the corpus, bounded per vector) feeding a partial-agged 2016-cell
+    aggregate; the dim-stats join attaches 64-row marginals. The
+    ORDER is decided on EXACT decimal/HUGEINT integers (ranking on a
+    rounded double could reorder knife-edge ties), then the winning
+    values take the string-route to double for output; top-k is a
+    distributed TakeOrderedAndProject over 2016 cells."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("v").cast("double") * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("x"),
+    )
+    as_dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
+    dimstats = ex.groupBy("pos").agg(
+        F.sum(as_dec(F.col("x"))).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = ex.alias("a")
+    b = ex.hint("shuffle_hash").alias("b")
+    xy = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") < F.col("b.pos")),
+        )
+        .groupBy(F.col("a.pos").alias("pos_a"), F.col("b.pos").alias("pos_b"))
+        .agg(F.sum(as_dec(F.col("a.x")) * as_dec(F.col("b.x"))).alias("sxy"))
+    )
+    da = dimstats.select(
+        F.col("pos").alias("pos_a"), F.col("s").alias("sa"), F.col("n").alias("n_vecs")
+    )
+    db = dimstats.select(F.col("pos").alias("pos_b"), F.col("s").alias("sb"))
+    cov = (
+        xy.join(da, "pos_a")
+        .join(db, "pos_b")
+        .select(
+            "pos_a",
+            "pos_b",
+            "n_vecs",
+            (
+                as_dec(F.col("n_vecs")) * F.col("sxy")
+                - F.col("sa") * F.col("sb")
+            ).alias("cov_i"),
+        )
+    )
+    return (
+        cov.orderBy(F.abs(F.col("cov_i")).desc(), "pos_a", "pos_b")
+        .limit(_DIMCOV_TOPK)
+        .select(
+            "pos_a",
+            "pos_b",
+            "n_vecs",
+            F.col("cov_i").cast("string").cast("double").alias("cov_scaled"),
+        )
+    )

@@ -151,6 +151,9 @@ _ALLOWED_DOUBLE = {
     # Pearson r from exact HUGEINT/decimal moments, string-routed
     # (value_autocorr_daily form)
     ("event_type_minute_corr", "corr_xy"),
+    # exact decimal covariance, ranked on the INTEGER then
+    # string-routed to double for output only
+    ("embedding_dim_cov_topk", "cov_scaled"),
     ("pricing_summary", "avg_qty"),
     ("pricing_summary", "sum_base_price"),
     ("pricing_summary", "sum_disc_price"),
