@@ -666,7 +666,81 @@ def skew_probe(spark, factor: int) -> dict:
     return out
 
 
+# Round-10b targeted stages: the six operators added after the full
+# r10 probe run (collocations, BPE fertility, arrival cross-corr,
+# lag-k ACF, fixed-ref CUSUM, dim covariance). Driven through the
+# REGISTERED query functions over a replicated {dir}/{table}.parquet
+# layout, so probe and registry can never diverge. The LSH recall /
+# triangle queries are deliberately absent: replication makes every
+# doc a factor-way exact-dup clique, so their pair joins inherit the
+# f² artifact the minhash verbatim column documents — their inner
+# pipelines are already covered by the minhash/ngram stages.
+R10B_STAGES = (
+    "collocation_topk",
+    "bpe_lang_fertility",
+    "event_type_minute_corr",
+    "value_autocorr_daily",
+    "cusum_fixed_ref",
+    "embedding_dim_cov_topk",
+)
+
+
+def targeted_factor_dir(spark, factor: int) -> str:
+    """{dir}/{table}.parquet layout over the cached replicas, so the
+    registered (spark, sf_dir) query contract drives the probe."""
+    d = SCRATCH / f"bytable_x{factor}"
+    d.mkdir(parents=True, exist_ok=True)
+    for table, id_col in (
+        ("documents", "doc_id"),
+        ("events", "event_id"),
+        ("embeddings", "vec_id"),
+    ):
+        dest = d / f"{table}.parquet"
+        if not dest.exists():
+            os.symlink(replicate(spark, table, factor, id_col), dest)
+    return str(d)
+
+
+def run_targeted(spark, factor: int) -> dict:
+    """Min-of-2 fresh-session passes over the R10B stages (same
+    methodology as run_factor)."""
+    from chronobase_spark import queries as q
+
+    sf_dir = targeted_factor_dir(spark, factor)
+    merged: dict[str, float] = {}
+    for _rep in range(2):
+        for name in R10B_STAGES:
+            t0 = time.perf_counter()
+            q._REGISTRY[name][0](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            merged[name] = min(merged.get(name, dt), dt)
+        spark.catalog.clearCache()
+    return {"factor": factor, **{k: round(v, 2) for k, v in merged.items()}}
+
+
 def main():
+    if sys.argv[1:2] == ["--r10b"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"r10b-probe-x{factor}", shuffle_partitions=32
+            )
+            rows.append(run_targeted(spark, factor))
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        for k in base:
+            if k != "factor":
+                print(
+                    f"{k}: {last['factor']}x data -> "
+                    f"{last[k] / max(base[k], 1e-9):.1f}x time"
+                )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
     if sys.argv[1:2] == ["--skew"]:
         factors = [int(a) for a in sys.argv[2:]] or [16, 64]
         for factor in factors:
