@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from chronobase_spark import catalog
 from chronobase_spark.dedup import embedding as emb_dedup
 from chronobase_spark.dedup import exact as exact_dedup
-from chronobase_spark.dedup import minhash, ngram, simhash, winnow
+from chronobase_spark.dedup import cdc, minhash, ngram, simhash, winnow
 from chronobase_spark.functions import bpe, packing, similarity, sketches, text
 from chronobase_spark.operators import aggregates as agg
 from chronobase_spark.operators import joins, setops, timeseries, windows
@@ -7914,4 +7914,225 @@ def q_embedding_dim_cov_topk(spark, sf_dir):
             "n_vecs",
             F.col("cov_i").cast("string").cast("double").alias("cov_scaled"),
         )
+    )
+
+
+_CDC_SQL = f"""
+WITH cut AS (
+  SELECT doc_id, source, text,
+         list_prepend(0, list_append(
+           CASE WHEN length(text) >= {cdc.CDC_WINDOW} THEN
+             list_filter(generate_series({cdc.CDC_WINDOW}, length(text)),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(generate_series(i - {cdc.CDC_WINDOW - 1}, i),
+                                       j -> CAST(ascii(text[j]) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % {cdc.CDC_PRIME})
+                    % {cdc.CDC_MOD} = 0)
+           ELSE CAST([] AS BIGINT[]) END, length(text))) AS bs
+  FROM documents
+  WHERE text IS NOT NULL
+), chunks AS (
+  SELECT source,
+         md5(substr(text, CAST(bs[CAST(g.i AS INT)] AS INT) + 1,
+                    CAST(bs[CAST(g.i AS INT) + 1] - bs[CAST(g.i AS INT)] AS INT))) AS ch,
+         CAST(bs[CAST(g.i AS INT) + 1] - bs[CAST(g.i AS INT)] AS INT) AS clen
+  FROM cut, LATERAL (SELECT unnest(generate_series(1, len(bs) - 1)) AS i) g
+  WHERE bs[CAST(g.i AS INT) + 1] > bs[CAST(g.i AS INT)]
+), per_chunk AS (
+  SELECT source, ch, COUNT(*) AS cnt, MIN(clen) AS clen
+  FROM chunks GROUP BY source, ch
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(cnt * clen) AS BIGINT) AS chars_total,
+       CAST(SUM(clen) AS BIGINT) AS chars_distinct,
+       CAST(SUM(cnt * clen) - SUM(clen) AS DOUBLE)
+         / CAST(SUM(cnt * clen) AS DOUBLE) AS dedup_save_ratio
+FROM per_chunk GROUP BY source
+"""
+
+
+@register("cdc_chunk_dedup", _CDC_SQL)
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup accounting (dedup.cdc): rolling
+    polynomial hash cuts chunk boundaries wherever the trailing-window
+    hash ≡ 0 (mod 64), then chunk-level exact dedup per source reports
+    the byte savings a chunk store would realize. Unlike fixed-width
+    chunking (doc_chunks_udtf), boundaries depend on LOCAL content
+    only, so an insertion realigns at the next surviving boundary —
+    the property that makes CDC the standard chunker for crawl-snapshot
+    dedup (shift-resilience pinned in tests/test_dedup.py).
+
+    Scale shape: the chunker is map-only codegen (no UDF, no shuffle);
+    dedup groups 16-byte md5 keys with map-side partial aggregation,
+    so shuffle bytes track DISTINCT chunks, not corpus bytes. The save
+    ratio is one double division of exact integer sums — cross-engine
+    exact without rounding. NULL-text docs are excluded on both
+    engines (they have no chunkable content)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return cdc.chunk_dedup_stats(docs)
+
+
+_HARDNEG_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _hardneg_cos(a: str, b: str) -> str:
+    dot = _HARDNEG_DOT.format(a=a, b=b)
+    na = _HARDNEG_DOT.format(a=a, b=a)
+    nb = _HARDNEG_DOT.format(a=b, b=b)
+    return f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+_HARDNEG_SQL = f"""
+WITH pool AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+), probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+  FROM pool WHERE vec_id % 100 = 7 ORDER BY vec_id LIMIT 1000
+), scored AS (
+  SELECT p.q_id, c.vec_id AS n_id, c.label AS n_label, p.q_label,
+         {_hardneg_cos('p.q_vec', 'c.embedding')} AS sim
+  FROM pool c JOIN probes p ON c.vec_id <> p.q_id
+), pos AS (
+  SELECT q_id, n_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+  FROM scored WHERE n_label = q_label
+), neg AS (
+  SELECT q_id, n_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+  FROM scored WHERE n_label <> q_label
+)
+SELECT p.q_id,
+       p.n_id AS pos_id, p.sim AS pos_sim,
+       n.n_id AS neg_id, n.sim AS neg_sim,
+       p.sim - n.sim AS margin
+FROM pos p JOIN neg n ON p.q_id = n.q_id
+WHERE p.rnk = 1 AND n.rnk = 1
+"""
+
+
+@register("hard_negative_mining", _HARDNEG_SQL)
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard-negative mining: for each probe
+    vector, the most-similar SAME-label neighbor (hardest positive)
+    and the most-similar DIFFERENT-label neighbor (hardest negative),
+    plus the margin between them — the pair-selection step that feeds
+    triplet/InfoNCE training, and a labeling-quality diagnostic
+    (negative margins flag probes whose nearest neighbor belongs to a
+    different class: mislabeled or boundary examples).
+
+    Scale shape: the probe set is HARD-CAPPED at 1000 rows (1% of ids,
+    then orderBy(vec_id).limit — a true size bound, so the broadcast
+    stays legitimate at any SF; the cap is a no-op at bench scales
+    where 1% of the corpus is ≤ 20 probes). The corpus streams through
+    ONCE computing the float64 cosine fold; both argmaxes are ONE
+    conditional min(struct) aggregate with map-side partials — no
+    window over the corpus, no second pass. Mining hard negatives for
+    EVERY corpus vector is a different workload: that is the IVF cell
+    restriction of ivf_topk_cosine applied per-cell, never this
+    broadcast leg. Similarity is rounded to 6dp before ranking
+    (rank boundaries deterministic cross-engine; ties break by
+    candidate id — encoded as min(struct(-sim, n_id))); the margin is
+    the raw difference of the two rounded sims, bit-identical on both
+    engines. Probes lacking any same-label or any different-label
+    counterpart drop (both aggregates must produce a winner)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
+    probes = (
+        emb.filter(F.col("vec_id") % 100 == 7)
+        .orderBy("vec_id")
+        .limit(1000)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("label").alias("n_label"),
+    )
+    pairs = cand.crossJoin(F.broadcast(probes)).filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    sim = F.round(
+        similarity.cosine(F.col("q_vec"), F.col("n_vec")), 6
+    )
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        sim.alias("sim"),
+        (F.col("n_label") == F.col("q_label")).alias("same"),
+    )
+    best = F.struct((-F.col("sim")).alias("ns"), F.col("n_id").alias("nid"))
+    g = scored.groupBy("q_id").agg(
+        F.min(F.when(F.col("same"), best)).alias("p"),
+        F.min(F.when(~F.col("same"), best)).alias("n"),
+    )
+    return g.filter(
+        F.col("p").isNotNull() & F.col("n").isNotNull()
+    ).select(
+        "q_id",
+        F.col("p.nid").alias("pos_id"),
+        (-F.col("p.ns")).alias("pos_sim"),
+        F.col("n.nid").alias("neg_id"),
+        (-F.col("n.ns")).alias("neg_sim"),
+        (-F.col("p.ns") - -F.col("n.ns")).alias("margin"),
+    )
+
+
+@register(
+    "label_balance_plan",
+    """WITH per AS (
+         SELECT label, COUNT(*) AS n FROM embeddings
+         WHERE label IS NOT NULL GROUP BY label
+       ), tot AS (
+         SELECT SUM(n) AS total, COUNT(*) AS n_labels, MAX(n) AS max_n FROM per
+       )
+       SELECT label,
+              CAST(n AS BIGINT) AS n,
+              CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+              CAST(total AS DOUBLE) / CAST(n_labels * n AS DOUBLE) AS inv_freq_weight,
+              CAST(ceil(CAST(max_n AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                AS oversample_factor
+       FROM per, tot""",
+)
+def q_label_balance_plan(spark, sf_dir):
+    """Class-balance report + oversampling plan over the labeled
+    embedding corpus: per-label share, the inverse-frequency loss
+    weight total/(|labels|·n) (mean weight 1 by construction), and the
+    integer repeat factor ceil(max_n/n) a balanced-epoch sampler would
+    apply — the class-imbalance audit that precedes classifier-head or
+    contrastive training.
+
+    Scale shape: one partial-agged |labels|-group aggregate; the 1-row
+    totals broadcast back (the source_mix_weights pattern — no second
+    corpus pass). Every output is an exact integer or a single double
+    division of exact integers — cross-engine exact, no rounding."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    per = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max("n").alias("max_n"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+        (
+            F.col("total").cast("double")
+            / (F.col("n_labels") * F.col("n")).cast("double")
+        ).alias("inv_freq_weight"),
+        F.ceil(F.col("max_n").cast("double") / F.col("n").cast("double"))
+        .cast("bigint")
+        .alias("oversample_factor"),
     )

@@ -342,3 +342,24 @@ def span_stage(
     return stream.withColumn("_toks", toks).withColumn(
         "span_hashes", text.span_hashes("_toks", width)
     ).drop("_toks")
+
+
+def cdc_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-defined chunk fingerprints IN the stream — the in-stream
+    twin of the batch CDC dedup pass (dedup.cdc / queries
+    cdc_chunk_dedup), so each arriving document lands in storage
+    already carrying the chunk-store keys a snapshot-to-snapshot dedup
+    needs; the global per-source accounting (cdc_chunk_dedup shape)
+    runs downstream on either surface.
+
+    Stateless by construction: the chunker is the LITERAL batch
+    expression (dedup.cdc.chunk_hashes — two Generate barriers plus
+    higher-order column math, no state store, no watermark), so
+    drained output is equal to batch by construction (pinned in
+    tests/test_streaming.py). One row per document — the md5 array is
+    ~len/64 × 32 bytes, so the stage is bandwidth-bound, never
+    state-bound (the 100 TB concern). Empty and NULL text carry an
+    EMPTY array (they have no chunkable content), matching batch."""
+    from chronobase_spark.dedup import cdc
+
+    return cdc.chunk_hashes(stream, text_col)

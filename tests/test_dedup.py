@@ -526,3 +526,109 @@ def test_pagerank_matches_reference_python(spark):
     assert got == want
     hub = max(ranks, key=ranks.get)
     assert hub == 0, "star hub must out-rank leaves"
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (dedup.cdc)
+# ---------------------------------------------------------------------------
+
+
+def _py_cdc_chunks(text: str | None) -> list[str]:
+    """Independent pure-Python reference for the CDC chunker: cut after
+    position i (1-based) when the polynomial fold of the trailing
+    8-char window ≡ 0 (mod 64); chunks are the spans between cuts."""
+    from chronobase_spark.dedup import cdc
+
+    if text is None:
+        return []
+    n = len(text)
+    cuts = []
+    for i in range(cdc.CDC_WINDOW, n + 1):
+        h = 0
+        for ch in text[i - cdc.CDC_WINDOW : i]:
+            h = (h * 31 + ord(ch)) % cdc.CDC_PRIME
+        if h % cdc.CDC_MOD == 0:
+            cuts.append(i)
+    bounds = [0, *cuts, n]
+    return [text[s:e] for s, e in zip(bounds, bounds[1:]) if e > s]
+
+
+def _cdc_corpus():
+    """Deterministic synthetic docs covering the edge classes: empty,
+    sub-window, window-sized, long random-ish, and NULL."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefgh ijklmnop"
+    long_doc = "".join(rng.choice(alpha) for _ in range(2000))
+    return [
+        (1, "", "web"),
+        (2, "short", "web"),
+        (3, "exactly8", "web"),
+        (4, long_doc, "books"),
+        (5, None, "books"),
+        (6, "the quick brown fox jumps over the lazy dog " * 10, "web"),
+    ]
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    """Spark chunk_table must agree with the independent Python fold on
+    every doc (bounds, order, text), and concatenating a doc's chunks
+    must reconstruct the doc (lossless round-trip)."""
+    from chronobase_spark.dedup import cdc
+
+    rows = _cdc_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got: dict[int, list[str]] = {}
+    for r in cdc.chunk_table(df, keep_text=True).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for doc_id, text, _src in rows:
+        want = _py_cdc_chunks(text)
+        have = [t for _, t in sorted(got.get(doc_id, []))]
+        assert have == want, f"doc {doc_id}: {have!r} != {want!r}"
+        if text:
+            assert "".join(have) == text  # round-trip
+        if text is None:
+            assert doc_id not in got  # NULL text contributes no rows
+
+
+def test_cdc_chunks_are_shift_resilient(spark):
+    """The CDC property fixed-size chunking lacks: prepending bytes
+    realigns at the next content-defined boundary, so all but the
+    leading chunk(s) survive an insertion. A fixed-width chunker would
+    shift EVERY boundary and share nothing."""
+    base = _cdc_corpus()[3][1]  # the 2000-char doc
+    edited = "INSERTED PREFIX " + base
+    a, b = _py_cdc_chunks(base), _py_cdc_chunks(edited)
+    assert len(a) >= 10, "doc long enough to chunk meaningfully"
+    # common suffix of the two chunk lists
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    assert k >= len(a) - 2, (
+        f"insertion should only disturb the leading chunk(s); "
+        f"shared suffix {k} of {len(a)}"
+    )
+
+
+def test_cdc_stream_shape_agrees_with_batch_table(spark):
+    """chunk_hashes (the one-row-per-doc streaming shape) must carry
+    exactly the md5 sequence the exploded batch inventory derives, and
+    empty/NULL docs must carry an empty array (not NULL)."""
+    from chronobase_spark.dedup import cdc
+
+    df = spark.createDataFrame(
+        _cdc_corpus(), "doc_id long, text string, source string"
+    )
+    arr = {
+        r["doc_id"]: r["chunk_md5s"]
+        for r in cdc.chunk_hashes(df).collect()
+    }
+    tab: dict[int, list[str]] = {}
+    for r in cdc.chunk_table(df).collect():
+        tab.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_md5"]))
+    for doc_id, text, _src in _cdc_corpus():
+        want = [h for _, h in sorted(tab.get(doc_id, []))]
+        assert arr[doc_id] == want
+        if not text:
+            assert arr[doc_id] == []

@@ -271,6 +271,15 @@ _SCALE_FLAG_ALLOWLIST = {
     # (zipf bounded-head rule)
     "lang_source_pmi": {"single-partition"},
     "lang_source_mi": {"single-partition"},
+    # hard-capped probe set (filter -> orderBy(vec_id).limit(1000))
+    # broadcast over the corpus — the topk_cosine brute-force pattern
+    # with an explicit size bound, so the BNLJ side can never exceed
+    # 1000 rows at any SF
+    "hard_negative_mining": {"bnlj"},
+    # 1-row (total, n_labels, max_n) scalar broadcast back over the
+    # |labels|-sized count table; partial rows cross the
+    # SinglePartition exchange (source_mix_weights pattern)
+    "label_balance_plan": {"bnlj", "single-partition"},
 }
 
 

@@ -1318,3 +1318,52 @@ def test_streaming_cusum_matches_batch_prefix_form(spark, event_source, tmp_path
     assert got == want
     assert any(v[2] for v in want.values()), "no alarm rows — H too high"
     assert not all(v[2] for v in want.values()), "every row alarmed — H too low"
+
+
+def test_streaming_cdc_stage_matches_batch(spark, tmp_path):
+    """The stateless in-stream CDC chunk-fingerprint emission must
+    drain EQUAL to the batch chunker (same md5 sequence per doc, same
+    order), with empty and NULL text carried through as EMPTY arrays.
+    Run through a real stream so the stage is proven stateless (no
+    watermark, no state store)."""
+    from chronobase_spark.dedup import cdc
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "cdcsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(50)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    empty = base.limit(1).withColumn("doc_id", F.lit(999998)).withColumn(
+        "text", F.lit("")
+    )
+    nulltext = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    base.union(empty).union(nulltext).repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "cdc_sink")
+    q = (
+        docstream.cdc_stage(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+
+    got = {r["doc_id"]: list(r["chunk_md5s"]) for r in out.collect()}
+    batch = {
+        r["doc_id"]: list(r["chunk_md5s"])
+        for r in cdc.chunk_hashes(spark.read.parquet(src)).collect()
+    }
+    assert got == batch
+    assert got[999998] == [] and got[999999] == []
+    assert any(len(v) > 0 for v in got.values()), "corpus should emit chunks"
