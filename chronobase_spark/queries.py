@@ -8136,3 +8136,161 @@ def q_label_balance_plan(spark, sf_dir):
         .cast("bigint")
         .alias("oversample_factor"),
     )
+
+
+_LEAK_SQL = f"""
+WITH sp AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), pr AS (
+  SELECT doc_a, doc_b FROM ({_minhash_md5_sql()}) x
+)
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       (least(sa.split, sb.split) <> greatest(sa.split, sb.split)) AS crosses_split,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pr
+JOIN sp sa ON pr.doc_a = sa.doc_id
+JOIN sp sb ON pr.doc_b = sb.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+@register("split_leakage_report", _LEAK_SQL)
+def q_split_leakage_report(spark, sf_dir):
+    """Train/val/test leakage audit: near-duplicate pairs (the pinned
+    md5-MinHash banding pipeline at jaccard ≥ 0.5) classified by the
+    split each side lands in under the content-free md5 assignment
+    (doc_split_assign). Pairs with crosses_split=true are LEAKS — a
+    near-copy of a training document sitting in val/test silently
+    inflates eval scores, which is why dedup must run BEFORE splitting
+    (the composed pretrain_pipeline_report ordering); this query is
+    the audit that proves it, and its within-split counts are the
+    residual dup mass each split still carries.
+
+    Scale shape: composes two registry-pinned operators unchanged —
+    the banded LSH pair generation (shuffle_hash self-join on band
+    keys, never all-pairs) and the map-only split expression; the two
+    split lookups are doc_id-keyed equi-joins against the pair set
+    (|pairs| rows, far below corpus), and the final aggregate has ≤ 6
+    grouped rows. Everything is md5-derived, so the WHOLE audit is
+    hash-checked cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash.minhash_md5_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    sp = docs.select(
+        "doc_id", packing.md5_split(F.col("doc_id")).alias("split")
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    lo = F.least("_sa", "_sb")
+    hi = F.greatest("_sa", "_sb")
+    return (
+        j.select(
+            lo.alias("split_lo"),
+            hi.alias("split_hi"),
+            (lo != hi).alias("crosses_split"),
+        )
+        .groupBy("split_lo", "split_hi", "crosses_split")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _jl_planes():
+    """16×64 literal Gaussian JL projection matrix (hyperplanes
+    machinery, its own seed so the matrix is not the LSH family's)."""
+    return emb_dedup.hyperplanes(16, seed=97)
+
+
+def _jl_sql() -> str:
+    planes = _jl_planes()
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in r) + "]" for r in planes
+    )
+    diff = "(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
+    d2o = (
+        f"list_sum(list_transform(generate_series(1, 64), "
+        f"i -> {diff} * {diff}))"
+    )
+    d2p = (
+        f"list_sum(list_transform(list_transform([{rows}], "
+        f"r -> list_sum(list_transform(generate_series(1, 64), "
+        f"i -> {diff} * r[i]))), x -> x * x))"
+    )
+    return f"""
+SELECT id_a, id_b, d2_orig, d2_proj,
+       CASE WHEN d2_orig > 0 THEN d2_proj / (16.0 * d2_orig) END AS distortion
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {d2o} AS d2_orig,
+         {d2p} AS d2_proj
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 20 AND b.vec_id < 20
+    AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL) t
+"""
+
+
+@register("jl_distance_preservation", _jl_sql())
+def q_jl_distance_preservation(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection dimensionality reduction
+    (64 → 16) with a distance-preservation audit: for every pair in a
+    bounded probe set, the original squared L2 distance, the projected
+    squared distance, and the distortion d²_proj/(k·d²_orig) — the JL
+    lemma says distortion concentrates near 1, which is what makes a
+    16-dim sketch usable for coarse candidate generation at 1/4 the
+    scan bytes (the index-build decision this audit feeds; mean
+    distortion ≈ 1 pinned in pytest).
+
+    Scale shape: the probe set is a LITERAL id bound (vec_id < 20 —
+    constant rows at any SF; the 20×20 non-equi pair frame broadcasts
+    one tiny side, reviewed in the plan allowlist). Projection at
+    corpus scale is the map-only 16-fold expression — this query's
+    audit form only pays it on probe pairs. The projected distance is
+    computed as <a−b, R_j> per plane (diff-then-project ≡
+    project-then-diff by linearity, halving the fold count); every
+    fold is the sequential float64 fold both engines share, and the
+    distortion is one multiply+divide on identical doubles — no
+    rounding anywhere."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 20) & F.col("embedding").isNotNull()
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    diff = F.zip_with(
+        F.col("va"), F.col("vb"), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    d2o = F.aggregate(
+        F.transform(diff, lambda d: d * d), F.lit(0.0), lambda acc, v: acc + v
+    )
+    planes = _jl_planes()
+    pd_terms = []
+    for r in planes:
+        lits = F.array(*[F.lit(float(x)) for x in r])
+        pd_terms.append(
+            F.aggregate(
+                F.zip_with(diff, lits, lambda d, p: d * p),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    d2p = F.lit(0.0)
+    for t in pd_terms:
+        d2p = d2p + t * t
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        d2o.alias("d2_orig"),
+        d2p.alias("d2_proj"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("d2_orig") > 0, F.col("d2_proj") / (F.lit(16.0) * F.col("d2_orig"))
+        ).alias("distortion"),
+    )

@@ -1041,3 +1041,19 @@ def test_pii_scrub_matches_python_re_on_edge_cases(spark):
         np_ = len(phone.findall(t))
         red = phone.sub("<PHONE>", email.sub("<EMAIL>", t))
         assert got[i] == (ne, np_, red), (t, got[i], (ne, np_, red))
+
+
+def test_jl_projection_distortion_concentrates_near_one(spark):
+    """JL lemma sanity: with a 16-dim Gaussian projection of 64-dim
+    vectors, the pairwise distance distortion d2_proj/(k*d2_orig) must
+    concentrate around 1 (loose bounds — this pins the projection is
+    scaled correctly and actually preserves geometry, not a tight
+    concentration inequality)."""
+    from chronobase_spark import queries as q
+
+    rows = q._REGISTRY["jl_distance_preservation"][0](spark, SF_SMOKE).collect()
+    ds = [r["distortion"] for r in rows if r["distortion"] is not None]
+    assert len(ds) >= 100, "20-probe pair frame should yield ~190 pairs"
+    mean = sum(ds) / len(ds)
+    assert 0.75 < mean < 1.25, f"mean distortion {mean} far from 1"
+    assert all(0.2 < d < 3.0 for d in ds), "individual distortion blew up"

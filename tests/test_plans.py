@@ -280,6 +280,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # |labels|-sized count table; partial rows cross the
     # SinglePartition exchange (source_mix_weights pattern)
     "label_balance_plan": {"bnlj", "single-partition"},
+    # LITERAL-bounded probe pair frame (vec_id < 20 both sides): the
+    # non-equi id_a < id_b join broadcasts a ≤20-row side at any SF
+    "jl_distance_preservation": {"bnlj"},
 }
 
 
