@@ -195,3 +195,128 @@ def graph_pagerank(
     return deg.join(ranks.hint("shuffle_hash"), deg["e_src"] == ranks["node"]).select(
         F.col("node").alias("doc_id"), "degree", "rank_micro"
     )
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges, canonically (larger, smaller), no
+    self-loops."""
+    return (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node u connects its LARGER neighbors to
+    m(u) = min({u} ∪ Γ(u)). One symmetrize + one min-aggregate + one
+    keyed join — all hash-partitioned on the center node."""
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("m")
+    )
+    out = (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins.hint("shuffle_hash"), "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node u connects its SMALLER neighbors (and
+    itself) to m(u) = min(Γ⁻(u) ∪ {u}). Edges arrive canonical
+    (u > v), so Γ⁻ is just the v column."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    with_m = e.join(mins.hint("shuffle_hash"), "u")
+    out = with_m.select(F.col("v").alias("u"), F.col("m").alias("v")).unionAll(
+        mins.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return (
+        out.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, label) by the ALTERNATING large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log² n) rounds REGARDLESS of graph
+    diameter, where min-label propagation (connected_components) needs
+    diameter rounds — the scale hedge for adversarial shapes (long
+    chains of borderline near-dups, web-graph tendrils). For the usual
+    near-dup clique soup both converge in 2-3 rounds and min-label's
+    cheaper round wins; pick per workload.
+
+    Each round is two map-reduce steps (min-aggregate + keyed join,
+    hash-partitioned on the center node). Fixpoint test: same edge
+    count AND an empty one-sided exceptAll — exact, two bounded
+    actions per round, no checksum collisions. At the fixpoint every
+    component is a star (child → root, root < child), read off as the
+    label table; equality with min-label CC and the O(log) round count
+    on a 400-diameter path are pinned in tests/test_dedup.py.
+
+    Lineage discipline (measured, not theoretical): each round's plan
+    references the previous round's DAG ~4× (symmetrize + min-agg +
+    join), so Catalyst's tree-expansion of the shared DAG grows
+    EXPONENTIALLY in the round count — with plain persist() the 400-
+    node path graph hit 35 s/round by round 3 and OOMed the driver on
+    ANALYSIS alone (the cache bounds execution, not the logical tree).
+    ``localCheckpoint(eager=True)`` truncates lineage every round,
+    holding per-round planning cost constant. On a real cluster a
+    reliable ``checkpoint()`` directory buys the same truncation plus
+    executor-loss recovery; local checkpoint is the right single-node
+    trade."""
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_prev = e.count()
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_new = new_e.count()
+        if n_new == n_prev and new_e.exceptAll(e).limit(1).count() == 0:
+            e = new_e
+            break
+        e, n_prev = new_e, n_new
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds"
+        )
+    # stars: every edge is (child, root); roots label themselves
+    return e.select(
+        F.col("u").alias("id"), F.col("v").alias("label")
+    ).unionAll(
+        e.select(F.col("v").alias("id"), F.col("v").alias("label"))
+    ).distinct()
+
+
+def assign_clusters_star(
+    all_ids: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """assign_clusters with the star-contraction CC (same output
+    contract: every id mapped to its cluster's min id, singletons to
+    themselves)."""
+    labels = connected_components_star(edges, src, dst)
+    return (
+        all_ids.select(id_col)
+        .join(labels.hint("shuffle_hash"), all_ids[id_col] == labels["id"], "left")
+        .select(
+            id_col,
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -8294,3 +8294,27 @@ def q_jl_distance_preservation(spark, sf_dir):
             F.col("d2_orig") > 0, F.col("d2_proj") / (F.lit(16.0) * F.col("d2_orig"))
         ).alias("distortion"),
     )
+
+
+@register("dup_clusters_star", _CLUSTER_SQL)
+def q_dup_clusters_star(spark, sf_dir):
+    """Transitive near-dup clusters by ALTERNATING star contraction
+    (dedup.cluster.connected_components_star — Kiveris et al. SoCC'14)
+    over the same Jaccard pair graph as dup_clusters, hash-checked
+    against the same recursive-CTE oracle. Exists because min-label
+    propagation needs DIAMETER rounds: a 100 TB near-dup graph with
+    chained borderline pairs (crawl mirrors citing mirrors) can be
+    hundreds of hops deep, while star contraction is O(log²) rounds on
+    ANY shape (10 rounds on a 400-hop path, pinned in pytest, where
+    min-label's 25-round budget aborts). Both implementations share
+    the output contract; a pipeline picks min-label for clique soup
+    (cheaper round) and star for unknown/adversarial graphs."""
+    from chronobase_spark.dedup import cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        ngram.jaccard_pairs(docs, threshold=0.5, max_df=50)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    return cluster.assign_clusters_star(docs, pairs)

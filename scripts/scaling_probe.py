@@ -685,31 +685,48 @@ R10B_STAGES = (
 )
 
 
-def targeted_factor_dir(spark, factor: int) -> str:
+_TARGET_TABLES = (
+    ("documents", "doc_id"),
+    ("events", "event_id"),
+    ("embeddings", "vec_id"),
+)
+
+# Round-10 session additions: CDC chunk dedup (map-only chunker — the
+# linear-growth claim), the capped-probe hard-negative scan, the
+# composed split-leakage audit (minhash banding + split joins), and the
+# literal-bounded JL pair frame (expected FLAT: partition pruning
+# should keep the probe scan constant as the corpus replicates).
+R10C_STAGES = (
+    "cdc_chunk_dedup",
+    "hard_negative_mining",
+    "split_leakage_report",
+    "jl_distance_preservation",
+    "label_balance_plan",
+)
+R10C_TABLES = (("documents", "doc_id"), ("embeddings", "vec_id"))
+
+
+def targeted_factor_dir(spark, factor: int, tables=_TARGET_TABLES) -> str:
     """{dir}/{table}.parquet layout over the cached replicas, so the
     registered (spark, sf_dir) query contract drives the probe."""
     d = SCRATCH / f"bytable_x{factor}"
     d.mkdir(parents=True, exist_ok=True)
-    for table, id_col in (
-        ("documents", "doc_id"),
-        ("events", "event_id"),
-        ("embeddings", "vec_id"),
-    ):
+    for table, id_col in tables:
         dest = d / f"{table}.parquet"
         if not dest.exists():
             os.symlink(replicate(spark, table, factor, id_col), dest)
     return str(d)
 
 
-def run_targeted(spark, factor: int) -> dict:
-    """Min-of-2 fresh-session passes over the R10B stages (same
+def run_targeted(spark, factor: int, stages=R10B_STAGES, tables=_TARGET_TABLES) -> dict:
+    """Min-of-2 fresh-session passes over the given stages (same
     methodology as run_factor)."""
     from chronobase_spark import queries as q
 
-    sf_dir = targeted_factor_dir(spark, factor)
+    sf_dir = targeted_factor_dir(spark, factor, tables)
     merged: dict[str, float] = {}
     for _rep in range(2):
-        for name in R10B_STAGES:
+        for name in stages:
             t0 = time.perf_counter()
             q._REGISTRY[name][0](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -721,6 +738,28 @@ def run_targeted(spark, factor: int) -> dict:
 
 
 def main():
+    if sys.argv[1:2] == ["--r10c"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"r10c-probe-x{factor}", shuffle_partitions=32
+            )
+            rows.append(
+                run_targeted(spark, factor, R10C_STAGES, R10C_TABLES)
+            )
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        for k in base:
+            if k != "factor":
+                print(
+                    f"{k}: {last['factor']}x data -> "
+                    f"{last[k] / max(base[k], 1e-9):.1f}x time"
+                )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
     if sys.argv[1:2] == ["--r10b"]:
         factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
         SCRATCH.mkdir(parents=True, exist_ok=True)

@@ -632,3 +632,57 @@ def test_cdc_stream_shape_agrees_with_batch_table(spark):
         assert arr[doc_id] == want
         if not text:
             assert arr[doc_id] == []
+
+
+# ---------------------------------------------------------------------------
+# Star-contraction connected components (dedup.cluster)
+# ---------------------------------------------------------------------------
+
+
+def test_star_cc_matches_min_label_on_random_graph(spark):
+    """Both CC implementations must produce the identical (id, label)
+    fixpoint on a random multigraph (cliques, chains, isolated-by-
+    omission nodes alike)."""
+    import random
+
+    from chronobase_spark.dedup import cluster
+
+    rng = random.Random(1)
+    es = [
+        (a, b)
+        for a, b in ((rng.randrange(50), rng.randrange(50)) for _ in range(80))
+        if a != b
+    ]
+    e = spark.createDataFrame(es, "doc_a long, doc_b long")
+    got_min = {r["id"]: r["label"] for r in cluster.connected_components(e).collect()}
+    got_star = {
+        r["id"]: r["label"] for r in cluster.connected_components_star(e).collect()
+    }
+    assert got_min == got_star and len(got_min) >= 40
+
+
+def test_star_cc_is_logarithmic_on_long_path(spark):
+    """The reason star contraction exists: a 400-hop path collapses in
+    O(log) rounds (≤ 14 pinned) where min-label propagation needs
+    ~diameter rounds and would abort at its 25-round budget. Also pins
+    the labels: every node reaches the global min 0."""
+    from chronobase_spark.dedup import cluster
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    rounds = [0]
+    orig = cluster._large_star
+
+    def counting(e):
+        rounds[0] += 1
+        return orig(e)
+
+    cluster._large_star = counting
+    try:
+        labels = cluster.connected_components_star(edges).collect()
+    finally:
+        cluster._large_star = orig
+    assert len(labels) == 401
+    assert all(r["label"] == 0 for r in labels)
+    assert rounds[0] <= 14, f"star contraction took {rounds[0]} rounds"
