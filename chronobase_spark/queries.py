@@ -7917,8 +7917,10 @@ def q_embedding_dim_cov_topk(spark, sf_dir):
     )
 
 
-_CDC_SQL = f"""
-WITH cut AS (
+# Shared CTE text so cdc_chunk_dedup and cdc_incremental_ingest can
+# never drift from each other (r9 advisor rule: generate shared SQL
+# constants from ONE place): chunks(doc_id, source, ch, clen).
+_CDC_CHUNKS_CTE = f"""cut AS (
   SELECT doc_id, source, text,
          list_prepend(0, list_append(
            CASE WHEN length(text) >= {cdc.CDC_WINDOW} THEN
@@ -7933,13 +7935,16 @@ WITH cut AS (
   FROM documents
   WHERE text IS NOT NULL
 ), chunks AS (
-  SELECT source,
+  SELECT doc_id, source,
          md5(substr(text, CAST(bs[CAST(g.i AS INT)] AS INT) + 1,
                     CAST(bs[CAST(g.i AS INT) + 1] - bs[CAST(g.i AS INT)] AS INT))) AS ch,
          CAST(bs[CAST(g.i AS INT) + 1] - bs[CAST(g.i AS INT)] AS INT) AS clen
   FROM cut, LATERAL (SELECT unnest(generate_series(1, len(bs) - 1)) AS i) g
   WHERE bs[CAST(g.i AS INT) + 1] > bs[CAST(g.i AS INT)]
-), per_chunk AS (
+)"""
+
+_CDC_SQL = f"""
+WITH {_CDC_CHUNKS_CTE}, per_chunk AS (
   SELECT source, ch, COUNT(*) AS cnt, MIN(clen) AS clen
   FROM chunks GROUP BY source, ch
 )
@@ -8318,3 +8323,74 @@ def q_dup_clusters_star(spark, sf_dir):
         .persist()
     )
     return cluster.assign_clusters_star(docs, pairs)
+
+
+_CDC_INCR_SQL = f"""
+WITH {_CDC_CHUNKS_CTE}, old_store AS (
+  SELECT DISTINCT ch FROM chunks WHERE doc_id % 2 = 0
+), new_pc AS (
+  SELECT source, ch, COUNT(*) AS cnt, MIN(clen) AS clen
+  FROM chunks WHERE doc_id % 2 = 1 GROUP BY source, ch
+), flagged AS (
+  SELECT n.source, n.cnt, n.clen, (o.ch IS NOT NULL) AS known
+  FROM new_pc n LEFT JOIN old_store o ON n.ch = o.ch
+)
+SELECT source,
+       CAST(SUM(cnt * clen) AS BIGINT) AS chars_arriving,
+       CAST(SUM(CASE WHEN known THEN 0 ELSE clen END) AS BIGINT) AS chars_stored,
+       CAST(SUM(CASE WHEN known THEN clen ELSE 0 END) AS BIGINT) AS chars_hit,
+       CAST(SUM(cnt * clen) - SUM(CASE WHEN known THEN 0 ELSE clen END) AS DOUBLE)
+         / CAST(SUM(cnt * clen) AS DOUBLE) AS store_savings_ratio
+FROM flagged GROUP BY source
+"""
+
+
+@register("cdc_incremental_ingest", _CDC_INCR_SQL)
+def q_cdc_incremental_ingest(spark, sf_dir):
+    """Incremental crawl-snapshot ingest cost against an existing CDC
+    chunk store: even-id documents play the PREVIOUS snapshot (the
+    store), odd-id documents the ARRIVING one. Per source: bytes
+    arriving, bytes the store must actually write (distinct unseen
+    chunks), bytes satisfied by cross-snapshot hits, and the storage
+    savings ratio — the number that justifies CDC over whole-document
+    dedup between crawls, where most documents change slightly and
+    fixed chunking would re-store everything downstream of each edit.
+
+    Scale shape: ONE chunker pass over the corpus (map-only) split by
+    id parity; the store membership test is a chunk_md5-keyed LEFT
+    join of two distinct-chunk tables with map-side partial aggs on
+    both sides — shuffle bytes track distinct chunks, never corpus
+    bytes. Per-source accounting deduplicates within (source, chunk)
+    — a global store would dedup across sources too; the per-source
+    split keeps the attribution a mixing pipeline needs. The savings
+    ratio is one double division of exact integer sums. The oracle
+    shares its chunker CTE text with cdc_chunk_dedup (single source of
+    truth, r9 advisor drift rule)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ct = cdc.chunk_table(docs).persist()
+    old_store = (
+        ct.filter(F.col("doc_id") % 2 == 0).select("chunk_md5").distinct()
+    )
+    new_pc = (
+        ct.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("source", "chunk_md5")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("chunk_len").alias("clen"))
+    )
+    flagged = new_pc.join(
+        old_store.withColumn("known", F.lit(True)).hint("shuffle_hash"),
+        "chunk_md5",
+        "left",
+    ).select(
+        "source", "cnt", "clen", F.coalesce("known", F.lit(False)).alias("known")
+    )
+    arriving = F.sum(F.col("cnt") * F.col("clen"))
+    stored = F.sum(F.when(F.col("known"), 0).otherwise(F.col("clen")))
+    hit = F.sum(F.when(F.col("known"), F.col("clen")).otherwise(0))
+    return flagged.groupBy("source").agg(
+        arriving.alias("chars_arriving"),
+        stored.alias("chars_stored"),
+        hit.alias("chars_hit"),
+        ((arriving - stored).cast("double") / arriving.cast("double")).alias(
+            "store_savings_ratio"
+        ),
+    )
