@@ -8394,3 +8394,136 @@ def q_cdc_incremental_ingest(spark, sf_dir):
             "store_savings_ratio"
         ),
     )
+
+
+def _whiten_sql() -> str:
+    zden = "sqrt(CAST(CAST(st.n * st.q - st.s * st.s AS VARCHAR) AS DOUBLE))"
+    znum = "CAST(CAST(st.n * ex.x - st.s AS VARCHAR) AS DOUBLE)"
+    wdot = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> {a}.zvec[i] * {b}.zvec[i]))"
+    )
+    wcos = (
+        f"ROUND(({wdot.format(a='p', b='c')}) / "
+        f"(sqrt({wdot.format(a='p', b='p')}) * sqrt({wdot.format(a='c', b='c')})), 6)"
+    )
+    raw_dot = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))"
+    )
+    raw_cos = (
+        f"ROUND(({raw_dot.format(a='q', b='c')}) / "
+        f"(sqrt({raw_dot.format(a='q', b='q')}) * sqrt({raw_dot.format(a='c', b='c')})), 6)"
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id, i AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE embedding IS NOT NULL
+), st AS (
+  SELECT pos, SUM(CAST(x AS HUGEINT)) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY pos
+), z AS (
+  SELECT ex.vec_id, ex.pos, {znum} / {zden} AS zval
+  FROM ex JOIN st ON ex.pos = st.pos
+), zv AS (
+  SELECT vec_id, list(zval ORDER BY pos) AS zvec FROM z GROUP BY vec_id
+), wtop AS (
+  SELECT q_id, n_id FROM (
+    SELECT p.vec_id AS q_id, c.vec_id AS n_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {wcos} DESC, c.vec_id) AS rnk
+    FROM zv c JOIN zv p ON c.vec_id <> p.vec_id
+    WHERE p.vec_id IN (0, 1, 2)) t
+  WHERE rnk <= 10
+), rawtop AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {raw_cos} DESC, c.vec_id) AS rnk
+    FROM embeddings c JOIN embeddings q
+      ON c.vec_id <> q.vec_id
+    WHERE q.vec_id IN (0, 1, 2)
+      AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL) t
+  WHERE rnk <= 10
+)
+SELECT q_id, CAST(COUNT(*) AS BIGINT) AS overlap_at_10
+FROM wtop JOIN rawtop USING (q_id, n_id)
+GROUP BY q_id
+"""
+
+
+@register("whitened_topk_overlap", _whiten_sql())
+def q_whitened_topk_overlap(spark, sf_dir):
+    """Whitening ACTION for the embedding_dim_cov_topk diagnostic:
+    z-score every dimension (diagonal whitening — mean-center, unit
+    variance), redo exact top-10 cosine for the probe set, and report
+    the per-probe overlap with the RAW top-10. Low overlap means
+    high-variance dimensions were dominating the raw metric and a
+    whitening step materially changes (usually improves) neighbor
+    quality — the go/no-go number for inserting the transform before
+    index build.
+
+    Cross-engine exactness: per-dim stats are exact integer micro
+    sums (HUGEINT / decimal(28,0)); z = (n·x − S)/√(n·Q − S²) is
+    derived from those integers with ONE string-routed cast to double
+    per operand (the dim-cov precedent — decimal→double direct can
+    differ in the last ulp), so both engines build bit-identical
+    z-vectors; both rankings round to 6dp before rank with id
+    tie-break; the overlap count is a plain integer.
+
+    Scale shape: one posexplode (64 rows/vector) into a 64-row stats
+    aggregate that BROADCASTS back (constant), one |corpus| array
+    rebuild keyed on vec_id, then the capped-probe broadcast scan of
+    topk_cosine — no window over the corpus except per-probe ranking
+    of (probe, id, sim) triples."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("v").cast("double") * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("x"),
+    )
+    st = ex.groupBy("pos").agg(
+        F.sum(dec(F.col("x"))).alias("s"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    znum = (dec(F.col("n")) * dec(F.col("x")) - F.col("s")).cast("string").cast(
+        "double"
+    )
+    zden = F.sqrt(
+        (dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s"))
+        .cast("string")
+        .cast("double")
+    )
+    z = ex.join(F.broadcast(st), "pos").select(
+        "vec_id", "pos", (znum / zden).alias("zval")
+    )
+    zv = z.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "zval"))),
+            lambda s: s["zval"],
+        ).alias("zvec")
+    )
+    wtop = similarity.topk_cosine(
+        zv.filter(F.col("vec_id").isin([0, 1, 2])),
+        zv,
+        k=10,
+        vec_col="zvec",
+    ).select("q_id", "n_id")
+    rawtop = similarity.topk_cosine(
+        emb.filter(F.col("vec_id").isin([0, 1, 2])), emb, k=10
+    ).select("q_id", "n_id")
+    return (
+        wtop.join(rawtop, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("overlap_at_10"))
+    )

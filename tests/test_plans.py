@@ -283,6 +283,9 @@ _SCALE_FLAG_ALLOWLIST = {
     # LITERAL-bounded probe pair frame (vec_id < 20 both sides): the
     # non-equi id_a < id_b join broadcasts a ≤20-row side at any SF
     "jl_distance_preservation": {"bnlj"},
+    # two topk_cosine passes (raw + whitened), each the reviewed 3-row
+    # probe broadcast cross; the 64-row dim-stats broadcast is constant
+    "whitened_topk_overlap": {"bnlj"},
 }
 
 
