@@ -8527,3 +8527,80 @@ def q_whitened_topk_overlap(spark, sf_dir):
         .groupBy("q_id")
         .agg(F.count(F.lit(1)).alias("overlap_at_10"))
     )
+
+
+_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT c.doc_id,
+       so.split AS split_orig,
+       sc.split AS split_fixed,
+       (so.split <> sc.split) AS reassigned
+FROM clusters c
+JOIN sp so ON c.doc_id = so.doc_id
+JOIN sp sc ON c.cluster_id = sc.doc_id
+"""
+
+
+@register("leakage_safe_split", _SAFE_SPLIT_SQL)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-SAFE train/val/test assignment — the FIX for what
+    split_leakage_report measures: every near-dup cluster moves
+    wholesale to the split its canonical member (min doc id) hashes
+    to, so no cluster can ever span train and eval. Emits the original
+    and corrected assignment plus a reassigned flag per document; the
+    corrected column is what the packing/mixing stages downstream
+    should consume. Composes three pinned operators unchanged (Jaccard
+    pairs → min-label CC → md5 split), so the whole artifact is
+    hash-checked cross-engine, including the recursive-CTE oracle for
+    the transitive closure.
+
+    Scale shape: inherits dup_clusters' CC posture (edges persisted,
+    per-round join + min-aggregate, scalar-only driver traffic); the
+    split expressions are map-only md5 nibbles; the final form is two
+    doc_id-keyed equi-joins (cluster table ⋈ split table twice — the
+    second keyed on cluster_id, whose values ARE doc ids)."""
+    from chronobase_spark.dedup import cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        ngram.jaccard_pairs(docs, threshold=0.5, max_df=50)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    clusters = cluster.assign_clusters(docs, pairs)
+    sp = docs.select(
+        "doc_id", packing.md5_split(F.col("doc_id")).alias("split")
+    )
+    so = sp.select(
+        F.col("doc_id"), F.col("split").alias("split_orig")
+    )
+    sc = sp.select(
+        F.col("doc_id").alias("cluster_id"), F.col("split").alias("split_fixed")
+    )
+    return (
+        clusters.join(so, "doc_id")
+        .join(sc, "cluster_id")
+        .select(
+            "doc_id",
+            "split_orig",
+            "split_fixed",
+            (F.col("split_orig") != F.col("split_fixed")).alias("reassigned"),
+        )
+    )
