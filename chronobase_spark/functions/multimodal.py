@@ -310,3 +310,169 @@ def resize_stub(payloads: DataFrame, scale_denom: int = 4) -> DataFrame:
             )
 
     return payloads.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+WAV_SAMPLE_RATE = 8000
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def _le_bytes(v, nbytes: int):
+    """Little-endian byte string of an int column as latin-1 chars
+    (codepoints 0-255 encode 1:1 to bytes under ISO-8859-1)."""
+    parts = []
+    for k in range(nbytes):
+        parts.append(F.chr(F.shiftright(v.cast("long"), 8 * k) % 256))
+    return F.concat(*parts)
+
+
+def to_wav_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document as a REAL RIFF/WAVE file (PCM16 mono,
+    8 kHz) whose samples are the document's bytes centered and scaled:
+    sample_i = (byte_i − 96)·256 — built entirely JVM-side. Centering
+    at 96 (between ASCII punctuation/space and the lowercase range)
+    makes the sign of a sample track character class, so the
+    zero-crossing feature counts real word-boundary transitions
+    instead of degenerating to 0 as a 128-centering would on ASCII.
+    The little-endian int16 of such a sample is exactly the byte pair
+    (0x00, (byte_i + 160) mod 256), so the data chunk is a per-char
+    string transform encoded via ISO-8859-1 (codepoints 0-255 ↔ bytes
+    1:1); the 44-byte canonical header is chr()-built LE fields. The
+    payload opens in any WAV reader (stdlib ``wave`` validates it in
+    pytest) — the same REAL-codec standard the PPM image path set."""
+    t = F.col(text_col)
+    n = F.length(F.encode(t, "UTF-8")).cast("long")
+    # length > 0 guard: split("", "") is [""] (one phantom element),
+    # which would fabricate a bogus -32768 sample for empty documents
+    sample_str = F.when(F.length(t) > 0, F.array_join(
+        F.transform(
+            F.split(t, ""),
+            lambda c: F.concat(
+                F.chr(F.lit(0)), F.chr((F.ascii(c) + 160) % 256)
+            ),
+        ),
+        "",
+    )).otherwise(F.lit(""))
+    header_str = F.concat(
+        F.lit("RIFF"),
+        _le_bytes(F.lit(36).cast("long") + n * 2, 4),
+        F.lit("WAVEfmt "),
+        _le_bytes(F.lit(16), 4),
+        _le_bytes(F.lit(1), 2),  # PCM
+        _le_bytes(F.lit(1), 2),  # mono
+        _le_bytes(F.lit(WAV_SAMPLE_RATE), 4),
+        _le_bytes(F.lit(WAV_SAMPLE_RATE * 2), 4),  # byte rate
+        _le_bytes(F.lit(2), 2),  # block align
+        _le_bytes(F.lit(16), 2),  # bits/sample
+        F.lit("data"),
+        _le_bytes(n * 2, 4),
+    )
+    payload = F.encode(F.concat(header_str, sample_str), "ISO-8859-1")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("media_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _parse_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """Real RIFF chunk walker: validate the RIFF/WAVE container, read
+    the fmt chunk (PCM16 mono required), return (sample_rate,
+    int16 sample array from the data chunk)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file (magic {buf[:4]!r})")
+    idx = 12
+    rate = None
+    data = None
+    while idx + 8 <= len(buf):
+        cid = buf[idx : idx + 4]
+        size = int.from_bytes(buf[idx + 4 : idx + 8], "little")
+        body = buf[idx + 8 : idx + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (fmt_tag, channels, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported WAV format {(fmt_tag, channels, bits)}")
+        elif cid == b"data":
+            data = body
+        idx += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def _decode_wav_bytes(buf: bytes) -> dict:
+    """Real audio decode: RIFF parse + numpy sample statistics, all
+    integer-exact (abs sums, strict-sign zero crossings) so the SQL
+    oracle reproduces them from the source bytes without float
+    hazards."""
+    rate, samples = _parse_wav(buf)
+    s = samples.astype(np.int64)
+    return {
+        "sample_rate": rate,
+        "n_samples": int(s.size),
+        "duration_ms": int(s.size * 1000 // rate),
+        "peak_abs": 0 if s.size == 0 else int(np.abs(s).max()),
+        "sum_abs": int(np.abs(s).sum()),
+        "zero_crossings": 0
+        if s.size < 2
+        else int(((s[:-1] * s[1:]) < 0).sum()),
+    }
+
+
+def decode_wav(payloads: DataFrame) -> DataFrame:
+    """Vectorized REAL audio decode over payload batches via
+    mapInPandas — Arrow-batched, partition-preserving (no shuffle);
+    only fixed-width feature rows flow on, never the waveform."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if p is None else _decode_wav_bytes(bytes(p))
+                for p in pdf["payload"]
+            ]
+
+            def col(k):
+                return [None if f is None else f[k] for f in feats]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [
+                        None if m is None else m["media_type"] for m in pdf["meta"]
+                    ],
+                    "n_bytes": [
+                        None
+                        if m is None or m["n_bytes"] is None
+                        else int(m["n_bytes"])
+                        for m in pdf["meta"]
+                    ],
+                    "sample_rate": col("sample_rate"),
+                    "n_samples": col("n_samples"),
+                    "duration_ms": col("duration_ms"),
+                    "peak_abs": col("peak_abs"),
+                    "sum_abs": col("sum_abs"),
+                    "zero_crossings": col("zero_crossings"),
+                }
+            )
+
+    return payloads.mapInPandas(extract, WAV_FEATURE_SCHEMA)

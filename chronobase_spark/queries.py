@@ -8604,3 +8604,55 @@ def q_leakage_safe_split(spark, sf_dir):
             (F.col("split_orig") != F.col("split_fixed")).alias("reassigned"),
         )
     )
+
+
+_WAV_ABS = "abs(ascii(text[i]) - 96) * 256"
+
+_WAV_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       'audio/wav' AS media_type,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CASE WHEN text IS NULL THEN NULL ELSE CAST(8000 AS INT) END AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN text IS NULL THEN NULL ELSE COALESCE(
+         list_max(list_transform(generate_series(1, n), i -> {_WAV_ABS})), 0)
+         END AS INT) AS peak_abs,
+       CAST(CASE WHEN text IS NULL THEN NULL ELSE COALESCE(
+         list_sum(list_transform(generate_series(1, n), i -> {_WAV_ABS})), 0)
+         END AS BIGINT) AS sum_abs,
+       CAST(CASE WHEN text IS NULL THEN NULL ELSE COALESCE(
+         list_sum(list_transform(generate_series(2, n),
+           i -> CASE WHEN (ascii(text[i-1]) - 96) * (ascii(text[i]) - 96) < 0
+                THEN 1 ELSE 0 END)), 0) END AS BIGINT) AS zero_crossings
+FROM d
+"""
+
+
+@register("multimodal_wav_features", _WAV_SQL)
+def q_multimodal_wav_features(spark, sf_dir):
+    """The multimodal AUDIO decode path END-TO-END with a REAL codec:
+    each document becomes a spec-valid RIFF/WAVE file (PCM16 mono
+    8 kHz, samples = (byte−96)·256, built JVM-side — stdlib ``wave``
+    opens every payload, pinned in pytest), and the Arrow-batched
+    mapInPandas decoder walks the RIFF chunks (fmt validation + data
+    extraction) and computes numpy waveform statistics: duration,
+    integer peak/abs-energy, and strict-sign zero crossings (which
+    count word-boundary transitions under the 96-centering — a real
+    audio-shaped signal, not a checksum). Completes the media triple
+    next to the PPM image path and the frame-sampling video shape;
+    the reference carries media as opaque Row.Data bytes (row.go:9).
+
+    All features are integer-exact, so the oracle reproduces them
+    from the source bytes (ASCII corpus ⇒ ascii(char) == byte). Scale
+    shape: payload synthesis is map-only column algebra; the decoder
+    is partition-preserving mapInPandas — waveform bytes never leave
+    the executor, only fixed-width feature rows flow on. NULL text ⇒
+    NULL features on both engines."""
+    from chronobase_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_wav(multimodal.to_wav_payload(docs))

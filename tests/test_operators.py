@@ -1057,3 +1057,74 @@ def test_jl_projection_distortion_concentrates_near_one(spark):
     mean = sum(ds) / len(ds)
     assert 0.75 < mean < 1.25, f"mean distortion {mean} far from 1"
     assert all(0.2 < d < 3.0 for d in ds), "individual distortion blew up"
+
+
+def test_wav_parser_known_samples():
+    """_parse_wav / _decode_wav_bytes against a hand-written canonical
+    RIFF/WAVE file with known int16 samples [+256, -512, 0, +256]."""
+    import struct
+
+    from chronobase_spark.functions import multimodal
+
+    samples = [256, -512, 0, 256]
+    data = struct.pack("<4h", *samples)
+    buf = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, got = multimodal._parse_wav(buf)
+    assert rate == 8000 and list(got) == samples
+    feats = multimodal._decode_wav_bytes(buf)
+    assert feats == {
+        "sample_rate": 8000,
+        "n_samples": 4,
+        "duration_ms": 0,
+        "peak_abs": 512,
+        "sum_abs": 1024,
+        # +256 -> -512 crosses; -512 -> 0 and 0 -> +256 do NOT (strict
+        # sign product < 0), matching the SQL oracle's arithmetic
+        "zero_crossings": 1,
+    }
+
+
+def test_wav_payloads_open_in_stdlib_wave(spark):
+    """Every synthesized payload must be a spec-valid WAV an EXTERNAL
+    reader accepts: stdlib wave (an independent RIFF implementation)
+    must report the same rate/width/channels/frame count the
+    in-engine decoder sees, including the empty-text zero-frame file;
+    NULL text carries NULL features."""
+    import io
+    import wave as wavmod
+
+    from chronobase_spark.functions import multimodal
+
+    base = catalog.table(spark, SF_SMOKE, "documents").limit(20)
+    extra = spark.createDataFrame(
+        [(999998, "", "x", "x", 0), (999999, None, "x", "x", 0)],
+        base.schema,
+    )
+    df = base.union(extra)
+    payloads = {
+        r["doc_id"]: r["payload"]
+        for r in multimodal.to_wav_payload(df).collect()
+    }
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.decode_wav(multimodal.to_wav_payload(df)).collect()
+    }
+    checked = 0
+    for doc_id, p in payloads.items():
+        if p is None:
+            assert feats[doc_id]["n_samples"] is None
+            continue
+        w = wavmod.open(io.BytesIO(bytes(p)))
+        assert (
+            w.getframerate(),
+            w.getsampwidth(),
+            w.getnchannels(),
+            w.getnframes(),
+        ) == (8000, 2, 1, feats[doc_id]["n_samples"])
+        checked += 1
+    assert checked >= 20 and feats[999998]["n_samples"] == 0
+    assert payloads[999999] is None
