@@ -363,3 +363,22 @@ def cdc_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
     from chronobase_spark.dedup import cdc
 
     return cdc.chunk_hashes(stream, text_col)
+
+
+def wav_stage(stream: DataFrame) -> DataFrame:
+    """Audio feature extraction IN the stream — the in-stream twin of
+    the batch multimodal_wav_features pass: arriving documents are
+    wrapped as spec-valid WAV payloads and decoded (RIFF walk + numpy
+    stats) before landing, so storage carries waveform features next
+    to the raw payload rather than requiring a second media pass.
+
+    Stateless by construction: payload synthesis is pure column
+    algebra and the decoder is a partition-preserving mapInPandas —
+    Structured Streaming runs both per micro-batch with no state
+    store, no watermark; drained output equals batch by construction
+    (pinned in tests/test_streaming.py). Payload bytes stay on the
+    executor that built them; only fixed-width feature rows flow on
+    (the 100 TB media concern is bandwidth, never state)."""
+    from chronobase_spark.functions import multimodal
+
+    return multimodal.decode_wav(multimodal.to_wav_payload(stream))

@@ -1367,3 +1367,46 @@ def test_streaming_cdc_stage_matches_batch(spark, tmp_path):
     assert got == batch
     assert got[999998] == [] and got[999999] == []
     assert any(len(v) > 0 for v in got.values()), "corpus should emit chunks"
+
+
+def test_streaming_wav_stage_matches_batch(spark, tmp_path):
+    """The stateless in-stream WAV synth+decode must drain EQUAL to the
+    batch pass (same integer waveform features per doc), proving
+    mapInPandas media decode runs per micro-batch with no state."""
+    from chronobase_spark.functions import multimodal
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "wavsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(40)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    base.repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "wav_sink")
+    q = (
+        docstream.wav_stage(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "wav_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_samples"], r["peak_abs"], r["sum_abs"], r["zero_crossings"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_samples"], r["peak_abs"], r["sum_abs"], r["zero_crossings"])
+        for r in multimodal.decode_wav(
+            multimodal.to_wav_payload(spark.read.parquet(src))
+        ).collect()
+    }
+    assert got == batch and len(got) == 40
+    assert any(v[3] > 0 for v in got.values()), "corpus should have crossings"
