@@ -7720,13 +7720,23 @@ def q_minhash_lsh_recall(spark, sf_dir):
     Truth carries the documented max_df posting-list pruning; the
     metric therefore reads as recall AGAINST THE PRUNED exact finder
     (identically on both engines). Divisions are exact-int operands
-    with zero-count guards NULL on both engines."""
+    with zero-count guards NULL on both engines.
+
+    Each pair table is referenced TWICE (its scalar count + the
+    intersection join), so both persist — without the cache the full
+    jaccard AND banding pipelines executed twice end-to-end (this was
+    the suite's slowest query; the persist removes one full execution
+    of each pipeline)."""
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram.jaccard_pairs(docs, threshold=0.5, max_df=50).select(
-        "doc_a", "doc_b"
+    truth = (
+        ngram.jaccard_pairs(docs, threshold=0.5, max_df=50)
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    found = minhash.minhash_md5_pairs(docs, threshold=0.5).select(
-        "doc_a", "doc_b"
+    found = (
+        minhash.minhash_md5_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     f_ = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
