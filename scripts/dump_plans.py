@@ -69,6 +69,12 @@ HEADLINE = [
     ("token_zipf_slope", "Zipf fit: vocab groupBy -> distributed top-200 head BEFORE any global work"),
     ("quality_signal_corr", "signal correlation: two map-only integer signals, ONE moment groupBy"),
     ("holt_daily_smoothing", "Holt level+trend: one bounded (user, day) sorted fold, no history state"),
+    ("cdc_chunk_dedup", "CDC chunker: map-only Generate barriers, md5-keyed partial-agg dedup, no corpus-byte shuffle"),
+    ("cdc_incremental_ingest", "incremental chunk store: one chunker pass, md5-keyed left join of distinct-chunk tables"),
+    ("hard_negative_mining", "hard negatives: capped-probe broadcast scan, conditional min(struct) argmaxes, no window"),
+    ("split_leakage_report", "leakage audit: banded LSH pairs + doc_id-keyed split joins, <=6-row aggregate"),
+    ("whitened_topk_overlap", "whitening: 64-row stats broadcast, z-rebuild keyed on vec_id, two probe scans"),
+    ("multimodal_wav_features", "WAV decode: JVM payload synthesis + partition-preserving mapInPandas, zero exchanges"),
 ]
 
 KEEP = re.compile(

@@ -195,6 +195,24 @@ _ALLOWED_DOUBLE = {
     ("value_percentiles", "p50"),
     ("value_percentiles", "p90"),
     ("value_percentiles", "p99"),
+    # -- r10 session additions ------------------------------------------
+    # one double division of exact integer sums (order-insensitive,
+    # unrounded — the integer-ratio class)
+    ("cdc_chunk_dedup", "dedup_save_ratio"),
+    ("cdc_incremental_ingest", "store_savings_ratio"),
+    ("label_balance_plan", "share"),
+    ("label_balance_plan", "inv_freq_weight"),
+    # 6dp-rounded sequential-fold cosines (topk_cosine form); margin is
+    # the raw difference of the two rounded sims — identical binary
+    # doubles on both engines, no further rounding
+    ("hard_negative_mining", "pos_sim"),
+    ("hard_negative_mining", "neg_sim"),
+    ("hard_negative_mining", "margin"),
+    # identical sequential folds (diff-then-project) with one final
+    # multiply+divide on identical doubles; unrounded by design
+    ("jl_distance_preservation", "d2_orig"),
+    ("jl_distance_preservation", "d2_proj"),
+    ("jl_distance_preservation", "distortion"),
 }
 
 
