@@ -7722,21 +7722,18 @@ def q_minhash_lsh_recall(spark, sf_dir):
     (identically on both engines). Divisions are exact-int operands
     with zero-count guards NULL on both engines.
 
-    Each pair table is referenced TWICE (its scalar count + the
-    intersection join), so both persist — without the cache the full
-    jaccard AND banding pipelines executed twice end-to-end (this was
-    the suite's slowest query; the persist removes one full execution
-    of each pipeline)."""
+    Each pair table is referenced twice (scalar count + intersection
+    join) — deliberately WITHOUT persist: the double reference shares
+    its shuffles via ReuseExchange, and an explicit cache measured
+    neutral-to-negative (A/B min-of-3 at sf0.1: 5.15 s uncached vs
+    5.68 s cached — materialization cost exceeds the reuse win when
+    the exchanges already dedup)."""
     docs = _t(spark, sf_dir, "documents")
-    truth = (
-        ngram.jaccard_pairs(docs, threshold=0.5, max_df=50)
-        .select("doc_a", "doc_b")
-        .persist()
+    truth = ngram.jaccard_pairs(docs, threshold=0.5, max_df=50).select(
+        "doc_a", "doc_b"
     )
-    found = (
-        minhash.minhash_md5_pairs(docs, threshold=0.5)
-        .select("doc_a", "doc_b")
-        .persist()
+    found = minhash.minhash_md5_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
     )
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     f_ = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
