@@ -8663,3 +8663,167 @@ def q_multimodal_wav_features(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_wav(multimodal.to_wav_payload(docs))
+
+
+_WRS_K = 100
+
+_WRS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, greatest(n_chars, 1) AS wt,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wrs'), 1, 8))::BIGINT
+               AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, CAST(wt AS BIGINT) AS wt,
+       ROUND(ln(u) / wt, 6) AS wrs_key
+FROM w
+ORDER BY ROUND(ln(u) / wt, 6) DESC, doc_id
+LIMIT {_WRS_K}
+"""
+
+
+@register("weighted_reservoir_sample", _WRS_SQL)
+def q_weighted_reservoir_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement at exact size k
+    (Efraimidis-Spirakis A-ES): each document draws a deterministic
+    md5 uniform u and ranks by ln(u)/w — the top k ARE a weighted
+    sample without replacement, unlike the Bernoulli accept test of
+    quality_weighted_sample whose output SIZE is itself random (the
+    two primitives serve different pipeline stages: rate-controlled
+    filtering vs fixed-budget selection). Weight = document length
+    here; any positive score plugs in.
+
+    Determinism/portability: u = (md5-uint32 + 0.5)/2^32 is identical
+    integer arithmetic on both engines; ln(u)/w is the documented
+    ulp-bounded transcendental class (part_feature_scalars precedent,
+    hash-green since r4), and the RANK key is the 6dp-ROUNDED value
+    with doc_id tie-break, so a last-ulp libm divergence cannot
+    reorder the cut. Scale shape: one map-only pass (no shuffle to
+    score) into a distributed TakeOrderedAndProject top-k — never a
+    global sort, never a single-partition window; the classic
+    one-pass distributed weighted sampler."""
+    docs = _t(spark, sf_dir, "documents")
+    wt = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#wrs"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / wt, 6)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            wt.cast("bigint").alias("wt"),
+            key.alias("wrs_key"),
+        )
+        .orderBy(F.col("wrs_key").desc(), "doc_id")
+        .limit(_WRS_K)
+    )
+
+
+_STRATEGY_SQL = f"""
+WITH {_CDC_CHUNKS_CTE}, cdc_old AS (
+  SELECT DISTINCT ch FROM chunks WHERE doc_id % 2 = 0
+), cdc_new AS (
+  SELECT source, ch, MIN(clen) AS clen
+  FROM chunks WHERE doc_id % 2 = 1 GROUP BY source, ch
+), cdc_stored AS (
+  SELECT n.source,
+         SUM(CASE WHEN o.ch IS NULL THEN n.clen ELSE 0 END) AS cdc_chars
+  FROM cdc_new n LEFT JOIN cdc_old o ON n.ch = o.ch GROUP BY n.source
+), docs_old AS (
+  SELECT DISTINCT md5(text) AS dh FROM documents
+  WHERE text IS NOT NULL AND doc_id % 2 = 0
+), docs_new AS (
+  SELECT source, md5(text) AS dh, MIN(length(text)) AS dlen
+  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+  GROUP BY source, md5(text)
+), doc_stored AS (
+  SELECT n.source,
+         SUM(CASE WHEN o.dh IS NULL THEN n.dlen ELSE 0 END) AS doc_chars
+  FROM docs_new n LEFT JOIN docs_old o ON n.dh = o.dh GROUP BY n.source
+)
+SELECT source,
+       CAST(doc_chars AS BIGINT) AS chars_stored_doc_dedup,
+       CAST(cdc_chars AS BIGINT) AS chars_stored_cdc,
+       CAST(doc_chars - cdc_chars AS BIGINT) AS cdc_advantage_chars
+FROM doc_stored JOIN cdc_stored USING (source)
+"""
+
+
+@register("dedup_strategy_compare", _STRATEGY_SQL)
+def q_dedup_strategy_compare(spark, sf_dir):
+    """Head-to-head storage cost of the two incremental-ingest dedup
+    strategies on the SAME snapshot split (even ids = store, odd =
+    arriving): whole-document exact dedup (store distinct text md5s)
+    vs content-defined chunking (store distinct chunk md5s). CDC can
+    never store MORE (a fully-duplicate doc shares all its chunks)
+    and wins exactly by the partially-overlapping mass — the quantity
+    this report isolates per source (cdc_advantage_chars), turning
+    cdc_incremental_ingest's ratio into an apples-to-apples decision
+    number against the cheaper whole-doc strategy.
+
+    Scale shape: the doc-level side is one map-only md5 + two
+    partial-agged distinct-hash tables and a hash-keyed left join
+    (identical shape to the CDC side, minus the chunker); integers
+    end-to-end. The oracle reuses the shared CDC chunker CTE text
+    (single source of truth)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ct = cdc.chunk_table(docs)
+    cdc_old = ct.filter(F.col("doc_id") % 2 == 0).select("chunk_md5").distinct()
+    cdc_new = (
+        ct.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("source", "chunk_md5")
+        .agg(F.min("chunk_len").alias("clen"))
+    )
+    cdc_stored = (
+        cdc_new.join(
+            cdc_old.withColumn("known", F.lit(True)).hint("shuffle_hash"),
+            "chunk_md5",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("known"), 0).otherwise(F.col("clen"))).alias(
+                "cdc_chars"
+            )
+        )
+    )
+    dh = docs.select(
+        "doc_id", "source", F.md5("text").alias("dh"), F.length("text").alias("dlen")
+    )
+    docs_old = dh.filter(F.col("doc_id") % 2 == 0).select("dh").distinct()
+    docs_new = (
+        dh.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("source", "dh")
+        .agg(F.min("dlen").alias("dlen"))
+    )
+    doc_stored = (
+        docs_new.join(
+            docs_old.withColumn("known", F.lit(True)).hint("shuffle_hash"),
+            "dh",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("known"), 0).otherwise(F.col("dlen"))).alias(
+                "doc_chars"
+            )
+        )
+    )
+    return doc_stored.join(cdc_stored, "source").select(
+        "source",
+        F.col("doc_chars").cast("bigint").alias("chars_stored_doc_dedup"),
+        F.col("cdc_chars").cast("bigint").alias("chars_stored_cdc"),
+        (F.col("doc_chars") - F.col("cdc_chars"))
+        .cast("bigint")
+        .alias("cdc_advantage_chars"),
+    )

@@ -213,6 +213,9 @@ _ALLOWED_DOUBLE = {
     ("jl_distance_preservation", "d2_orig"),
     ("jl_distance_preservation", "d2_proj"),
     ("jl_distance_preservation", "distortion"),
+    # ln(md5-uniform)/weight, 6dp-rounded BEFORE ranking — the
+    # documented ulp-bounded transcendental class (price_ln precedent)
+    ("weighted_reservoir_sample", "wrs_key"),
 }
 
 
