@@ -320,3 +320,48 @@ def assign_clusters_star(
             F.coalesce("label", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Synchronous deterministic label propagation (LPA) over the
+    undirected near-dup graph: every node starts labeled with its own
+    id; each round it adopts its neighbors' MOST FREQUENT label,
+    breaking ties by the smaller label. Unlike connected components
+    (which merges everything reachable), LPA converges toward DENSE
+    groups — on a dup graph it separates template-spam cliques that a
+    borderline bridge pair would fuse into one CC.
+
+    Determinism: classic LPA breaks frequency ties randomly; this
+    variant pins (count DESC, label ASC), so a FIXED round count
+    unrolls to identical arithmetic in any engine — the oracle is a
+    chained-CTE mirror (the dup_graph_pagerank pattern). Each round is
+    one edges ⋈ labels join (both sides node-keyed, labels side
+    shuffle_hash — corpus-derived, never broadcast) and one
+    (node, label) count + min(struct) argmax, all partial-agged.
+    Returns (id, community) for every node with ≥1 edge."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("u").alias("id"), F.col("u").alias("lbl")).distinct()
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels.hint("shuffle_hash"), sym["v"] == labels["id"])
+            .groupBy(sym["u"].alias("nid"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+        labels = (
+            counts.groupBy("nid")
+            .agg(F.min(best).alias("b"))
+            .select(F.col("nid").alias("id"), F.col("b.l").alias("lbl"))
+        )
+    out = labels.select("id", F.col("lbl").alias("community"))
+    return out

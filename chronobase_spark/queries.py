@@ -8827,3 +8827,63 @@ def q_dedup_strategy_compare(spark, sf_dir):
         .cast("bigint")
         .alias("cdc_advantage_chars"),
     )
+
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_sql() -> str:
+    ctes = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""r{i}c AS (
+  SELECT e.u AS nid, {prev}.lbl AS lbl, COUNT(*) AS c
+  FROM e JOIN {prev} ON e.v = {prev}.id GROUP BY e.u, {prev}.lbl
+), l{i} AS (
+  SELECT nid AS id, lbl FROM (
+    SELECT nid, lbl,
+           ROW_NUMBER() OVER (PARTITION BY nid ORDER BY c DESC, lbl) AS rnk
+    FROM r{i}c) t
+  WHERE rnk = 1
+)"""
+        )
+        prev = f"l{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH pairs AS MATERIALIZED ({_minhash_md5_sql()}),
+e AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM e),
+{joined}
+SELECT id, lbl AS community FROM l{_LPA_ROUNDS}
+"""
+
+
+@register("dup_graph_communities", _lpa_sql())
+def q_dup_graph_communities(spark, sf_dir):
+    """Deterministic label-propagation communities over the near-dup
+    graph (dedup.cluster.label_propagation): nodes adopt their
+    neighbors' most frequent label, ties to the smaller — converging
+    toward DENSE groups, so template-spam cliques stay separate even
+    when a borderline bridge pair would fuse them into one connected
+    component. Completes the dup-graph analytics set (min-label CC,
+    star CC, PageRank centrality, triangle density).
+
+    The classic algorithm breaks ties randomly; pinning (count DESC,
+    label ASC) makes the FIXED {_LPA_ROUNDS}-round unroll identical
+    arithmetic in both engines, so the oracle is a chained-CTE mirror
+    generated from the same round count (the dup_graph_pagerank
+    pattern). Scale shape: per round one node-keyed shuffle_hash join
+    + one partial-agged (node, label) count + min(struct) argmax —
+    linear in |edges|, nothing driver-side."""
+    from chronobase_spark.dedup import cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash.minhash_md5_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return cluster.label_propagation(pairs, rounds=_LPA_ROUNDS)
