@@ -686,3 +686,29 @@ def test_star_cc_is_logarithmic_on_long_path(spark):
     assert len(labels) == 401
     assert all(r["label"] == 0 for r in labels)
     assert rounds[0] <= 14, f"star contraction took {rounds[0]} rounds"
+
+
+def test_lpa_separates_bridged_cliques_cc_fuses(spark):
+    """The reason LPA exists next to CC: two 4-cliques joined by ONE
+    bridge edge are a single connected component (CC fuses them), but
+    dense-majority label propagation keeps them as two communities —
+    the bridge's lone vote cannot outnumber a clique's."""
+    from chronobase_spark.dedup import cluster
+
+    a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = spark.createDataFrame(
+        a + b + [(3, 10)], "doc_a long, doc_b long"
+    )
+    cc = {r["label"] for r in cluster.connected_components(edges).collect()}
+    assert cc == {0}, "one bridge edge fuses the CC"
+    comm = {
+        r["id"]: r["community"]
+        for r in cluster.label_propagation(edges, rounds=2).collect()
+    }
+    groups = {}
+    for node, c in comm.items():
+        groups.setdefault(c, set()).add(node)
+    assert len(groups) == 2, f"expected 2 communities, got {groups}"
+    sides = sorted(groups.values(), key=min)
+    assert sides[0] == {0, 1, 2, 3} and sides[1] == {10, 11, 12, 13}
