@@ -1485,9 +1485,10 @@ def q_doc_chunks_udtf(spark, sf_dir):
     )
 
 
-@register(
-    "doc_pack_chunks",
-    """WITH toks AS (
+# Shared CTE text so doc_pack_chunks and packing_efficiency can never
+# drift (the CDC single-source-of-truth rule): offs(doc_id, shard,
+# n_tokens, start_off) over 8 md5-free id shards.
+_PACK_OFFS_CTE = """toks AS (
            SELECT doc_id, doc_id % 8 AS shard,
                   CAST(len(list_filter(string_split(trim(lower(text)), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
            FROM documents
@@ -1499,7 +1500,12 @@ def q_doc_chunks_udtf(spark, sf_dir):
                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
            FROM toks WHERE n_tokens > 0
-       )
+       )"""
+
+
+@register(
+    "doc_pack_chunks",
+    f"""WITH {_PACK_OFFS_CTE}
        SELECT doc_id, shard, n_tokens, start_off,
               CAST(start_off // 2048 AS BIGINT) AS pack_id,
               CAST((start_off + n_tokens - 1) // 2048 - start_off // 2048 + 1 AS BIGINT) AS packs_spanned
@@ -8887,3 +8893,66 @@ def q_dup_graph_communities(spark, sf_dir):
         "doc_a", "doc_b"
     )
     return cluster.label_propagation(pairs, rounds=_LPA_ROUNDS)
+
+
+_PACK_EFF_SQL = f"""
+WITH {_PACK_OFFS_CTE}
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((MAX(start_off + n_tokens) + 2047) // 2048 AS BIGINT) AS n_packs,
+       CAST(SUM(n_tokens) AS DOUBLE)
+         / CAST(((MAX(start_off + n_tokens) + 2047) // 2048) * 2048 AS DOUBLE)
+         AS fill_ratio,
+       CAST(SUM(CASE WHEN (start_off + n_tokens - 1) // 2048
+                       <> start_off // 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         AS boundary_crossing_docs
+FROM offs GROUP BY shard
+"""
+
+
+@register("packing_efficiency", _PACK_EFF_SQL)
+def q_packing_efficiency(spark, sf_dir):
+    """Packing-efficiency report for the 2048-token sequence packer:
+    per shard, how many context windows the stream fills, the fill
+    ratio (all windows are full except each shard's tail — concat-
+    and-chunk wastes only the final partial window, unlike
+    document-per-window padding which wastes the complement of EVERY
+    document), and how many documents straddle a window boundary (the
+    count an attention-masking or doc-boundary-loss policy needs to
+    budget for). The go/no-go numbers for the packing scheme.
+
+    One groupBy over the SAME prefix-sum offsets doc_pack_chunks
+    emits; the oracle reuses that query's CTE text verbatim (shared
+    constant — single source of truth). Integer outputs plus one
+    integer-ratio double division; the per-shard window stays
+    partitioned by shard (never a global sort, the packing.py scale
+    note)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    offs = packing.pack_offsets(base)
+    end = F.col("start_off") + F.col("n_tokens")
+    crosses = F.col("packs_spanned") > 1
+    per = offs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.floor((F.max(end) + 2047) / 2048).cast("bigint").alias("n_packs"),
+        F.sum(F.when(crosses, 1).otherwise(0)).alias("boundary_crossing_docs"),
+    )
+    return per.select(
+        "shard",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        "n_packs",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_packs") * 2048).cast("double")
+        ).alias("fill_ratio"),
+        F.col("boundary_crossing_docs").cast("bigint").alias(
+            "boundary_crossing_docs"
+        ),
+    )

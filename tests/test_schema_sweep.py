@@ -216,6 +216,8 @@ _ALLOWED_DOUBLE = {
     # ln(md5-uniform)/weight, 6dp-rounded BEFORE ranking — the
     # documented ulp-bounded transcendental class (price_ln precedent)
     ("weighted_reservoir_sample", "wrs_key"),
+    # one double division of exact integer sums (integer-ratio class)
+    ("packing_efficiency", "fill_ratio"),
 }
 
 
