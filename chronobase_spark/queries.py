@@ -8956,3 +8956,77 @@ def q_packing_efficiency(spark, sf_dir):
             "boundary_crossing_docs"
         ),
     )
+
+
+_DATACARD_STOPS = "'the','a','an','and','or','of','to','in','is','it'"
+
+_DATACARD_SQL = f"""
+WITH tk AS (
+  SELECT source, lang, md5(text) AS h, n_chars,
+         list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), sig AS (
+  SELECT source, lang, h, n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> x IN ({_DATACARD_STOPS}))) AS n_stop
+  FROM tk
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dup_docs,
+       CAST(SUM(n_distinct) AS BIGINT) AS distinct_token_sum,
+       CAST(SUM(n_stop) AS DOUBLE)
+         / CAST(greatest(SUM(n_tokens), 1) AS DOUBLE) AS stop_ratio
+FROM sig GROUP BY source, lang
+"""
+
+
+@register("corpus_datacard", _DATACARD_SQL)
+def q_corpus_datacard(spark, sf_dir):
+    """The corpus datasheet ("datasheets for datasets" shape): one
+    report per (source, language) cell with the numbers a training-mix
+    decision reads first — volume (docs, tokens, chars), exact-dup
+    mass (docs minus distinct content hashes), lexical-diversity mass,
+    and the stopword share. Pipelines publish this next to the data;
+    every column here is derived by the SAME expressions the dedicated
+    audits use (doc_token_stats tokens, doc_quality stopword list,
+    dedup_exact's content hash), so the card cannot disagree with
+    them.
+
+    Scale shape: one map-only signal pass over the scan, then ONE
+    partial-agged groupBy to |sources|×|langs| cells; the dup count
+    rides the same aggregate as COUNT(DISTINCT h) (Spark plans the
+    distinct via a partial expand, never a second scan). Exact
+    integers plus two integer-ratio double divisions."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = text.tokens(F.col("text"))
+    stops = [s.strip("'") for s in _DATACARD_STOPS.split(",")]
+    sig = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(stops))).alias("n_stop"),
+    )
+    return sig.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_tokens"
+        ),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint").alias(
+            "n_exact_dup_docs"
+        ),
+        F.sum("n_distinct").cast("bigint").alias("distinct_token_sum"),
+        (
+            F.sum("n_stop").cast("double")
+            / F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double")
+        ).alias("stop_ratio"),
+    )

@@ -218,6 +218,8 @@ _ALLOWED_DOUBLE = {
     ("weighted_reservoir_sample", "wrs_key"),
     # one double division of exact integer sums (integer-ratio class)
     ("packing_efficiency", "fill_ratio"),
+    ("corpus_datacard", "avg_tokens"),
+    ("corpus_datacard", "stop_ratio"),
 }
 
 
