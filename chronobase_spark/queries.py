@@ -9030,3 +9030,147 @@ def q_corpus_datacard(spark, sf_dir):
             / F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double")
         ).alias("stop_ratio"),
     )
+
+
+_MAD_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(x, 0.5) AS med_micro FROM v GROUP BY event_type
+), dev AS (
+  SELECT v.event_type, v.x, m.med_micro, abs(v.x - m.med_micro) AS adev
+  FROM v JOIN med m ON v.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad_micro FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(d.med_micro) AS med_micro,
+       MIN(m.mad_micro) AS mad_micro,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad_micro THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("mad_outliers_by_type", _MAD_SQL)
+def q_mad_outliers_by_type(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    estimator that survives what the suite's quantile-fence and
+    z-score detectors cannot: up to 50% contamination (a z-score's
+    own mean/σ are dragged by the outliers being hunted; MAD's
+    breakdown point is 0.5). Flags |x − med| > 3·MAD per event type.
+
+    Cross-engine exactness: values micro-quantize to BIGINT
+    (multiply-then-round), and BOTH medians sit at p=0.5 where linear
+    interpolation is exactly (a+b)/2 — halving and summing integers
+    (then half-integers) is exact in float64, so Spark's percentile
+    and DuckDB's quantile_cont agree bit-for-bit regardless of their
+    interpolation formula's operation order (NOT true at other p —
+    keep robust quantiles at 0.5). Scale shape: two partial-agged
+    per-type aggregates and one type-keyed join back — medians are
+    sort-based within type partitions; at 100 TB swap in
+    approx_percentile like the approx_value_percentiles path."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint").alias("x"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("med_micro")
+    )
+    dev = v.join(med, "event_type").select(
+        "event_type",
+        "med_micro",
+        F.abs(F.col("x") - F.col("med_micro")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad_micro")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("med_micro").alias("med_micro"),
+            F.min("mad_micro").alias("mad_micro"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3.0) * F.col("mad_micro"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+_BURST_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+              PARTITION BY event_type, user_id ORDER BY ts, event_id)) AS BIGINT)
+           AS gap_us
+  FROM events
+), g AS (
+  SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(gap_us AS HUGEINT)) AS s,
+         SUM(CAST(gap_us AS HUGEINT) * gap_us) AS q
+  FROM g GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_us,
+       (sqrt(CAST(CAST(n * q - s * s AS VARCHAR) AS DOUBLE))
+          - CAST(CAST(s AS VARCHAR) AS DOUBLE))
+       / (sqrt(CAST(CAST(n * q - s * s AS VARCHAR) AS DOUBLE))
+          + CAST(CAST(s AS VARCHAR) AS DOUBLE)) AS burstiness
+FROM m
+"""
+
+
+@register("event_burstiness", _BURST_SQL)
+def q_event_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness of inter-event times per event type:
+    B = (σ−μ)/(σ+μ) over per-user gap sequences — B≈0 is a Poisson
+    arrival process, B→1 is bursty (heavy-tailed gaps), B<0 is
+    pacemaker-regular. The single number that tells whether an event
+    stream's load can be capacity-planned on averages or needs burst
+    headroom.
+
+    Exactness: gaps are exact integer microseconds from the ordered
+    per-(type, user) lag; σ and μ both scale by 1/n, so B reduces to
+    (√(n·Q − S²) − S)/(√(n·Q − S²) + S) on exact HUGEINT/decimal
+    moments with ONE string-routed double cast per operand — identical
+    arithmetic on both engines, no variance-formula order ambiguity.
+    Scale shape: the lag window partitions by (type, user) — bounded
+    partitions, no global sort — and the moments partial-aggregate to
+    |types| rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("gap_us"))).alias("s"),
+        F.sum(dec(F.col("gap_us")) * F.col("gap_us")).alias("q"),
+    )
+    s_d = F.col("s").cast("string").cast("double")
+    root = F.sqrt(
+        (dec(F.col("n")) * F.col("q") - F.col("s") * F.col("s"))
+        .cast("string")
+        .cast("double")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (s_d / F.col("n").cast("double")).alias("mean_gap_us"),
+        ((root - s_d) / (root + s_d)).alias("burstiness"),
+    )

@@ -220,6 +220,15 @@ _ALLOWED_DOUBLE = {
     ("packing_efficiency", "fill_ratio"),
     ("corpus_datacard", "avg_tokens"),
     ("corpus_datacard", "stop_ratio"),
+    # p=0.5 interpolated medians of exact integers: (a+b)/2 halving is
+    # exact in float64, so percentile <-> quantile_cont agree bit-for-
+    # bit REGARDLESS of interpolation-formula order (0.5 only!)
+    ("mad_outliers_by_type", "med_micro"),
+    ("mad_outliers_by_type", "mad_micro"),
+    # exact HUGEINT/decimal moments, one string-routed double cast per
+    # operand, identical sqrt/divide tree (B = (rt-S)/(rt+S))
+    ("event_burstiness", "mean_gap_us"),
+    ("event_burstiness", "burstiness"),
 }
 
 
