@@ -9174,3 +9174,75 @@ def q_event_burstiness(spark, sf_dir):
         (s_d / F.col("n").cast("double")).alias("mean_gap_us"),
         ((root - s_d) / (root + s_d)).alias("burstiness"),
     )
+
+
+_TPL_W = 12
+_TPL_MIN = 3
+
+_TPL_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), ends AS (
+  SELECT doc_id, source, 'prefix' AS kind,
+         md5(array_to_string(toks[1:{_TPL_W}], ' ')) AS h
+  FROM tk WHERE len(toks) >= {_TPL_W}
+  UNION ALL
+  SELECT doc_id, source, 'suffix' AS kind,
+         md5(array_to_string(toks[len(toks) - {_TPL_W - 1}:len(toks)], ' ')) AS h
+  FROM tk WHERE len(toks) >= {_TPL_W}
+)
+SELECT kind, h,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM ends GROUP BY kind, h
+HAVING COUNT(*) >= {_TPL_MIN}
+"""
+
+
+@register("boilerplate_templates", _TPL_SQL)
+def q_boilerplate_templates(spark, sf_dir):
+    """Boilerplate/template detection: groups of documents sharing an
+    identical {_TPL_W}-token prefix or suffix (headers, footers,
+    licence blocks, scraper chrome) — the C4-style cleanup target that
+    near-dup pipelines MISS because the shared span is a small
+    fraction of each document (jaccard below any sane threshold).
+    Groups of ≥{_TPL_MIN} docs are emitted with their source spread
+    (n_sources > 1 ⇒ scraper chrome rather than a single site's
+    house style — different removal policy).
+
+    Scale shape: one map-only tokenize + two md5s per doc, one
+    partial-agged (kind, h) groupBy; shuffle rows = 2·docs of fixed
+    width, output only the template groups. Fully hash-checked (md5
+    over the joined token span, identical on both engines)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = text.tokens(F.col("text"))
+    base = docs.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= _TPL_W
+    )
+    pre = base.select(
+        "doc_id",
+        "source",
+        F.lit("prefix").alias("kind"),
+        F.md5(F.array_join(F.slice("toks", 1, _TPL_W), " ")).alias("h"),
+    )
+    suf = base.select(
+        "doc_id",
+        "source",
+        F.lit("suffix").alias("kind"),
+        F.md5(
+            F.array_join(F.slice("toks", -_TPL_W, _TPL_W), " ")
+        ).alias("h"),
+    )
+    return (
+        pre.unionAll(suf)
+        .groupBy("kind", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= _TPL_MIN)
+    )
