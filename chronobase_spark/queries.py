@@ -9246,3 +9246,112 @@ def q_boilerplate_templates(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= _TPL_MIN)
     )
+
+
+@register("mad_outliers_approx", None)  # sketch medians are engine-specific
+def q_mad_outliers_approx(spark, sf_dir):
+    """The 100 TB path of ``mad_outliers_by_type``: both medians via
+    ``approx_percentile`` (KLL-style mergeable sketch — per-partition
+    partial sketches merge map-side, no per-group sort), exactly the
+    swap the exact query's docstring prescribes. Same micro-quantized
+    integers and the same |x − med| > 3·MAD fence, so the two queries
+    differ only in the quantile engine; pytest pins them against each
+    other at sf0.001 (approx medians land within one inter-element gap
+    of the interpolated exact median, so fence counts track closely).
+
+    Sketch outputs are engine-specific (no DuckDB oracle) — the driver
+    records a rows-only check, the exact twin carries the full
+    cross-engine hash, mirroring the value_percentiles /
+    approx_value_percentiles pairing."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint").alias("x"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.percentile_approx(F.col("x"), F.lit(0.5), F.lit(10000)).alias(
+            "med_micro"
+        )
+    )
+    dev = v.join(med, "event_type").select(
+        "event_type",
+        "med_micro",
+        F.abs(F.col("x") - F.col("med_micro")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx(F.col("adev"), F.lit(0.5), F.lit(10000)).alias(
+            "mad_micro"
+        )
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("med_micro").cast("bigint").alias("med_micro"),
+            F.min("mad_micro").cast("bigint").alias("mad_micro"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3) * F.col("mad_micro"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+_SESSW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("user_sessions_native", _SESSW_SQL)
+def q_user_sessions_native(spark, sf_dir):
+    """Sessionization via Spark's NATIVE ``session_window`` in batch
+    mode — the third leg pinning the suite's three session shapes to
+    one semantics: the gaps-and-islands batch twin (``user_sessions``),
+    the streaming session aggregation (streaming/ingest.py), and this
+    native-operator form all implement "gap > 30 min ⇒ new session"
+    (probed this round: session_window MERGES a gap of exactly 1800 s,
+    matching the islands rule's strict >). Emits one row per session
+    with its true extent — start = first event, end = last event +
+    gap (the session_window contract) — in exact epoch-microseconds.
+
+    The oracle rebuilds the same sessions by cumulative new-session
+    flags; ties inside a session don't disturb membership (gap 0
+    always merges), so LAG's event_id tie-break only stabilizes the
+    flag positions, not the grouping. Scale shape: session_window is
+    a single (user_id)-keyed shuffle + in-partition merge sort — the
+    same cost as one window function, no iterative merging."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            # NTZ→LTZ cast is exact under the catalog's pinned UTC zone
+            # (events.ts may arrive TIMESTAMP_NTZ; unix_micros needs LTZ)
+            F.unix_micros(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )

@@ -279,6 +279,71 @@ def test_approx_percentiles_rank_error_bounded(spark):
             assert sum(1 for v in vals if v < a) / n <= p + 0.0001 + 1 / n, (et, p, a)
 
 
+def test_mad_approx_agrees_with_exact(spark):
+    """The approx-MAD twin must track the exact query: identical group
+    keys and counts, medians within one inter-element gap of the exact
+    interpolated median (approx_percentile returns an actual order
+    statistic; exact p=0.5 interpolates between the two middle ones),
+    and fence counts within the handful of points that sit between the
+    two fences."""
+    from chronobase_spark import queries as q
+
+    exact = {
+        r["event_type"]: r
+        for r in q.queries()["mad_outliers_by_type"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in q.queries()["mad_outliers_approx"](spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    ev = catalog.table(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull())
+    xs: dict[str, list[int]] = {}
+    for r in ev.select("event_type", F.round(F.col("value") * 1000000.0, 0)
+                       .cast("bigint").alias("x")).collect():
+        xs.setdefault(r["event_type"], []).append(r["x"])
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert ap["n"] == ex["n"]
+        # approx median is a real element adjacent to the interpolated
+        # exact median: bound |Δ| by the gap between the two middle
+        # order statistics of that group
+        vals = sorted(xs[et])
+        lo, hi = vals[(len(vals) - 1) // 2], vals[len(vals) // 2]
+        assert lo <= ap["med_micro"] <= hi, (et, ap["med_micro"], lo, hi)
+        assert ap["mad_micro"] > 0
+        # fences differ by at most the median shift; count drift stays
+        # a small fraction of the group
+        assert abs(ap["n_outliers"] - ex["n_outliers"]) <= max(3, ex["n"] // 50), (
+            et, ap["n_outliers"], ex["n_outliers"],
+        )
+
+
+def test_session_window_native_matches_islands_twin(spark):
+    """The native session_window batch query and the gaps-and-islands
+    twin implement ONE semantics: per-user session count and total
+    event count must be identical, and each native session must span
+    exactly gap-joined events (end = last event + 30 min)."""
+    from chronobase_spark import queries as q
+
+    native = q.queries()["user_sessions_native"](spark, SF_SMOKE).collect()
+    islands = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q.queries()["user_sessions"](spark, SF_SMOKE).collect()
+    }
+    per_user: dict[int, list] = {}
+    for r in native:
+        per_user.setdefault(r["user_id"], []).append(r)
+        assert r["session_end_us"] - r["session_start_us"] >= 1_800_000_000
+    assert set(per_user) == set(islands)
+    for uid, sess in per_user.items():
+        assert (len(sess), sum(s["n_events"] for s in sess)) == islands[uid], uid
+        # sessions are disjoint with >30-min gaps between them
+        spans = sorted((s["session_start_us"], s["session_end_us"]) for s in sess)
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert s2 > e1, (uid, spans)
+
+
 def test_asof_join_pandas_matches_window_impl(spark, events):
     """The cogrouped merge_asof implementation must produce exactly the
     union+window asof_join result (same '<=' backward semantics)."""

@@ -55,4 +55,5 @@ def test_rows_only_queries_are_documented_set():
         "approx_distinct_users",
         "approx_value_percentiles",
         "sketch_rollup_users",
+        "mad_outliers_approx",
     }
