@@ -624,6 +624,57 @@ def redact_pii(text: Column) -> Column:
     return F.regexp_replace(red, PHONE_RE, "<PHONE>")
 
 
+# Token width of the boilerplate/template group key (the C4-style
+# header/footer span) — one constant shared by the batch query
+# (queries.boilerplate_templates), its SQL oracle, and the streaming
+# template_stage, so the three surfaces can never drift.
+TEMPLATE_WIDTH = 12
+
+
+def template_end_hashes(text: Column, width: int = TEMPLATE_WIDTH) -> Column:
+    """struct(prefix_h, suffix_h): md5 over the first/last ``width``
+    tokens — the boilerplate/template group keys. NULL for documents
+    shorter than ``width`` tokens (they cannot carry a full template
+    span; the batch query's size filter and this NULL agree). Defined
+    ONCE so the batch query and the in-stream twin
+    (streaming/docs.template_stage) share the literal expression and
+    stay drained-equal by construction. Pure per-row expression — one
+    tokenization via the expression-level let (with_tokens)."""
+
+    def ends(tk: Column) -> Column:
+        ok = F.size(tk) >= width
+        return F.struct(
+            F.when(ok, F.md5(F.array_join(F.slice(tk, 1, width), " "))).alias(
+                "prefix_h"
+            ),
+            F.when(
+                ok, F.md5(F.array_join(F.slice(tk, -width, width), " "))
+            ).alias("suffix_h"),
+        )
+
+    return with_tokens(text, ends)
+
+
+def datacard_signals(text: Column) -> Column:
+    """struct(h, n_tokens, n_distinct, n_stop): the per-document signal
+    row the corpus datacard aggregates (queries.corpus_datacard) —
+    content hash, token count, lexical-diversity mass, stopword mass.
+    Defined ONCE so the batch datacard and the in-stream twin
+    (streaming/docs.datacard_stage) share the literal expression and
+    stay drained-equal by construction. Pure per-row expression; NULL
+    text yields NULL fields (the batch query filters NULL text out —
+    both surfaces agree nothing is counted)."""
+    return with_tokens(
+        text,
+        lambda tk: F.struct(
+            F.md5(text).alias("h"),
+            F.size(tk).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(tk)).cast("bigint").alias("n_distinct"),
+            _stop_count(tk).cast("bigint").alias("n_stop"),
+        ),
+    )
+
+
 def span_hashes(toks_col: str = "toks", width: int = 8) -> Column:
     """md5 fingerprint of every ``width``-token sliding window of a
     token-array column — the candidate unit of ExactSubstr span dedup

@@ -8958,7 +8958,10 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
-_DATACARD_STOPS = "'the','a','an','and','or','of','to','in','is','it'"
+# derived from the ONE stopword list (functions/text.STOPWORDS) so the
+# SQL oracle, the batch signal struct, and the streaming stage all count
+# the same words
+_DATACARD_STOPS = ",".join(f"'{s}'" for s in text.STOPWORDS)
 
 _DATACARD_SQL = f"""
 WITH tk AS (
@@ -9003,16 +9006,22 @@ def q_corpus_datacard(spark, sf_dir):
     distinct via a partial expand, never a second scan). Exact
     integers plus two integer-ratio double divisions."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = text.tokens(F.col("text"))
-    stops = [s.strip("'") for s in _DATACARD_STOPS.split(",")]
+    # the per-doc signal struct is the SHARED definition the streaming
+    # datacard_stage emits (functions/text.datacard_signals) — batch
+    # card and in-stream signals can never drift
     sig = docs.select(
         "source",
         "lang",
-        F.md5("text").alias("h"),
         "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.size(F.filter(toks, lambda t: t.isin(stops))).alias("n_stop"),
+        text.datacard_signals(F.col("text")).alias("_s"),
+    ).select(
+        "source",
+        "lang",
+        "n_chars",
+        F.col("_s.h").alias("h"),
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.n_distinct").alias("n_distinct"),
+        F.col("_s.n_stop").alias("n_stop"),
     )
     return sig.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -9176,7 +9185,7 @@ def q_event_burstiness(spark, sf_dir):
     )
 
 
-_TPL_W = 12
+_TPL_W = text.TEMPLATE_WIDTH
 _TPL_MIN = 3
 
 _TPL_SQL = f"""
@@ -9218,23 +9227,26 @@ def q_boilerplate_templates(spark, sf_dir):
     width, output only the template groups. Fully hash-checked (md5
     over the joined token span, identical on both engines)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = text.tokens(F.col("text"))
-    base = docs.select("doc_id", "source", toks.alias("toks")).filter(
-        F.size("toks") >= _TPL_W
+    # the end-hash struct is the SHARED definition the streaming
+    # template_stage emits (functions/text.template_end_hashes) — NULL
+    # for short docs, which the filters below drop exactly like the
+    # former explicit size gate
+    ends = docs.select(
+        "doc_id",
+        "source",
+        text.template_end_hashes(F.col("text")).alias("_e"),
     )
-    pre = base.select(
+    pre = ends.filter(F.col("_e.prefix_h").isNotNull()).select(
         "doc_id",
         "source",
         F.lit("prefix").alias("kind"),
-        F.md5(F.array_join(F.slice("toks", 1, _TPL_W), " ")).alias("h"),
+        F.col("_e.prefix_h").alias("h"),
     )
-    suf = base.select(
+    suf = ends.filter(F.col("_e.suffix_h").isNotNull()).select(
         "doc_id",
         "source",
         F.lit("suffix").alias("kind"),
-        F.md5(
-            F.array_join(F.slice("toks", -_TPL_W, _TPL_W), " ")
-        ).alias("h"),
+        F.col("_e.suffix_h").alias("h"),
     )
     return (
         pre.unionAll(suf)

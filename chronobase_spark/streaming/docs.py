@@ -365,6 +365,50 @@ def cdc_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
     return cdc.chunk_hashes(stream, text_col)
 
 
+def template_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate/template end-hashes IN the stream — the in-stream
+    twin of the batch ``boilerplate_templates`` pass: each arriving
+    document lands in storage already carrying the md5 of its first and
+    last TEMPLATE_WIDTH tokens, so the global template-group aggregate
+    (the boilerplate_templates shape) runs downstream on either surface
+    without re-tokenizing the corpus.
+
+    Stateless by construction: the end-hash struct is the LITERAL
+    shared expression the batch query compiles
+    (functions/text.template_end_hashes — one definition, so drained
+    output equals batch by construction; pinned in
+    tests/test_streaming.py). No explode, no state store — the stream
+    stays fully pipelined, two fixed-width md5s per document. Emitted
+    as ONE struct column: flattening via getField would inline the
+    tokenization once per field (Catalyst does not CSE across
+    projections — FIXTURES.md lambda-inlining note). Docs shorter than
+    the template width — and NULL text — carry NULL hashes: they
+    cannot hold a full template span, matching the batch size gate."""
+    return stream.withColumn(
+        "template_ends", text.template_end_hashes(F.col(text_col))
+    )
+
+
+def datacard_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document datacard signals IN the stream — the in-stream twin
+    of the batch ``corpus_datacard`` signal pass: arriving documents
+    land carrying content hash, token count, distinct-token mass and
+    stopword mass, so the (source, lang) datasheet aggregate runs
+    downstream on either surface as a plain partial-agged groupBy over
+    pre-computed signals.
+
+    Stateless by construction: the signal struct is the LITERAL shared
+    expression the batch query compiles (functions/text.datacard_signals
+    — one definition, drained-equal by construction, pinned in
+    tests/test_streaming.py). Map-only, no state store. Emitted as ONE
+    struct column — flattening via getField would inline the
+    tokenization once per field (Catalyst does not CSE across
+    projections — FIXTURES.md lambda-inlining note). NULL text yields
+    NULL signals, matching the batch NULL filter which counts nothing
+    for such rows."""
+    return stream.withColumn("datacard", text.datacard_signals(F.col(text_col)))
+
+
 def wav_stage(stream: DataFrame) -> DataFrame:
     """Audio feature extraction IN the stream — the in-stream twin of
     the batch multimodal_wav_features pass: arriving documents are

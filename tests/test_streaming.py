@@ -1106,6 +1106,141 @@ def test_streaming_span_stage_matches_batch(spark, tmp_path):
     assert any(len(v) > 0 for v in got.values()), "corpus should emit spans"
 
 
+def test_streaming_template_stage_matches_batch(spark, tmp_path):
+    """The stateless in-stream template end-hash emission must drain
+    EQUAL to the shared batch expression (same prefix/suffix md5s per
+    row), with a short doc (< TEMPLATE_WIDTH tokens) and NULL text both
+    carried through as NULL hashes — they cannot hold a full template
+    span. Run through a real stream so the stage is proven stateless."""
+    from chronobase_spark.functions import text as textfn
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "tplsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(50)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    short = base.limit(1).withColumn("doc_id", F.lit(999998)).withColumn(
+        "text", F.lit("only four tokens here")
+    )
+    nulltext = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    base.union(short).union(nulltext).repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "tpl_sink")
+    q = (
+        docstream.template_stage(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "tpl_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+
+    got = {
+        r["doc_id"]: (r["template_ends"]["prefix_h"], r["template_ends"]["suffix_h"])
+        for r in out.collect()
+    }
+    batch = {
+        r["doc_id"]: (r["e"]["prefix_h"], r["e"]["suffix_h"])
+        for r in spark.read.parquet(src)
+        .select("doc_id", textfn.template_end_hashes(F.col("text")).alias("e"))
+        .collect()
+    }
+    assert got == batch
+    assert got[999998] == (None, None) and got[999999] == (None, None)
+    assert any(p is not None for p, _ in got.values()), "corpus should emit hashes"
+
+
+def test_streaming_datacard_stage_matches_batch(spark, tmp_path):
+    """The stateless in-stream datacard signal emission must drain EQUAL
+    to the shared batch expression per row, and aggregating the drained
+    signals must reproduce the REGISTERED corpus_datacard on the same
+    parquet — the property that lets the datasheet run on either
+    surface. NULL text carries NULL signals (counted by neither)."""
+    from chronobase_spark import queries as q
+    from chronobase_spark.streaming import docs as docstream
+
+    d = str(tmp_path / "dcsf")
+    src = f"{d}/documents.parquet"
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    nulltext = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    base.union(nulltext).repartition(2).write.parquet(src)
+
+    sink = str(tmp_path / "dc_sink")
+    qs = (
+        docstream.datacard_stage(docstream.read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "dc_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs.awaitTermination(120)
+    out = spark.read.parquet(sink)
+
+    got = {
+        r["doc_id"]: tuple(r["datacard"]) for r in out.collect()
+    }
+    assert got[999999] == (None, None, None, None)
+    assert all(v[0] is not None for k, v in got.items() if k != 999999)
+
+    # downstream datasheet over the DRAINED signals == the registered
+    # batch query over the same parquet directory
+    def key(rows):
+        return {
+            (r["source"], r["lang"]): (
+                r["n_docs"], r["total_tokens"], round(r["avg_tokens"], 9),
+                r["total_chars"], r["n_exact_dup_docs"],
+                r["distinct_token_sum"], round(r["stop_ratio"], 9),
+            )
+            for r in rows
+        }
+
+    from_stream = (
+        out.filter(F.col("datacard.h").isNotNull())
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("datacard.n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.sum("datacard.n_tokens").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.count(F.lit(1)) - F.countDistinct("datacard.h"))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            F.sum("datacard.n_distinct").cast("bigint").alias("distinct_token_sum"),
+            (
+                F.sum("datacard.n_stop").cast("double")
+                / F.greatest(F.sum("datacard.n_tokens"), F.lit(1)).cast("double")
+            ).alias("stop_ratio"),
+        )
+        .collect()
+    )
+    from_batch = q.queries()["corpus_datacard"](spark, d).collect()
+    assert key(from_stream) == key(from_batch)
+
+
 def test_tab_stream_end_to_end_pipeline(spark, tmp_path):
     """The reference's whole lifecycle — flush drops immutable .tab
     tablets, ingest scrubs/fingerprints/scores documents, queries read
