@@ -706,6 +706,251 @@ R10C_STAGES = (
 R10C_TABLES = (("documents", "doc_id"), ("embeddings", "vec_id"))
 
 
+# Round-11: the composed pair-join queries the verbatim-replication
+# probe could never measure (every replica was an f-way exact-dup
+# clique => f² candidate pairs BY FIXTURE CONSTRUCTION, SCALING.md r10b
+# note). The mutation fixture below replaces replication with honest
+# corpus growth, so these four now get real 1x/16x/64x slopes.
+R11_STAGES = (
+    "minhash_lsh_recall",
+    "dup_graph_triangles",
+    "dup_graph_communities",
+    "split_leakage_report",
+)
+
+# one-in-N docs get a near-dup twin; one-in-N tokens of a twin mutate
+_MUT_DUP_MOD = 10
+_MUT_TOK_MOD = 20
+
+
+def mutated_documents_dir(spark, factor: int) -> str:
+    """Replication-FREE scale fixture: grow the corpus by MUTATION so
+    the near-dup rate and dup-group size stay constant with the factor
+    — what 100 TB of crawl actually looks like — instead of the f-way
+    exact-dup cliques verbatim replication creates (f²/2 candidate
+    pairs per doc, a fixture artifact the r10b probe had to exclude
+    the composed pair queries for).
+
+    Construction, all deterministic column algebra:
+
+    * ``factor`` copy universes; every token is prefixed ``u{u}x`` (one
+      alphanumeric token — survives the engine's punctuation-stripping
+      tokenizer intact), so universes share ZERO shingles: growth adds
+      new content, and each token's document frequency matches the
+      base corpus (max_df pruning sees the same distribution at every
+      factor).
+    * inside each universe, every ``_MUT_DUP_MOD``-th doc gains ONE
+      near-dup twin with ~1/``_MUT_TOK_MOD`` of tokens substituted
+      (xxhash64-positioned, ~15% of 3-shingles changed ⇒ jaccard ≈
+      0.74, solidly above the pipelines' 0.5 threshold) — a constant
+      planted-dup rate with group size 2, plus the base corpus' own
+      natural dups once per universe.
+
+    Total rows = factor × n_base × (1 + 1/_MUT_DUP_MOD); true pair
+    count grows LINEARLY in the factor. Written once per factor under
+    .scratch/ in the {dir}/documents.parquet layout the registered
+    query contract reads."""
+    from chronobase_spark import catalog
+
+    d = SCRATCH / f"mutated_x{factor}"
+    dest = d / "documents.parquet"
+    if dest.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    base = catalog.table(spark, BASE_SF, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    shift = 10_000_000
+    uni = base.withColumn(
+        "_u", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    )
+    tag = F.concat(F.lit("u"), F.col("_u").cast("string"), F.lit("x"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    tagged = F.transform(toks, lambda t: F.concat(tag, t))
+    orig = uni.select(
+        (F.col("doc_id") + F.col("_u") * shift).alias("doc_id"),
+        F.array_join(tagged, " ").alias("text"),
+        "lang",
+        "source",
+    )
+    mutated = F.transform(
+        tagged,
+        lambda t, i: F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.col("_u"), i), _MUT_TOK_MOD)
+            == 0,
+            F.concat(t, F.lit("zz")),
+        ).otherwise(t),
+    )
+    twins = uni.filter(F.col("doc_id") % _MUT_DUP_MOD == 0).select(
+        (F.col("doc_id") + F.col("_u") * shift + shift // 2).alias("doc_id"),
+        F.array_join(mutated, " ").alias("text"),
+        "lang",
+        "source",
+    )
+    out = orig.unionAll(twins).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    )
+    out.repartition(32).write.mode("overwrite").parquet(str(dest))
+    return str(d)
+
+
+def run_mutated(spark, factor: int, stages=R11_STAGES) -> dict:
+    """Min-of-2 fresh-session passes of the registered pair-join
+    queries over the mutation fixture (run_factor methodology)."""
+    from chronobase_spark import queries as q
+
+    sf_dir = mutated_documents_dir(spark, factor)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    merged: dict[str, float] = {}
+    for _rep in range(2):
+        for name in stages:
+            t0 = time.perf_counter()
+            q._REGISTRY[name][0](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            merged[name] = min(merged.get(name, dt), dt)
+        spark.catalog.clearCache()
+    return {
+        "factor": factor,
+        "n_docs": n_docs,
+        **{k: round(v, 2) for k, v in merged.items()},
+    }
+
+
+def ingest_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """Write-path and streaming-ingest throughput at one replication
+    factor (events ×factor ≈ factor·100k rows; documents ×factor) —
+    the r11 refresh of SCALING.md's round-4 ingest table, now covering
+    the ``.tab`` STREAMING source and the enriched document-intake
+    pipeline end-to-end:
+
+    * ``batch_write``   — canonical layout write (sortWithinPartitions
+      (ts, key), date-partitioned zstd parquet) of the replicated
+      events table; min-of-2 so the codegen/committer warm-up rep
+      doesn't pollute the recorded floor.
+    * ``tab_flush``     — write_tab_dir of the same rows as reference-
+      layout tablets (range-partitioned on ts_ns, Python block packer).
+    * ``tab_stream``    — readStream format("chronotab") over those
+      tablets drained availableNow to parquet: the streaming-source
+      decode path's honest rows/s.
+    * ``doc_enrich``    — documents ×factor as JSON tablets →
+      chronotab stream → pii scrub + template + datacard stages +
+      content dedup (state store) → parquet: the full intake pipeline
+      the batch queries consume downstream.
+
+    Returns rows/s per stage (wall includes sink commit — ingest is a
+    write's throughput, not a transformation's)."""
+    from chronobase_spark import catalog
+    from chronobase_spark.sources import tabfile, writers
+    from chronobase_spark.streaming import docs as docstream
+
+    ev_path = replicate(spark, "events", factor, "event_id")
+    ev = spark.read.parquet(ev_path)
+    n_events = ev.count()
+    out: dict = {"factor": factor, "n_events": n_events}
+
+    best = float("inf")
+    for rep in range(2):
+        dest = tmp_root / f"batch_write_x{factor}_r{rep}"
+        t0 = time.perf_counter()
+        writers.write_time_partitioned(ev, str(dest), mode="overwrite")
+        best = min(best, time.perf_counter() - t0)
+        shutil.rmtree(dest, ignore_errors=True)
+    out["batch_write_s"] = round(best, 2)
+    out["batch_write_rows_s"] = int(n_events / best)
+
+    payload = ev.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.col("__ts_ns").alias("ts_ns")
+        if "__ts_ns" in ev.columns
+        else (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+        .cast("binary")
+        .alias("data"),
+    )
+    tabdir = tmp_root / f"tablets_ev_x{factor}"
+    t0 = time.perf_counter()
+    n = tabfile.write_tab_dir(
+        payload, str(tabdir), partitions=max(8, factor)
+    )
+    dt = time.perf_counter() - t0
+    assert n == n_events
+    out["tab_flush_s"] = round(dt, 2)
+    out["tab_flush_rows_s"] = int(n_events / dt)
+
+    tabfile.register_tab_source(spark)
+    sink = tmp_root / f"tab_stream_sink_x{factor}"
+    ckpt = tmp_root / f"tab_stream_ckpt_x{factor}"
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.format("chronotab")
+        .load(str(tabdir))
+        .selectExpr("key", "ts")
+        .writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(3600)
+    dt = time.perf_counter() - t0
+    drained = spark.read.parquet(str(sink)).count()
+    assert drained == n_events
+    out["tab_stream_s"] = round(dt, 2)
+    out["tab_stream_rows_s"] = int(n_events / dt)
+
+    doc_path = replicate(spark, "documents", factor, "doc_id")
+    docs = spark.read.parquet(doc_path)
+    n_docs = docs.count()
+    out["n_docs"] = n_docs
+    doc_payload = docs.select(
+        F.col("doc_id").cast("string").cast("binary").alias("key"),
+        ((F.lit(1_700_000_000) + F.col("doc_id")) * F.lit(1_000_000_000)).alias(
+            "ts_ns"
+        ),
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+        .cast("binary")
+        .alias("data"),
+    )
+    doc_tabdir = tmp_root / f"tablets_doc_x{factor}"
+    tabfile.write_tab_dir(doc_payload, str(doc_tabdir), partitions=max(8, factor))
+    json_schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    stream = (
+        spark.readStream.format("chronotab")
+        .load(str(doc_tabdir))
+        .select(
+            F.from_json(F.col("data").cast("string"), json_schema).alias("d"),
+            F.col("ts").alias("ingest_ts"),
+        )
+        .select("d.*", "ingest_ts")
+    )
+    enriched = docstream.content_dedup(
+        docstream.datacard_stage(
+            docstream.template_stage(docstream.pii_scrub_stage(stream))
+        )
+    )
+    sink2 = tmp_root / f"doc_enrich_sink_x{factor}"
+    ckpt2 = tmp_root / f"doc_enrich_ckpt_x{factor}"
+    t0 = time.perf_counter()
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", str(sink2))
+        .option("checkpointLocation", str(ckpt2))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(3600)
+    dt = time.perf_counter() - t0
+    out["doc_enrich_s"] = round(dt, 2)
+    out["doc_enrich_rows_s"] = int(n_docs / dt)
+    return out
+
+
 def targeted_factor_dir(spark, factor: int, tables=_TARGET_TABLES) -> str:
     """{dir}/{table}.parquet layout over the cached replicas, so the
     registered (spark, sf_dir) query contract drives the probe."""
@@ -759,6 +1004,40 @@ def main():
                     f"{k}: {last['factor']}x data -> "
                     f"{last[k] / max(base[k], 1e-9):.1f}x time"
                 )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--r11"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"r11-mutation-probe-x{factor}", shuffle_partitions=32
+            )
+            rows.append(run_mutated(spark, factor))
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        for k in base:
+            if k not in ("factor", "n_docs"):
+                print(
+                    f"{k}: {last['factor']}x data -> "
+                    f"{last[k] / max(base[k], 1e-9):.1f}x time"
+                )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--ingest"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"ingest-probe-x{factor}", shuffle_partitions=32
+            )
+            tmp_root = SCRATCH / f"ingest_x{factor}"
+            tmp_root.mkdir(parents=True, exist_ok=True)
+            print(f"ingest {ingest_probe(spark, factor, tmp_root)}", flush=True)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            spark.stop()
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     if sys.argv[1:2] == ["--r10c"]:
