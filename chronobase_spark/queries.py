@@ -9311,6 +9311,184 @@ def q_mad_outliers_approx(spark, sf_dir):
     )
 
 
+_KL_SQL = """
+WITH tk AS (
+  SELECT source,
+         unnest(list_filter(string_split(trim(lower(text)), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), st AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+  FROM tk GROUP BY source, tok
+), s AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s FROM st GROUP BY source
+), t AS (
+  SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS c FROM t
+)
+SELECT st.source,
+       MIN(s.c_s) AS n_tokens,
+       CAST(SUM(st.c_st * CAST(ROUND(LN(
+              (CAST(st.c_st AS DOUBLE) * CAST(tot.c AS DOUBLE))
+              / (CAST(s.c_s AS DOUBLE) * CAST(t.c_t AS DOUBLE))
+            ) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS kl_micro_sum,
+       CAST(SUM(st.c_st * CAST(ROUND(LN(
+              (CAST(st.c_st AS DOUBLE) * CAST(tot.c AS DOUBLE))
+              / (CAST(s.c_s AS DOUBLE) * CAST(t.c_t AS DOUBLE))
+            ) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+         / (CAST(MIN(s.c_s) AS DOUBLE) * 1000000.0) AS kl_nats
+FROM st
+JOIN s ON st.source = s.source
+JOIN t ON st.tok = t.tok
+CROSS JOIN tot
+GROUP BY st.source
+"""
+
+
+@register("source_unigram_kl", _KL_SQL)
+def q_source_unigram_kl(spark, sf_dir):
+    """Training-mix drift per source: KL divergence D(P_source ‖
+    P_corpus) of unigram token distributions — the single number that
+    says how far each source's vocabulary usage sits from the corpus
+    it is being mixed into (the CCNet/DoReMi-style domain-weighting
+    signal; a source with high KL dominates or starves rare tokens
+    under naive proportional mixing). Completes the corpus-statistics
+    family next to the PMI/MI association audits (`lang_source_pmi`),
+    which measure CELL association, not distribution distance.
+
+    Exactness: every probability is a ratio of exact BIGINT counts;
+    each log-ratio term is quantized to integer micro-nats with the
+    SAME explicit cast/op order on both engines (the bigram-LM
+    pattern), summed exactly as c_st-weighted BIGINTs, and divided
+    once by the exact token total — one double division per output
+    row. KL ≥ 0 up to quantization, pinned in pytest. Scale shape:
+    explode + two vocab-bounded partial-agged groupBys, a tok-keyed
+    join of vocab-sized tables, a |sources|-row reduce — the tfidf
+    family's cost, linear in corpus tokens."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    st = tk.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    s = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("c_s"))
+    t = st.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    tot = t.agg(F.sum("c_t").cast("bigint").alias("c"))
+    term = (
+        F.round(
+            F.log(
+                (F.col("c_st").cast("double") * F.col("c").cast("double"))
+                / (F.col("c_s").cast("double") * F.col("c_t").cast("double"))
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("bigint")
+    )
+    j = (
+        st.join(s.hint("shuffle_hash"), "source")
+        .join(t.hint("shuffle_hash"), "tok")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        j.select("source", "c_s", (F.col("c_st") * term).alias("w"))
+        .groupBy("source")
+        .agg(
+            F.min("c_s").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("kl_micro_sum"),
+            (
+                F.sum("w").cast("bigint").cast("double")
+                / (F.min("c_s").cast("double") * F.lit(1000000.0))
+            ).alias("kl_nats"),
+        )
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), computed ONCE in
+# Python and injected as identical literals into BOTH engines — never
+# let two libm log10's disagree by an ulp.
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+_BENFORD_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND value > 0
+), d AS (
+  SELECT event_type,
+         CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM v WHERE x > 0
+), n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.digit,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MIN(n.n_total) AS DOUBLE) AS share,
+       CASE d.digit {' '.join(f'WHEN {k} THEN {v!r}' for k, v in _BENFORD_P.items())}
+       END AS benford_p,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MIN(n.n_total) AS DOUBLE)
+         - CASE d.digit {' '.join(f'WHEN {k} THEN {v!r}' for k, v in _BENFORD_P.items())}
+           END AS excess
+FROM d JOIN n ON d.event_type = n.event_type
+GROUP BY d.event_type, d.digit
+"""
+
+
+@register("benford_first_digit", _BENFORD_SQL)
+def q_benford_first_digit(spark, sf_dir):
+    """Benford's-law audit of event values per type: the first
+    significant digit of naturally occurring multi-scale quantities
+    follows log10(1+1/d); synthetic, capped, or fabricated value
+    streams don't — the classic forensic screen for instrumented
+    metrics (fraud analytics' digit test, applied to telemetry).
+    Emits per (type, digit) the observed share against the Benford
+    probability and the excess.
+
+    Exactness: the first digit comes from the STRING of the
+    micro-quantized BIGINT (never a libm log10 of the value — a power
+    of 10 boundary would flip digits between engines), and the nine
+    Benford constants are Python-computed literals injected into both
+    engines, so the only floating arithmetic is one division and one
+    subtraction of identical operands. Scale shape: map-only digit
+    extraction + one partial-agged groupBy to ≤ 9·|types| rows, plus
+    a type-keyed count join — nothing corpus-sized shuffles twice."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint").alias("x"),
+    ).filter(F.col("x") > 0)
+    d = v.select(
+        "event_type",
+        F.substring(F.col("x").cast("string"), 1, 1).cast("bigint").alias("digit"),
+    )
+    n = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+    )[F.col("digit")]
+    return (
+        d.join(n.hint("shuffle_hash"), "event_type")
+        .groupBy("event_type", "digit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.min("n_total").cast("double")
+            ).alias("share"),
+            F.min(benford).alias("benford_p"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.min("n_total").cast("double")
+                - F.min(benford)
+            ).alias("excess"),
+        )
+    )
+
+
 _SESSW_SQL = """
 WITH flagged AS (
   SELECT user_id, ts,

@@ -344,6 +344,65 @@ def test_session_window_native_matches_islands_twin(spark):
             assert s2 > e1, (uid, spans)
 
 
+def test_source_unigram_kl_properties(spark):
+    """Gibbs' inequality: KL(P_source || P_corpus) >= 0, up to the
+    documented micro-nat quantization (each term rounds within 0.5e-6
+    nats); source token totals must sum to the corpus total."""
+    from chronobase_spark import queries as q
+
+    rows = q.queries()["source_unigram_kl"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = catalog.table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    from chronobase_spark.functions import text as textfn
+
+    corpus_total = docs.select(
+        F.explode(textfn.tokens(F.col("text"))).alias("t")
+    ).count()
+    assert sum(r["n_tokens"] for r in rows) == corpus_total
+    for r in rows:
+        assert r["kl_nats"] >= -1e-6, (r["source"], r["kl_nats"])
+        assert abs(
+            r["kl_nats"] - r["kl_micro_sum"] / (r["n_tokens"] * 1e6)
+        ) < 1e-12
+
+
+def test_benford_first_digit_properties(spark):
+    """Digits land in 1..9, per-type shares sum to 1, per-type counts
+    cover every positive micro-quantized value, and the emitted
+    probabilities are exactly the injected log10(1+1/d) literals."""
+    import math
+
+    from chronobase_spark import queries as q
+
+    rows = q.queries()["benford_first_digit"](spark, SF_SMOKE).collect()
+    assert rows
+    per_type: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r["digit"] <= 9
+        assert r["benford_p"] == math.log10(1.0 + 1.0 / r["digit"])
+        assert abs(r["excess"] - (r["share"] - r["benford_p"])) < 1e-15
+        per_type.setdefault(r["event_type"], []).append(r)
+    ev = catalog.table(spark, SF_SMOKE, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    n_pos = {
+        r["event_type"]: r["n"]
+        for r in ev.select(
+            "event_type",
+            F.round(F.col("value") * 1000000.0, 0).cast("bigint").alias("x"),
+        )
+        .filter(F.col("x") > 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for et, rs in per_type.items():
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-9, et
+        assert sum(r["n_events"] for r in rs) == n_pos[et], et
+
+
 def test_asof_join_pandas_matches_window_impl(spark, events):
     """The cogrouped merge_asof implementation must produce exactly the
     union+window asof_join result (same '<=' backward semantics)."""
