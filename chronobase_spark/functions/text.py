@@ -429,6 +429,91 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def kn_bigram_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document log-probability under an interpolated Kneser-Ney
+    bigram LM trained on the corpus itself — the smoothing that
+    actually wins LM-quality filtering shootouts (Chen & Goodman 1999:
+    KN dominates add-one/Katz across corpora), next to the suite's
+    add-one model (`bigram_lm_scores`) so the two rank signals can be
+    compared on the same grams.
+
+    Model (absolute discount d = 0.5, a power-of-two so the discount
+    is float-exact):
+
+        P(w2|w1) = (c(w1w2) − d)/c(w1·)
+                 + (d · N1+(w1·)/c(w1·)) · N1+(·w2)/N_bigram_types
+
+    where N1+(w1·) is the distinct-continuation count of w1 and
+    N1+(·w2) the distinct-context count of w2 (the continuation
+    probability that makes "Francisco" unlikely outside "San" even
+    though its raw unigram count is high). Scoring the training corpus
+    itself, every scored gram has c12 ≥ 1, so the discounted term is
+    strictly positive and no unseen back-off path exists here (the
+    streaming LM stage owns that case for the add-one model).
+
+    Cross-engine exactness: all five counts are exact BIGINTs; the
+    probability is assembled with an explicitly parenthesized,
+    identical cast/op tree on both engines (IEEE ops on identical
+    doubles are deterministic), quantized to integer micro-nats before
+    the tf-weighted per-doc sum — order-free integer totals, the
+    bigram-LM pattern. Plan: the shared per-doc TF table (persisted —
+    it feeds the corpus counts AND the score join), THREE vocab-
+    bounded aggregates (context, continuation, 1-row type total), two
+    word-keyed shuffle_hash joins to assemble the LM, one gram-keyed
+    shuffle_hash score join (AQE-skew territory, fan-in bounded by the
+    TF collapse), one final per-doc integer sum."""
+    doc_grams = _doc_bigram_tf(docs, id_col, text_col).persist()
+    gc = doc_grams.groupBy("gram").agg(F.sum("tf").alias("c12"))
+    gs = gc.select(
+        "gram",
+        "c12",
+        F.substring_index("gram", " ", 1).alias("w1"),
+        F.substring_index("gram", " ", -1).alias("w2"),
+    )
+    ctx = gs.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+    )
+    cont = gs.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ncont")
+    )
+    tot = gs.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    term = (
+        F.round(
+            F.log(
+                (F.col("c12").cast("double") - F.lit(0.5))
+                / F.col("c1").cast("double")
+                + (
+                    (F.lit(0.5) * F.col("n1").cast("double"))
+                    / F.col("c1").cast("double")
+                )
+                * (
+                    F.col("ncont").cast("double")
+                    / F.col("n_types").cast("double")
+                )
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("bigint")
+    )
+    lm = (
+        gs.join(ctx.hint("shuffle_hash"), "w1")
+        .join(cont.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("gram", term.alias("term_micro"))
+    )
+    return (
+        doc_grams.join(lm.hint("shuffle_hash"), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("term_micro"))
+            .cast("bigint")
+            .alias("kn_logprob_micro"),
+        )
+    )
+
+
 def space_distinct_tokens(text: Column) -> Column:
     """Distinct space-split token count (trim + lower, empties dropped)
     — the repo's "lexical diversity" quality signal, shared by the

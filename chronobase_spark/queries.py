@@ -5582,6 +5582,68 @@ def q_bigram_lm_logprob(spark, sf_dir):
     return text.bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+_KN_LM_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(coalesce(text, ''))), ' '),
+                     x -> x <> '') AS tk
+  FROM documents
+), dg AS (
+  SELECT doc_id, g.gram, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk), 1)),
+                                 i -> {'gram': tk[i] || ' ' || tk[i + 1]}))
+             AS g
+    FROM tk
+  )
+  GROUP BY doc_id, g.gram
+), gc AS (
+  SELECT gram, CAST(SUM(tf) AS BIGINT) AS c12 FROM dg GROUP BY gram
+), gs AS (
+  SELECT gram, c12,
+         split_part(gram, ' ', 1) AS w1,
+         split_part(gram, ' ', 2) AS w2
+  FROM gc
+), ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1
+  FROM gs GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM gs GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM gc
+), lm AS (
+  SELECT gram,
+         CAST(round(ln(
+             (CAST(c12 AS DOUBLE) - 0.5) / CAST(c1 AS DOUBLE)
+             + ((0.5 * CAST(n1 AS DOUBLE)) / CAST(c1 AS DOUBLE))
+               * (CAST(ncont AS DOUBLE) / CAST(n_types AS DOUBLE))
+           ) * 1000000.0, 0) AS BIGINT) AS term_micro
+  FROM gs JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_grams,
+       CAST(SUM(tf * term_micro) AS BIGINT) AS kn_logprob_micro
+FROM dg JOIN lm USING (gram)
+GROUP BY doc_id
+"""
+
+
+@register("kn_bigram_logprob", _KN_LM_SQL)
+def q_kn_bigram_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram log-probability per document
+    (text.kn_bigram_scores) — the state-of-practice n-gram smoothing
+    (Chen & Goodman 1999) next to the add-one model
+    (`bigram_lm_logprob`), ranking documents by continuation-aware
+    probability instead of raw-count probability. Integer micro-nat
+    terms on an explicitly parenthesized identical op tree make the
+    per-doc totals exact cross-engine integers; plan shape is the
+    bigram-LM family's (vocab-bounded aggregates, word-keyed LM
+    assembly joins, one gram-keyed shuffle_hash score join)."""
+    return text.kn_bigram_scores(_t(spark, sf_dir, "documents"))
+
+
 _QW_SAMPLE_SQL = """
 WITH scored AS (
   SELECT source,

@@ -403,6 +403,31 @@ def test_benford_first_digit_properties(spark):
         assert sum(r["n_events"] for r in rs) == n_pos[et], et
 
 
+def test_kn_bigram_agrees_with_addone_on_grams(spark):
+    """Kneser-Ney and add-one score the SAME gram stream (shared
+    _doc_bigram_tf): identical doc coverage and per-doc gram counts;
+    KN is a proper distribution over seen continuations, so every
+    per-doc log-probability is strictly negative; and the continuation
+    term must actually change scores (KN != add-one somewhere)."""
+    from chronobase_spark import queries as q
+
+    kn = {
+        r["doc_id"]: r
+        for r in q.queries()["kn_bigram_logprob"](spark, SF_SMOKE).collect()
+    }
+    addone = {
+        r["doc_id"]: r
+        for r in q.queries()["bigram_lm_logprob"](spark, SF_SMOKE).collect()
+    }
+    assert set(kn) == set(addone)
+    for did, r in kn.items():
+        assert r["n_grams"] == addone[did]["n_grams"], did
+        assert r["kn_logprob_micro"] < 0, did
+    assert any(
+        kn[d]["kn_logprob_micro"] != addone[d]["logprob_micro"] for d in kn
+    )
+
+
 def test_asof_join_pandas_matches_window_impl(spark, events):
     """The cogrouped merge_asof implementation must produce exactly the
     union+window asof_join result (same '<=' backward semantics)."""
