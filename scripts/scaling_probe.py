@@ -985,7 +985,7 @@ def run_targeted(spark, factor: int, stages=R10B_STAGES, tables=_TARGET_TABLES) 
 def main():
     if sys.argv[1:2] == ["--stages"]:
         # generic targeted mode: --stages name1,name2 [factors...]
-        # (documents+embeddings replicas; registered-query contract)
+        # (documents+events+embeddings replicas; registered-query contract)
         stages = tuple(sys.argv[2].split(","))
         factors = [int(a) for a in sys.argv[3:]] or [1, 16, 64]
         SCRATCH.mkdir(parents=True, exist_ok=True)
@@ -994,7 +994,7 @@ def main():
             spark = get_spark(
                 app_name=f"stage-probe-x{factor}", shuffle_partitions=32
             )
-            rows.append(run_targeted(spark, factor, stages, R10C_TABLES))
+            rows.append(run_targeted(spark, factor, stages, _TARGET_TABLES))
             print(f"factor {factor}: {rows[-1]}", flush=True)
             spark.stop()
         base, last = rows[0], rows[-1]
