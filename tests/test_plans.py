@@ -232,6 +232,15 @@ _SCALE_FLAG_ALLOWLIST = {
     # gram-type LM table; the corpus-sized joins are gram-keyed
     # shuffle_hash
     "bigram_lm_logprob": {"bnlj", "single-partition"},
+    # KN: the 1-row bigram-type total broadcasts over the gram-type LM
+    # table as a literal-free cross (bigram_lm V pattern); context/
+    # continuation joins are word-keyed shuffle_hash and the score
+    # join stays gram-keyed shuffle_hash
+    "kn_bigram_logprob": {"bnlj", "single-partition"},
+    # 1-row corpus token total broadcast over the vocab-sized
+    # per-source join frame (bigram_lm V pattern); the corpus-sized
+    # tok join is shuffle_hash
+    "source_unigram_kl": {"bnlj", "single-partition"},
     # two 1-row scalars (corpus total, temperature-sum) broadcast over
     # the |sources|-sized count table (source_mix_weights pattern)
     "source_mix_temperature": {"bnlj", "single-partition"},

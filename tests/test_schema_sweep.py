@@ -229,6 +229,16 @@ _ALLOWED_DOUBLE = {
     # operand, identical sqrt/divide tree (B = (rt-S)/(rt+S))
     ("event_burstiness", "mean_gap_us"),
     ("event_burstiness", "burstiness"),
+    # one double division of the exact BIGINT micro-nat sum by the
+    # exact token total (integer-ratio class; terms quantized before
+    # the sum like the LM family)
+    ("source_unigram_kl", "kl_nats"),
+    # share: one division of exact BIGINTs; benford_p: Python-computed
+    # literal injected identically into both engines; excess: one
+    # subtraction of those two identical operands
+    ("benford_first_digit", "share"),
+    ("benford_first_digit", "benford_p"),
+    ("benford_first_digit", "excess"),
 }
 
 
