@@ -464,7 +464,26 @@ def kn_bigram_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     TF collapse), one final per-doc integer sum."""
     doc_grams = _doc_bigram_tf(docs, id_col, text_col).persist()
     gc = doc_grams.groupBy("gram").agg(F.sum("tf").alias("c12"))
-    gs = gc.select(
+    lm, _ctx, _cont, _tot = _kn_tables(gc)
+    return (
+        doc_grams.join(lm.hint("shuffle_hash"), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("term_micro"))
+            .cast("bigint")
+            .alias("kn_logprob_micro"),
+        )
+    )
+
+
+def _kn_tables(gram_counts):
+    """The frozen-KN model tables from a (gram, c12) corpus count:
+    lm(gram, term_micro) for seen grams, ctx(w1, c1, n1) and
+    cont(w2, ncont) for the unseen-gram back-off ladder, and the 1-row
+    n_types total. ONE definition shared by the batch scorer and the
+    streaming model builder so their term trees can never drift."""
+    gs = gram_counts.select(
         "gram",
         "c12",
         F.substring_index("gram", " ", 1).alias("w1"),
@@ -502,16 +521,23 @@ def kn_bigram_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
         .crossJoin(F.broadcast(tot))
         .select("gram", term.alias("term_micro"))
     )
-    return (
-        doc_grams.join(lm.hint("shuffle_hash"), "gram")
-        .groupBy(id_col)
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_grams"),
-            F.sum(F.col("tf") * F.col("term_micro"))
-            .cast("bigint")
-            .alias("kn_logprob_micro"),
-        )
+    return lm, ctx, cont, tot
+
+
+def kn_bigram_model(docs, text_col: str = "text"):
+    """Train the frozen KN model for in-stream scoring
+    (streaming/docs.kn_score_stage): returns (lm, ctx, cont, n_types)
+    where lm/ctx/cont are the _kn_tables DataFrames and n_types is a
+    Python int (one 1-row collect — a frozen model constant, the
+    bigram_lm_model V pattern)."""
+    gc = (
+        _doc_bigram_tf(docs, "doc_id", text_col)
+        .groupBy("gram")
+        .agg(F.sum("tf").alias("c12"))
     )
+    lm, ctx, cont, tot = _kn_tables(gc)
+    n_types = tot.collect()[0]["n_types"]
+    return lm, ctx, cont, int(n_types)
 
 
 def space_distinct_tokens(text: Column) -> Column:

@@ -292,6 +292,75 @@ def lm_score_stage(
     )
 
 
+def kn_score_stage(
+    stream: DataFrame,
+    lm: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    n_types: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Score arriving documents under a FROZEN Kneser-Ney bigram model
+    trained in batch (functions/text.kn_bigram_model) — the KN
+    companion to ``lm_score_stage``, so the continuation-aware quality
+    signal rides ingest exactly like the add-one one.
+
+    Seen grams take the model's term_micro verbatim (the literal
+    _kn_tables expression — drained scores on in-vocabulary text equal
+    the batch ``kn_bigram_scores`` by construction). Unseen grams walk
+    the explicit KN back-off ladder, each leg a stream-static LEFT
+    join (stateless — no state store):
+
+    * seen context w1, any w2:  λ(w1)·P_cont(w2)
+      = (d·N1+(w1·)/c(w1·)) · N1+(·w2)/N_types  (the discounted mass
+      w1 reserved for unseen continuations);
+    * unseen context w1:        P_cont(w2)  (pure continuation prob);
+    * w2 never seen as a continuation: N1+(·w2) falls back to 1 —
+      the +1-type floor that keeps ln finite (uniform 1/N_types when
+      both sides are novel).
+
+    All legs micro-quantize through the same round(ln(p)·1e6) BIGINT
+    the model table uses, so the per-doc windowed sum stays an
+    order-free exact integer; state is two BIGINTs per in-flight
+    document, watermark-evicted (the lm_score_stage bound). n_types is
+    a frozen Python constant (model metadata, not a live aggregate).
+    Returns (window, doc_id, n_grams, kn_logprob_micro); docs with
+    fewer than two tokens produce no row, matching batch."""
+    grams = (
+        stream.withWatermark("ingest_ts", watermark)
+        .select(
+            "doc_id",
+            "ingest_ts",
+            F.explode(text.lm_grams(F.col("text"))).alias("gram"),
+        )
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .withColumn("w2", F.substring_index("gram", " ", -1))
+    )
+    nt = F.lit(float(n_types))
+    pcont = F.coalesce(F.col("ncont").cast("double"), F.lit(1.0)) / nt
+    lam_p = (
+        (F.lit(0.5) * F.col("n1").cast("double")) / F.col("c1").cast("double")
+    ) * pcont
+    backoff_micro = (
+        F.round(F.log(F.coalesce(lam_p, pcont)) * F.lit(1000000.0), 0)
+        .cast("bigint")
+    )
+    scored = (
+        grams.join(lm, "gram", "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .select(
+            "doc_id",
+            "ingest_ts",
+            F.coalesce(F.col("term_micro"), backoff_micro).alias("term_micro"),
+        )
+    )
+    return scored.groupBy(F.window("ingest_ts", watermark), "doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("term_micro").alias("kn_logprob_micro"),
+    )
+
+
 def pii_scrub_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrubbing IN the stream — the in-stream twin of the batch
     ``pii_redact_docs`` pass (functions.text.redact_pii), so documents

@@ -945,6 +945,98 @@ def test_streaming_lm_score_stage_matches_batch(spark, tmp_path):
     assert half_up_micro(1.0 / (c1_the + v)) < half_up_micro(1.0 / v)
 
 
+def test_streaming_kn_score_stage_matches_batch(spark, tmp_path):
+    """After an availableNow drain, the frozen-KN scoring stage must be
+    BIT-IDENTICAL to the batch kn_bigram_scores on in-vocabulary text,
+    and every unseen-gram back-off leg must score exactly: seen context
+    + unseen continuation -> lambda(w1)/N_types; seen context + seen-
+    elsewhere continuation -> lambda(w1)*P_cont(w2); fully novel gram
+    -> 1/N_types."""
+    import math
+
+    from chronobase_spark.functions import text as textf
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "knsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    train = base
+    lm, ctx, cont, n_types = textf.kn_bigram_model(train)
+    ctx_rows = {r["w1"]: (r["c1"], r["n1"]) for r in ctx.collect()}
+    cont_rows = {r["w2"]: r["ncont"] for r in cont.collect()}
+    assert "the" in ctx_rows, "corpus should contain 'the' as a context"
+    the_grams = {
+        r["gram"] for r in lm.filter(F.col("gram").like("the %")).collect()
+    }
+    # a continuation word seen elsewhere but never after 'the'
+    w2_pick = next(
+        w2 for w2 in sorted(cont_rows) if f"the {w2}" not in the_grams
+    )
+
+    oov_doc = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit("zzqx zzqy zzqz")
+    )
+    ctx_doc = base.limit(1).withColumn("doc_id", F.lit(999998)).withColumn(
+        "text", F.lit("the zzqx")
+    )
+    mix_doc = base.limit(1).withColumn("doc_id", F.lit(999997)).withColumn(
+        "text", F.lit(f"the {w2_pick}")
+    )
+    base.union(oov_doc).union(ctx_doc).union(mix_doc).repartition(2).write.parquet(
+        src
+    )
+
+    scored = docstream.kn_score_stage(
+        docstream.read_document_stream(spark, src), lm, ctx, cont, n_types
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("kn_scores")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["kn_logprob_micro"])
+        for r in spark.sql("SELECT * FROM kn_scores").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["kn_logprob_micro"])
+        for r in textf.kn_bigram_scores(train).collect()
+    }
+    assert want, "training corpus produced no scored docs"
+    for doc, pair in want.items():
+        assert got[doc] == pair, doc
+
+    def half_up_micro(p: float) -> int:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(math.log(p) * 1e6)).quantize(0, rounding=ROUND_HALF_UP)
+        )
+
+    nt = float(n_types)
+    # fully novel grams: both back off to uniform 1/N_types
+    assert got[999999] == (2, 2 * half_up_micro(1.0 / nt))
+    # seen context 'the', unseen continuation: lambda(the) * (1/N_types)
+    c1, n1 = ctx_rows["the"]
+    lam_unseen = ((0.5 * float(n1)) / float(c1)) * (1.0 / nt)
+    assert got[999998] == (1, half_up_micro(lam_unseen))
+    # seen context + seen-elsewhere continuation: lambda(the)*P_cont(w2)
+    lam_cont = ((0.5 * float(n1)) / float(c1)) * (float(cont_rows[w2_pick]) / nt)
+    assert got[999997] == (1, half_up_micro(lam_cont))
+    # the continuation-aware leg must outscore the uniform floor
+    assert got[999997][1] >= got[999998][1]
+
+
 def test_streaming_holt_matches_batch(spark, event_source, tmp_path):
     """After an availableNow drain, the applyInPandasWithState Holt
     stage must be BIT-IDENTICAL to the batch holt_daily_smoothing fold
