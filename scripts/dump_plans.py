@@ -75,6 +75,11 @@ HEADLINE = [
     ("split_leakage_report", "leakage audit: banded LSH pairs + doc_id-keyed split joins, <=6-row aggregate"),
     ("whitened_topk_overlap", "whitening: 64-row stats broadcast, z-rebuild keyed on vec_id, two probe scans"),
     ("multimodal_wav_features", "WAV decode: JVM payload synthesis + partition-preserving mapInPandas, zero exchanges"),
+    ("user_sessions_native", "native session_window: ONE user-keyed shuffle + in-partition session merge, no iteration"),
+    ("mad_outliers_approx", "approx MAD: mergeable percentile sketches map-side, type-keyed joins, no per-group sort"),
+    ("benford_first_digit", "Benford audit: map-only string digit extraction, <=9*|types| partial-agg rows"),
+    ("source_unigram_kl", "unigram KL: vocab-bounded aggregates, tok-keyed shuffle_hash, 1-row total broadcast"),
+    ("kn_bigram_logprob", "Kneser-Ney LM: word-keyed shuffle_hash model assembly, gram-keyed score join, 1-row type-total broadcast"),
 ]
 
 KEEP = re.compile(
