@@ -1007,14 +1007,20 @@ def main():
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     if sys.argv[1:2] == ["--r11"]:
-        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        # optional: --r11 stages=name1,name2 factors...
+        args = sys.argv[2:]
+        stages = R11_STAGES
+        if args and args[0].startswith("stages="):
+            stages = tuple(args[0][len("stages="):].split(","))
+            args = args[1:]
+        factors = [int(a) for a in args] or [1, 16, 64]
         SCRATCH.mkdir(parents=True, exist_ok=True)
         rows = []
         for factor in factors:
             spark = get_spark(
                 app_name=f"r11-mutation-probe-x{factor}", shuffle_partitions=32
             )
-            rows.append(run_mutated(spark, factor))
+            rows.append(run_mutated(spark, factor, stages))
             print(f"factor {factor}: {rows[-1]}", flush=True)
             spark.stop()
         base, last = rows[0], rows[-1]
