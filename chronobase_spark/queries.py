@@ -189,6 +189,16 @@ _FORCE_REGRADE = {
     # driver_sim at sf0.01/0.1 this session, but the recorded driver
     # green predates the rewrite.
     "bigram_lm_logprob": 9,
+    # r11: rewritten onto the shared datacard_signals struct
+    # (functions/text.py, commit e82cb25) AFTER its r10 driver green —
+    # identity-arguable (same stopwords/tokenizer; full local oracle
+    # green at HEAD) but the documented rule is that driver evidence
+    # must postdate material change (r11 verdict finding #1).
+    "corpus_datacard": 10,
+    # r12: triple-scan fix — the micro-quantized projection now
+    # persists (measured A/B in the docstring; r11 verdict finding
+    # #2). Rows-only check, but the plan changed materially.
+    "mad_outliers_approx": 11,
 }
 
 # Families whose driver evidence matters most while slots are scarce
@@ -9336,12 +9346,21 @@ def q_mad_outliers_approx(spark, sf_dir):
     Sketch outputs are engine-specific (no DuckDB oracle) — the driver
     records a rows-only check, the exact twin carries the full
     cross-engine hash, mirroring the value_percentiles /
-    approx_value_percentiles pairing."""
+    approx_value_percentiles pairing.
+
+    The quantized projection persists: `v` feeds the med sketch, the
+    dev projection, and (via dev) the mad sketch + fence count — the
+    r11 plan dump showed 3 FileScans of events and the med_micro
+    sketch computed twice with no ReuseExchange across the legs.
+    A/B at sf0.1 (min-of-3, scripts/ab_mad_approx.py): no persist
+    0.97 s / persist v 0.73 s / persist dev 0.91 s — the 2-column
+    quantized cache wins and is the lightest footprint at 100 TB
+    (bigint+string vs dev's extra med/adev columns)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.select(
         "event_type",
         F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint").alias("x"),
-    )
+    ).persist()
     med = v.groupBy("event_type").agg(
         F.percentile_approx(F.col("x"), F.lit(0.5), F.lit(10000)).alias(
             "med_micro"
