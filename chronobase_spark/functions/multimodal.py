@@ -245,6 +245,75 @@ def decode_ppm(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(extract, PPM_FEATURE_SCHEMA)
 
 
+PHASH_GRID = 8  # dHash pooling grid (8x8 cells -> 64 bits)
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("c0", LongType()),
+        StructField("c1", LongType()),
+        StructField("c2", LongType()),
+        StructField("c3", LongType()),
+    ]
+)
+
+
+def _dhash_chunks_of_raster(w: int, h: int, raster: bytes) -> list[int]:
+    """64-bit dHash of a decoded raster, returned as four UNSIGNED
+    16-bit chunk ints (the simhash_md5_chunks representation, safe in
+    any engine's BIGINT).
+
+    Integer-exact by construction: grayscale is the per-pixel CHANNEL
+    SUM (not a weighted float average), pooling sums pixels into an
+    8x8 grid via the index map row -> row*8//h / col -> col*8//w, and
+    bit (gr, gc) is the strict compare cell(gr, gc) > cell(gr,
+    (gc+1)%8) — the wrap-around horizontal gradient. Every operation
+    is integer compare/sum, so an external engine reproduces the hash
+    from the same bytes with no float hazard."""
+    g = PHASH_GRID
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    gray = px.sum(axis=2, dtype=np.int64)
+    grid = np.zeros((g, g), dtype=np.int64)
+    np.add.at(
+        grid,
+        ((np.arange(h) * g // h)[:, None], (np.arange(w) * g // w)[None, :]),
+        gray,
+    )
+    bits = grid > np.roll(grid, -1, axis=1)
+    chunks = []
+    for j in range(4):
+        v = 0
+        for gr in (2 * j, 2 * j + 1):
+            for gc in range(g):
+                v |= int(bits[gr, gc]) << ((gr % 2) * g + gc)
+        chunks.append(v)
+    return chunks
+
+
+def dhash_chunks(payloads: DataFrame) -> DataFrame:
+    """Perceptual-hash signatures over REAL decoded rasters: parse each
+    PPM payload (full netpbm header tokenizer, same decoder as
+    decode_ppm) and compute the 64-bit dHash of the raster, emitted as
+    four 16-bit chunks ready for the pigeonhole band join. Arrow-
+    batched mapInPandas, partition-preserving — at 100 TB of media the
+    payload bytes never shuffle; only (doc_id, 4 ints) flows on."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": pdf["doc_id"], "c0": [], "c1": [], "c2": [], "c3": []}
+            for p in pdf["payload"]:
+                if p is None:
+                    cs = [None] * 4
+                else:
+                    w, h, _maxval, raster = _parse_ppm(bytes(p))
+                    cs = _dhash_chunks_of_raster(w, h, raster)
+                for j in range(4):
+                    out[f"c{j}"].append(cs[j])
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(extract, PHASH_SCHEMA)
+
+
 def frame_sample(payloads: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     """'Frame sampling' plumbing: explode each payload into frame-offset
     rows (deterministic byte-offset fake of video frame extraction).

@@ -9626,3 +9626,92 @@ def q_user_sessions_native(spark, sf_dir):
             "n_events",
         )
     )
+
+
+def _phash_sql(max_hamming: int = 3) -> str:
+    w = 16  # PPM fixture width (multimodal.PPM_WIDTH)
+    g = 8  # pooling grid (multimodal.PHASH_GRID)
+    min_bytes = (8 - 1) * w * 3 + 1  # dedup.phash.MIN_PAYLOAD_BYTES
+    chunk_exprs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN gr // 2 = {j} THEN bit * (1 << ((gr % 2) * {g} + gc))"
+        f" ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(4)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, c0, c1, c2, c3, {j} AS chunk_id, c{j} AS chunk_val"
+        " FROM sig"
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{j}, b.c{j}))" for j in range(4))
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         GREATEST(CAST(CEIL(octet_length(encode(text)) / {w * 3}.0) AS INT), 1) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) >= {min_bytes}
+), by AS MATERIALIZED (
+  SELECT doc_id,
+         ((((i - 1) // 3) // {w}) * {g}) // h AS gr,
+         ((((i - 1) // 3) % {w}) * {g}) // {w} AS gc,
+         ascii(text[i]) AS v
+  FROM d, LATERAL unnest(generate_series(1, n)) AS t(i)
+), cells AS MATERIALIZED (
+  SELECT doc_id, gr, gc, SUM(v) AS s FROM by GROUP BY doc_id, gr, gc
+), grid AS MATERIALIZED (
+  SELECT d.doc_id, gg.gr, gg.gc, COALESCE(c.s, 0) AS s
+  FROM d
+  CROSS JOIN (SELECT a.gr, b.gc
+              FROM (SELECT unnest(generate_series(0, {g - 1})) AS gr) a,
+                   (SELECT unnest(generate_series(0, {g - 1})) AS gc) b) gg
+  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.gr = gg.gr AND c.gc = gg.gc
+), bits AS MATERIALIZED (
+  SELECT l.doc_id, l.gr, l.gc,
+         CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+  FROM grid l JOIN grid r
+    ON r.doc_id = l.doc_id AND r.gr = l.gr AND r.gc = (l.gc + 1) % {g}
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+         {chunk_exprs}
+  FROM bits GROUP BY doc_id
+), chunks AS (
+{band_rows}
+)
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+WHERE hamming <= {max_hamming}
+"""
+
+
+@register("phash_near_pairs", _phash_sql())
+def q_phash_near_pairs(spark, sf_dir):
+    """Multimodal near-duplicate detection: 64-bit dHash over the REAL
+    decoded PPM rasters (full netpbm header parse + integer numpy
+    pooling — functions.multimodal.dhash_chunks), then the simhash
+    family's chunk-LSH pigeonhole (4 x 16-bit bands, exact Hamming ≤ 3
+    verify) — the perceptual-hash image dedup a pretraining media
+    pipeline runs, completing the near-dup families (token MinHash /
+    SimHash / winnowing / CDC / embedding SemDeDup) with their image
+    member. Every step is deterministic integer math, so the oracle
+    reproduces the hash from the document bytes (byte i of the raster
+    is byte i of the ASCII text, padding contributes zero — the
+    multimodal_decode_features contract) and the FULL pipeline
+    hash-verifies cross-engine; a pytest pin additionally proves the
+    banded result equals brute-force all-pairs Hamming ≤ 3
+    (pigeonhole completeness). Images under 8 raster rows are gated
+    out (dedup.phash.MIN_PAYLOAD_BYTES): their empty pooling rows
+    collapse into one degenerate LSH bucket — the thumbnail skip every
+    production image-dedup applies. Scale: map-only decode (payload
+    bytes never shuffle; 4 ints per image do), banded self-join, no
+    all-pairs path."""
+    from chronobase_spark.dedup import phash
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
+    )
+    return phash.phash_near_pairs(docs)

@@ -712,3 +712,54 @@ def test_lpa_separates_bridged_cliques_cc_fuses(spark):
     assert len(groups) == 2, f"expected 2 communities, got {groups}"
     sides = sorted(groups.values(), key=min)
     assert sides[0] == {0, 1, 2, 3} and sides[1] == {10, 11, 12, 13}
+
+
+def test_phash_banded_pairs_equal_brute_force(spark, docs):
+    """The dHash chunk-LSH result must EQUAL brute-force all-pairs
+    Hamming ≤ 3 (pigeonhole: 4 bands, distance ≤ 3 ⇒ one band
+    identical — completeness is exact, not probabilistic), with the
+    reference hash computed by an independent pure-Python dHash from
+    the raw text bytes (same raster the PPM payload carries)."""
+    import itertools
+    import math
+
+    from chronobase_spark.dedup import phash
+
+    gated = docs.filter(
+        F.col("text").isNotNull()
+        & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
+    )
+
+    def py_dhash(text: str) -> list[int]:
+        data = text.encode("utf-8")
+        h = max(math.ceil(len(data) / 48.0), 1)
+        raster = data + b"\x00" * (h * 16 * 3 - len(data))
+        grid = [[0] * 8 for _ in range(8)]
+        for i, byte in enumerate(raster):
+            q = i // 3
+            grid[(q // 16) * 8 // h][((q % 16) * 8) // 16] += byte
+        chunks = [0, 0, 0, 0]
+        for gr in range(8):
+            for gc in range(8):
+                if grid[gr][gc] > grid[gr][(gc + 1) % 8]:
+                    chunks[gr // 2] |= 1 << ((gr % 2) * 8 + gc)
+        return chunks
+
+    sigs = {r["doc_id"]: py_dhash(r["text"]) for r in gated.collect()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    truth = {
+        (a, b, ham(sigs[a], sigs[b]))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if ham(sigs[a], sigs[b]) <= 3
+    }
+    assert truth, "smoke corpus should contain perceptually-near rasters"
+    found = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in phash.phash_near_pairs(gated).collect()
+    }
+    assert found == truth, (
+        f"missed={truth - found} spurious={found - truth}"
+    )
