@@ -22,6 +22,20 @@ gets decapitated before parsing. So the printed line carries the totals
 plus as many of the slowest per-query timings as fit a 1900-char budget,
 and the COMPLETE result (every query, full precision) is written to
 BENCH_FULL.json next to this script for the judge to read.
+
+Wall-budget policy (adopted r12, BEFORE it binds): the full sf0.1 run
+is ~177 s at 203 queries and grows ~1 s per added query; the budget
+cap is 300 s. If a round's full bench exceeds it, reduce in THIS order
+and record the step taken in this docstring — never silently:
+ 1. drop the heavy tier to min-of-2 reps (3-rep tier exists to damp
+    JIT noise on >2 s queries; min-of-2 loses little once the trend
+    guard compares like-for-like reps);
+ 2. move sub-0.3 s queries to a single rep (they are shuffle-floor
+    bound; rep disagreement there has never exceeded the guard);
+ 3. only then consider an sf0.1-lite subset, and only with an
+    explicit recorded list of what is excluded.
+Per-query timings must stay complete in BENCH_FULL.json in all steps —
+the trend guard and the judge both read it.
 """
 
 from __future__ import annotations

@@ -18,6 +18,24 @@ the batch queries implement (``quality_filter_funnel``,
 The reference's streaming analog is its insert path's TTL-at-arrival
 gate (reference internal/storage/table.go:93-96) — this extends the
 same admit-or-drop shape to content-quality admission.
+
+**Which batch operators get a per-document streaming twin and which
+do not.** The stages here (quality gates, PII scrub, span/template
+hashes, LM scoring) are per-document: each row's output depends only
+on that row plus a FROZEN model broadcast at stream build time
+(lm_score_stage / kn_score_stage pin their back-off ladders on exactly
+that contract). Operators whose OUTPUT is a corpus-level marginal —
+``benford_first_digit`` (the expected-vs-observed digit distribution
+over all values) and ``source_unigram_kl`` (each source's drift from
+the corpus-wide unigram mixture, which every other source moves) —
+have no stateless per-row form: their streaming shape is a WINDOWED
+AGGREGATION (watermark + window → partial-agged digit/token counts,
+marginals finalized per window close), not a map stage. Don't "add
+the missing map-only twin" for these: a per-row emission would have
+to reference a marginal that is only defined once the window closes.
+The same boundary holds for any future corpus-marginal score (e.g.,
+IDF-weighted signals): freeze the marginal and broadcast it (the LM
+pattern), or aggregate per window — never compute it per row.
 """
 
 from __future__ import annotations
