@@ -951,6 +951,97 @@ def ingest_probe(spark, factor: int, tmp_root: Path) -> dict:
     return out
 
 
+def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """Per-stage decomposition of the enriched document intake — the
+    one ingest number (6.7k docs/s, r11) that never had a stage
+    breakdown. Builds the JSON doc tablets ONCE, then drains five
+    incrementally-stacked availableNow pipelines to parquet:
+
+      decode             chronotab source + from_json
+      +pii               ... + pii_scrub_stage (map-only regex)
+      +template          ... + template_stage (map-only md5 end-hashes)
+      +datacard          ... + datacard_stage (map-only signal struct)
+      +dedup             ... + content_dedup (watermark state store)
+
+    The marginal docs/s drop between consecutive rows names the
+    binding stage; wall includes sink commit (ingest is a write's
+    throughput). Each drain uses a fresh sink+checkpoint so state
+    never carries over."""
+    from chronobase_spark.sources import tabfile
+    from chronobase_spark.streaming import docs as docstream
+
+    doc_path = replicate(spark, "documents", factor, "doc_id")
+    docs = spark.read.parquet(doc_path)
+    n_docs = docs.count()
+    doc_payload = docs.select(
+        F.col("doc_id").cast("string").cast("binary").alias("key"),
+        ((F.lit(1_700_000_000) + F.col("doc_id")) * F.lit(1_000_000_000)).alias(
+            "ts_ns"
+        ),
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+        .cast("binary")
+        .alias("data"),
+    )
+    doc_tabdir = tmp_root / f"tablets_doc_x{factor}"
+    tabfile.register_tab_source(spark)
+    tabfile.write_tab_dir(doc_payload, str(doc_tabdir), partitions=max(8, factor))
+    json_schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+
+    def base_stream():
+        return (
+            spark.readStream.format("chronotab")
+            .load(str(doc_tabdir))
+            .select(
+                F.from_json(F.col("data").cast("string"), json_schema).alias("d"),
+                F.col("ts").alias("ingest_ts"),
+            )
+            .select("d.*", "ingest_ts")
+        )
+
+    pipelines = [
+        ("decode", lambda s: s),
+        ("pii", docstream.pii_scrub_stage),
+        ("template", lambda s: docstream.template_stage(docstream.pii_scrub_stage(s))),
+        (
+            "datacard",
+            lambda s: docstream.datacard_stage(
+                docstream.template_stage(docstream.pii_scrub_stage(s))
+            ),
+        ),
+        (
+            "dedup",
+            lambda s: docstream.content_dedup(
+                docstream.datacard_stage(
+                    docstream.template_stage(docstream.pii_scrub_stage(s))
+                )
+            ),
+        ),
+    ]
+    out: dict = {"factor": factor, "n_docs": n_docs}
+    for name, build in pipelines:
+        sink = tmp_root / f"intake_{name}_sink"
+        ckpt = tmp_root / f"intake_{name}_ckpt"
+        t0 = time.perf_counter()
+        q = (
+            build(base_stream())
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(3600)
+        dt = time.perf_counter() - t0
+        out[f"{name}_s"] = round(dt, 2)
+        out[f"{name}_rows_s"] = int(n_docs / dt)
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def targeted_factor_dir(spark, factor: int, tables=_TARGET_TABLES) -> str:
     """{dir}/{table}.parquet layout over the cached replicas, so the
     registered (spark, sf_dir) query contract drives the probe."""
@@ -1042,6 +1133,23 @@ def main():
             tmp_root = SCRATCH / f"ingest_x{factor}"
             tmp_root.mkdir(parents=True, exist_ok=True)
             print(f"ingest {ingest_probe(spark, factor, tmp_root)}", flush=True)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            spark.stop()
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--intake-decomp"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"intake-decomp-x{factor}", shuffle_partitions=32
+            )
+            tmp_root = SCRATCH / f"intake_x{factor}"
+            tmp_root.mkdir(parents=True, exist_ok=True)
+            print(
+                f"intake_decomp {intake_decomp_probe(spark, factor, tmp_root)}",
+                flush=True,
+            )
             shutil.rmtree(tmp_root, ignore_errors=True)
             spark.stop()
         shutil.rmtree(SCRATCH, ignore_errors=True)
