@@ -703,6 +703,221 @@ def bigram_lm_model(docs, text_col: str = "text"):
     return lm, left, v
 
 
+def lm_trigrams(text_col: Column) -> Column:
+    """Per-row array of adjacent word trigrams ("w1 w2 w3" strings)
+    under ``lm_tokens`` — the 3-gram sibling of ``lm_grams``, sharing
+    its expression-level token "let" (Catalyst never CSEs across HOF
+    lambdas — the documented 30x trap) and its no-explode purity so the
+    streaming scorer can reuse the identical definition."""
+
+    def grams(tk: Column) -> Column:
+        n = F.greatest(F.size(tk) - 2, F.lit(0))
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.get(tk, i), F.get(tk, i + 1), F.get(tk, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(lm_tokens(text_col)), grams), 0)
+
+
+def _doc_trigram_tf(docs, id_col: str, text_col: str):
+    """(id, gram, tf): per-document trigram term frequencies — the
+    _doc_bigram_tf shape one order up."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(lm_trigrams(F.col(text_col))).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+# Jelinek-Mercer interpolation weights: exact binary fractions
+# (1/2, 3/8, 1/8) so the lambda multiplies are float-exact on both
+# engines; they sum to 1.
+JM_L3, JM_L2, JM_L1 = 0.5, 0.375, 0.125
+
+
+def _jm_marginals(tri_counts, docs, text_col: str):
+    """The bigram and unigram corpus marginals the JM trigram mixture
+    needs, derived WITHOUT a second or third corpus-wide explode — the
+    _lm_vocab identity one order up:
+
+    * every bigram instance of a doc is the SUFFIX of some trigram
+      instance except the doc's first bigram, so
+      c(b1 b2) = Σ_trigram c123·[suffix = b1 b2] + Σ_docs [first
+      bigram = b1 b2] (a 2-token doc's only bigram IS its first);
+    * every token instance is the w3 of some trigram instance except
+      the doc's first two tokens, so
+      c(w) = Σ_trigram c123·[w3 = w] + Σ_docs ([t0 = w] + [t1 = w]);
+    * N = Σ_docs len(tokens) — a map-only 1-row sum.
+
+    The suffix sides read the already-aggregated trigram-type table
+    (vocab-bounded); the correction sides are map-only F.get
+    projections per doc. Returns (bi, uni, n_tok) where bi = (b, c23,
+    c2p) keyed by the bigram STRING (tokens contain no spaces, so
+    substring_index round-trips exactly), uni = (w, c3), n_tok a 1-row
+    (n) DataFrame."""
+    tk = lm_tokens(F.col(text_col))
+    suffix_b = tri_counts.select(
+        F.substring_index("gram", " ", -2).alias("b"),
+        F.col("c123").alias("cnt"),
+    )
+    first_b = (
+        docs.select(
+            F.when(
+                F.size(tk) >= 2,
+                F.concat_ws(" ", F.get(tk, 0), F.get(tk, 1)),
+            ).alias("b")
+        )
+        .where(F.col("b").isNotNull())
+        .select("b", F.lit(1).alias("cnt"))
+    )
+    bc = (
+        suffix_b.unionByName(first_b)
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("bigint").alias("c23"))
+    )
+    b1c = (
+        bc.withColumn("b1", F.substring_index("b", " ", 1))
+        .groupBy("b1")
+        .agg(F.sum("c23").cast("bigint").alias("c2p"))
+    )
+    bi = (
+        bc.withColumn("b1", F.substring_index("b", " ", 1))
+        .join(b1c.hint("shuffle_hash"), "b1")
+        .select("b", "c23", "c2p")
+    )
+    suffix_w = tri_counts.select(
+        F.substring_index("gram", " ", -1).alias("w"),
+        F.col("c123").alias("cnt"),
+    )
+    first_w = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.array(F.get(tk, 0), F.get(tk, 1)),
+                    lambda t: t.isNotNull(),
+                )
+            ).alias("w")
+        )
+        .select("w", F.lit(1).alias("cnt"))
+    )
+    uni = (
+        suffix_w.unionByName(first_w)
+        .groupBy("w")
+        .agg(F.sum("cnt").cast("bigint").alias("c3"))
+    )
+    n_tok = docs.select(F.size(tk).alias("n")).agg(
+        F.sum(F.when(F.col("n") > 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n")
+    )
+    return bi, uni, n_tok
+
+
+def _jm_tables(tri_counts, docs, text_col: str):
+    """(lm, bi, uni, n_tok) from a (gram, c123) trigram count table:
+    lm = (gram, term_micro) for seen trigrams under the JM mixture
+
+        P(w3|w1 w2) = λ3·c123/c12p + λ2·c23/c2p + λ1·c3/N
+
+    with each level a proper ML conditional (c12p = the trigram-prefix
+    context sum, c2p = the bigram-context sum, N = token instances).
+    Scoring the training corpus itself every component count is ≥ 1,
+    so ln is finite with no back-off path (the streaming stage owns
+    unseen grams). Each gram's ln-term is quantized to integer
+    micro-nats on an explicitly parenthesized op tree — (λ·cnum)/cden
+    per level, three levels summed left-to-right — identical in the
+    SQL oracle. ONE definition shared by the batch scorer and the
+    streaming model builder so the term trees can never drift."""
+    gs = tri_counts.select(
+        "gram",
+        "c123",
+        F.substring_index("gram", " ", 2).alias("w12"),
+        F.substring_index("gram", " ", -2).alias("w23"),
+        F.substring_index("gram", " ", -1).alias("w3"),
+    )
+    pc = gs.groupBy("w12").agg(F.sum("c123").cast("bigint").alias("c12p"))
+    bi, uni, n_tok = _jm_marginals(tri_counts, docs, text_col)
+    term = (
+        F.round(
+            F.log(
+                (F.lit(JM_L3) * F.col("c123").cast("double"))
+                / F.col("c12p").cast("double")
+                + (F.lit(JM_L2) * F.col("c23").cast("double"))
+                / F.col("c2p").cast("double")
+                + (F.lit(JM_L1) * F.col("c3").cast("double"))
+                / F.col("n").cast("double")
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("bigint")
+    )
+    lm = (
+        gs.join(pc.hint("shuffle_hash"), "w12")
+        .join(bi.hint("shuffle_hash"), gs.w23 == bi.b)
+        .join(uni.hint("shuffle_hash"), gs.w3 == uni.w)
+        .crossJoin(F.broadcast(n_tok))
+        .select("gram", term.alias("term_micro"))
+    )
+    return lm, bi, uni, n_tok
+
+
+def jm_trigram_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document log-probability under a Jelinek-Mercer interpolated
+    TRIGRAM LM trained on the corpus itself — the third smoother in
+    the LM-quality family (add-one bigram, Kneser-Ney bigram, JM
+    trigram), extending the ranking signal to second-order context
+    (Jelinek & Mercer 1980; Chen & Goodman 1999's JM baseline).
+
+    Plan: the shared per-doc trigram TF table persists (it feeds the
+    corpus counts AND the score join — the bigram family's measured
+    diamond-DAG pattern); all lower-order marginals derive from the
+    trigram-type table plus map-only edge corrections (_jm_marginals —
+    no second corpus explode); LM assembly is three vocab-bounded
+    shuffle_hash joins + a 1-row broadcast; scoring is one gram-keyed
+    shuffle_hash join and a final per-doc integer sum. Returns
+    (id_col, n_grams, jm_logprob_micro); docs with fewer than three
+    tokens have no trigrams and no row, on both engines."""
+    doc_tris = _doc_trigram_tf(docs, id_col, text_col).persist()
+    tri_counts = doc_tris.groupBy("gram").agg(
+        F.sum("tf").cast("bigint").alias("c123")
+    )
+    lm, _bi, _uni, _n = _jm_tables(tri_counts, docs, text_col)
+    return (
+        doc_tris.join(lm.hint("shuffle_hash"), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("term_micro"))
+            .cast("bigint")
+            .alias("jm_logprob_micro"),
+        )
+    )
+
+
+def jm_trigram_model(docs, text_col: str = "text"):
+    """Train the frozen JM trigram model for in-stream scoring
+    (streaming/docs.jm_score_stage): returns (lm, bi, uni, n_tokens)
+    where lm/bi/uni are the _jm_tables DataFrames and n_tokens is a
+    Python int (one 1-row collect — a frozen model constant, the
+    bigram_lm_model V pattern)."""
+    tri_counts = (
+        docs.select(F.explode(lm_trigrams(F.col(text_col))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c123"))
+    )
+    lm, bi, uni, n_tok = _jm_tables(tri_counts, docs, text_col)
+    n = int(n_tok.collect()[0]["n"])
+    return lm, bi, uni, n
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction (LLM-pipeline scrubbing pass)
 # ---------------------------------------------------------------------------

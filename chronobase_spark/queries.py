@@ -9715,3 +9715,79 @@ def q_phash_near_pairs(spark, sf_dir):
         & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
     )
     return phash.phash_near_pairs(docs)
+
+
+_JM_LM_SQL = """
+WITH tk AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(coalesce(text, ''))), ' '),
+                     x -> x <> '') AS tk
+  FROM documents
+), tr AS MATERIALIZED (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+  FROM tk, LATERAL unnest(range(1, greatest(len(tk) - 1, 1))) AS t(i)
+), dg AS MATERIALIZED (
+  SELECT doc_id, gram, COUNT(*) AS tf FROM tr GROUP BY doc_id, gram
+), tc AS MATERIALIZED (
+  SELECT w1, w2, w3, gram, CAST(COUNT(*) AS BIGINT) AS c123
+  FROM tr GROUP BY w1, w2, w3, gram
+), pc AS (
+  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12p FROM tc GROUP BY w1, w2
+), bg AS MATERIALIZED (
+  SELECT tk[i] AS b1, tk[i + 1] AS b2
+  FROM tk, LATERAL unnest(range(1, greatest(len(tk), 1))) AS t(i)
+), bc AS MATERIALIZED (
+  SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c23 FROM bg GROUP BY b1, b2
+), b1c AS (
+  SELECT b1, CAST(SUM(c23) AS BIGINT) AS c2p FROM bc GROUP BY b1
+), un AS MATERIALIZED (
+  SELECT unnest(tk) AS w FROM tk
+), uc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c3 FROM un GROUP BY w
+), nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM un
+), lm AS (
+  SELECT tc.gram,
+         CAST(ROUND(LN(
+             (0.5 * CAST(tc.c123 AS DOUBLE)) / CAST(pc.c12p AS DOUBLE)
+           + (0.375 * CAST(bc.c23 AS DOUBLE)) / CAST(b1c.c2p AS DOUBLE)
+           + (0.125 * CAST(uc.c3 AS DOUBLE)) / CAST(nt.n AS DOUBLE)
+         ) * 1000000.0, 0) AS BIGINT) AS term_micro
+  FROM tc
+  JOIN pc ON pc.w1 = tc.w1 AND pc.w2 = tc.w2
+  JOIN bc ON bc.b1 = tc.w2 AND bc.b2 = tc.w3
+  JOIN b1c ON b1c.b1 = tc.w2
+  JOIN uc ON uc.w = tc.w3
+  CROSS JOIN nt
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_grams,
+       CAST(SUM(tf * term_micro) AS BIGINT) AS jm_logprob_micro
+FROM dg JOIN lm USING (gram)
+GROUP BY doc_id
+"""
+
+
+@register("jm_trigram_logprob", _JM_LM_SQL)
+def q_jm_trigram_logprob(spark, sf_dir):
+    """Jelinek-Mercer interpolated TRIGRAM log-probability per document
+    (text.jm_trigram_scores) — the third smoother in the LM-quality
+    family (add-one bigram, Kneser-Ney bigram, JM trigram), extending
+    the perplexity-style ranking signal to second-order context with
+    exact binary-fraction mixture weights (1/2, 3/8, 1/8):
+
+        P(w3|w1 w2) = λ3·c123/c12p + λ2·c23/c2p + λ1·c3/N
+
+    Integer micro-nat terms on an explicitly parenthesized identical
+    op tree make the per-doc totals exact cross-engine integers (the
+    bigram-LM discipline). Plan shape: the per-doc trigram TF table
+    persists (feeds corpus counts AND the score join); the bigram and
+    unigram marginals derive from the trigram-TYPE table plus map-only
+    edge corrections (text._jm_marginals — the _lm_vocab identity one
+    order up, so the corpus is exploded ONCE; the oracle unnests each
+    order directly, same counts); LM assembly is three vocab-bounded
+    shuffle_hash joins + a 1-row broadcast; one gram-keyed
+    shuffle_hash score join. The oracle reproduces the mixture from
+    direct per-order unnests — identical counts, identical doubles."""
+    return text.jm_trigram_scores(_t(spark, sf_dir, "documents"))

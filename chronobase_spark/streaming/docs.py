@@ -379,6 +379,76 @@ def kn_score_stage(
     )
 
 
+def jm_score_stage(
+    stream: DataFrame,
+    lm: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    n_tokens: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Score arriving documents under a FROZEN Jelinek-Mercer trigram
+    model trained in batch (functions/text.jm_trigram_model) — the
+    trigram companion to ``lm_score_stage``/``kn_score_stage``.
+
+    Seen trigrams take the model's term_micro verbatim (the literal
+    _jm_tables expression — drained scores on in-vocabulary text equal
+    the batch ``jm_trigram_scores`` by construction). Unseen trigrams
+    drop the λ3 level (its ML count is 0) and keep the lower
+    interpolation levels, each a stream-static LEFT join (stateless —
+    no state store):
+
+    * seen suffix bigram (w2 w3): λ2·c23/c2p + λ1·c3/N (w3 is
+      necessarily seen when the bigram is);
+    * unseen bigram, seen w3:     λ1·c3/N;
+    * w3 never seen:              λ1·1/N — the +1-count floor that
+      keeps ln finite (the kn_score_stage convention).
+
+    All legs micro-quantize through the same round(ln(p)·1e6) BIGINT
+    the model table uses, so the per-doc windowed sum stays an
+    order-free exact integer; state is two BIGINTs per in-flight
+    document, watermark-evicted. n_tokens is a frozen Python constant
+    (model metadata, not a live aggregate). Returns (window, doc_id,
+    n_grams, jm_logprob_micro); docs with fewer than three tokens
+    produce no row, matching batch."""
+    grams = (
+        stream.withWatermark("ingest_ts", watermark)
+        .select(
+            "doc_id",
+            "ingest_ts",
+            F.explode(text.lm_trigrams(F.col("text"))).alias("gram"),
+        )
+        .withColumn("b", F.substring_index("gram", " ", -2))
+        .withColumn("w", F.substring_index("gram", " ", -1))
+    )
+    n = F.lit(float(n_tokens))
+    p_bi = F.coalesce(
+        (F.lit(text.JM_L2) * F.col("c23").cast("double"))
+        / F.col("c2p").cast("double"),
+        F.lit(0.0),
+    )
+    p_uni = (
+        F.lit(text.JM_L1) * F.coalesce(F.col("c3").cast("double"), F.lit(1.0))
+    ) / n
+    backoff_micro = (
+        F.round(F.log(p_bi + p_uni) * F.lit(1000000.0), 0).cast("bigint")
+    )
+    scored = (
+        grams.join(lm, "gram", "left")
+        .join(bi, "b", "left")
+        .join(uni, "w", "left")
+        .select(
+            "doc_id",
+            "ingest_ts",
+            F.coalesce(F.col("term_micro"), backoff_micro).alias("term_micro"),
+        )
+    )
+    return scored.groupBy(F.window("ingest_ts", watermark), "doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("term_micro").alias("jm_logprob_micro"),
+    )
+
+
 def pii_scrub_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrubbing IN the stream — the in-stream twin of the batch
     ``pii_redact_docs`` pass (functions.text.redact_pii), so documents

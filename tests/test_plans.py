@@ -237,6 +237,11 @@ _SCALE_FLAG_ALLOWLIST = {
     # continuation joins are word-keyed shuffle_hash and the score
     # join stays gram-keyed shuffle_hash
     "kn_bigram_logprob": {"bnlj", "single-partition"},
+    # JM trigram: the 1-row corpus token total N broadcasts over the
+    # trigram-type LM table as a literal-free cross (bigram_lm V
+    # pattern); prefix/bigram/unigram marginal joins are key-bound
+    # shuffle_hash and the score join stays gram-keyed shuffle_hash
+    "jm_trigram_logprob": {"bnlj", "single-partition"},
     # 1-row corpus token total broadcast over the vocab-sized
     # per-source join frame (bigram_lm V pattern); the corpus-sized
     # tok join is shuffle_hash

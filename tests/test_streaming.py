@@ -1637,3 +1637,89 @@ def test_streaming_wav_stage_matches_batch(spark, tmp_path):
     }
     assert got == batch and len(got) == 40
     assert any(v[3] > 0 for v in got.values()), "corpus should have crossings"
+
+
+def test_streaming_jm_score_stage_matches_batch(spark, tmp_path):
+    """After an availableNow drain, the frozen-JM trigram scoring stage
+    must be BIT-IDENTICAL to the batch jm_trigram_scores on
+    in-vocabulary text, and every unseen-trigram back-off leg must
+    score exactly: seen suffix bigram -> λ2·c23/c2p + λ1·c3/N; unseen
+    bigram + seen w3 -> λ1·c3/N; fully novel -> λ1·(1/N)."""
+    import math
+
+    from chronobase_spark.functions import text as textf
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "jmsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    train = base
+    lm, bi, uni, n_tokens = textf.jm_trigram_model(train)
+    bi_rows = {r["b"]: (r["c23"], r["c2p"]) for r in bi.collect()}
+    uni_rows = {r["w"]: r["c3"] for r in uni.collect()}
+    b_pick = next(b for b in sorted(bi_rows) if b.startswith("the "))
+    w_pick = b_pick.split(" ")[1]
+
+    oov_doc = base.limit(1).withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.lit("zzqx zzqy zzqz")
+    )
+    bi_doc = base.limit(1).withColumn("doc_id", F.lit(999998)).withColumn(
+        "text", F.lit(f"zzqx {b_pick}")
+    )
+    uni_doc = base.limit(1).withColumn("doc_id", F.lit(999997)).withColumn(
+        "text", F.lit("zzqx zzqy the")
+    )
+    base.union(oov_doc).union(bi_doc).union(uni_doc).repartition(2).write.parquet(
+        src
+    )
+
+    scored = docstream.jm_score_stage(
+        docstream.read_document_stream(spark, src), lm, bi, uni, n_tokens
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("jm_scores")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["jm_logprob_micro"])
+        for r in spark.sql("SELECT * FROM jm_scores").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["jm_logprob_micro"])
+        for r in textf.jm_trigram_scores(train).collect()
+    }
+    assert want, "training corpus produced no scored docs"
+    for doc, pair in want.items():
+        assert got[doc] == pair, doc
+
+    def half_up_micro(p: float) -> int:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(math.log(p) * 1e6)).quantize(0, rounding=ROUND_HALF_UP)
+        )
+
+    n = float(n_tokens)
+    # fully novel trigram: uniform-floor unigram leg only
+    assert got[999999] == (1, half_up_micro(0.0 + (0.125 * 1.0) / n))
+    # unseen trigram, seen suffix bigram: λ2 + λ1 legs
+    c23, c2p = bi_rows[b_pick]
+    c3 = uni_rows[w_pick]
+    p = (0.375 * float(c23)) / float(c2p) + (0.125 * float(c3)) / n
+    assert got[999998] == (1, half_up_micro(p))
+    # unseen bigram, seen w3: λ1 leg with the real unigram count
+    p_uni = 0.0 + (0.125 * float(uni_rows["the"])) / n
+    assert got[999997] == (1, half_up_micro(p_uni))
+    # the bigram-aware leg must outscore the pure-unigram legs
+    assert got[999998][1] > got[999999][1]
