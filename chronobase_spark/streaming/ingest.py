@@ -823,3 +823,47 @@ def streaming_cusum_alarms(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_benford_counts(
+    stream: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Windowed first-digit counts per event type — the streaming form
+    of the batch ``benford_first_digit`` audit, and deliberately NOT a
+    map-only stage: Benford's output is a corpus-level marginal (the
+    observed digit DISTRIBUTION), so its streaming twin is a windowed
+    aggregation whose shares only exist once the window closes
+    (streaming/docs.py module docstring records the boundary). This
+    stage emits the watermark-bounded (window, event_type, digit)
+    counts; the share/excess-vs-log10(1+1/d) finishing division is one
+    tiny batch projection over the drained counts — the continuous-
+    aggregate split (heavy partial-agg in-stream, cheap finalize at
+    read), exactly how the rollup-upsert pipeline divides work.
+
+    Digit extraction is the batch query's integer path verbatim:
+    micro-quantize positive values, first char of the decimal string —
+    so a drained window's counts equal the batch counts over the same
+    rows (pinned in tests/test_streaming.py). State per window is at
+    most |event_types|·9 count rows, watermark-evicted."""
+    x = F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint")
+    return (
+        stream.withWatermark("ts", watermark)
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select("ts", "event_type", x.alias("x"))
+        .filter(F.col("x") > 0)
+        .select(
+            "ts",
+            "event_type",
+            F.substring(F.col("x").cast("string"), 1, 1).cast("bigint").alias(
+                "digit"
+            ),
+        )
+        .groupBy(F.window("ts", window), "event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "digit",
+            "n_events",
+        )
+    )

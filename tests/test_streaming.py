@@ -1723,3 +1723,60 @@ def test_streaming_jm_score_stage_matches_batch(spark, tmp_path):
     assert got[999997] == (1, half_up_micro(p_uni))
     # the bigram-aware leg must outscore the pure-unigram legs
     assert got[999998][1] > got[999999][1]
+
+
+def test_streaming_benford_counts_match_batch(spark, event_source, tmp_path):
+    """Drained windowed Benford digit counts must equal the batch
+    benford_first_digit counts over the same rows (summed across
+    closed windows) — the windowed-aggregation streaming form the
+    corpus-marginal boundary in streaming/docs.py prescribes."""
+    stream = ingest.read_event_stream(spark, event_source)
+    agg = ingest.streaming_benford_counts(stream)
+    sink = str(tmp_path / "benford_sink")
+    ckpt = str(tmp_path / "benford_ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"], r["digit"]): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    ev = spark.read.parquet(event_source)
+    x = F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint")
+    batch = (
+        ev.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select("ts", "event_type", x.alias("x"))
+        .filter(F.col("x") > 0)
+        .select(
+            "ts",
+            "event_type",
+            F.substring(F.col("x").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit"),
+        )
+        .groupBy(F.window("ts", "1 day"), "event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "digit",
+            "n_events",
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"], r["digit"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window-cell must equal batch truth, and only the tail day's
+    # cells (at most |types|*9) may still be open.
+    assert got
+    assert all(got[k] == want[k] for k in got)
+    assert len(got) >= len(want) - 45, (len(got), len(want))
