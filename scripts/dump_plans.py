@@ -80,6 +80,8 @@ HEADLINE = [
     ("benford_first_digit", "Benford audit: map-only string digit extraction, <=9*|types| partial-agg rows"),
     ("source_unigram_kl", "unigram KL: vocab-bounded aggregates, tok-keyed shuffle_hash, 1-row total broadcast"),
     ("kn_bigram_logprob", "Kneser-Ney LM: word-keyed shuffle_hash model assembly, gram-keyed score join, 1-row type-total broadcast"),
+    ("phash_near_pairs", "perceptual-hash dedup: map-only raster dHash (bytes never shuffle), chunk-LSH self-join, Hamming cut before distinct"),
+    ("jm_trigram_logprob", "JM trigram LM: derived marginals (one corpus explode), key-bound shuffle_hash assembly, 1-row N broadcast"),
 ]
 
 KEEP = re.compile(
