@@ -9352,10 +9352,18 @@ def q_mad_outliers_approx(spark, sf_dir):
     dev projection, and (via dev) the mad sketch + fence count — the
     r11 plan dump showed 3 FileScans of events and the med_micro
     sketch computed twice with no ReuseExchange across the legs.
-    A/B at sf0.1 (min-of-3, scripts/ab_mad_approx.py): no persist
-    0.97 s / persist v 0.73 s / persist dev 0.91 s — the 2-column
-    quantized cache wins and is the lightest footprint at 100 TB
-    (bigint+string vs dev's extra med/adev columns)."""
+    A/B at sf0.1 (min-of-3 collect path, scripts/ab_mad_approx.py):
+    no persist 0.97 s / persist v 0.73 s / persist dev 0.91 s — the
+    2-column quantized cache wins and is the lightest footprint at
+    100 TB (bigint+string vs dev's extra med/adev columns). Honest
+    counter-reading: the noop-sink bench harness moved 0.52 → 0.76 s
+    on the same change (cache materialization serializes what the
+    uncached plan overlapped, and at sf0.1 the saved scans are
+    trivial). Kept anyway: the decision variable at real scale is
+    corpus reads (3 → 1), which no toy fixture can price — the
+    inverse of the minhash_lsh_recall call, where the reused
+    exchanges already deduplicated the heavy stage and a cache bought
+    nothing."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.select(
         "event_type",
