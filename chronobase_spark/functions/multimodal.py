@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -258,18 +259,11 @@ PHASH_SCHEMA = StructType(
 )
 
 
-def _dhash_chunks_of_raster(w: int, h: int, raster: bytes) -> list[int]:
-    """64-bit dHash of a decoded raster, returned as four UNSIGNED
-    16-bit chunk ints (the simhash_md5_chunks representation, safe in
-    any engine's BIGINT).
-
-    Integer-exact by construction: grayscale is the per-pixel CHANNEL
-    SUM (not a weighted float average), pooling sums pixels into an
-    8x8 grid via the index map row -> row*8//h / col -> col*8//w, and
-    bit (gr, gc) is the strict compare cell(gr, gc) > cell(gr,
-    (gc+1)%8) — the wrap-around horizontal gradient. Every operation
-    is integer compare/sum, so an external engine reproduces the hash
-    from the same bytes with no float hazard."""
+def _raster_grid(w: int, h: int, raster: bytes) -> np.ndarray:
+    """8x8 integer pooling grid of a decoded raster: grayscale is the
+    per-pixel CHANNEL SUM (not a weighted float average), pooled by the
+    index map row -> row*8//h / col -> col*8//w. Integer-exact, so an
+    external engine reproduces every cell from the same bytes."""
     g = PHASH_GRID
     px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
     gray = px.sum(axis=2, dtype=np.int64)
@@ -279,6 +273,18 @@ def _dhash_chunks_of_raster(w: int, h: int, raster: bytes) -> list[int]:
         ((np.arange(h) * g // h)[:, None], (np.arange(w) * g // w)[None, :]),
         gray,
     )
+    return grid
+
+
+def _dhash_chunks_of_raster(w: int, h: int, raster: bytes) -> list[int]:
+    """64-bit dHash of a decoded raster, returned as four UNSIGNED
+    16-bit chunk ints (the simhash_md5_chunks representation, safe in
+    any engine's BIGINT): bit (gr, gc) is the strict compare
+    cell(gr, gc) > cell(gr, (gc+1)%8) over the _raster_grid pooling —
+    the wrap-around horizontal gradient. All integer compares, no
+    float hazard."""
+    g = PHASH_GRID
+    grid = _raster_grid(w, h, raster)
     bits = grid > np.roll(grid, -1, axis=1)
     chunks = []
     for j in range(4):
@@ -312,6 +318,35 @@ def dhash_chunks(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(extract, PHASH_SCHEMA)
+
+
+GRID_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("g", ArrayType(LongType())),
+    ]
+)
+
+
+def raster_grids(payloads: DataFrame) -> DataFrame:
+    """(doc_id, g: array<bigint>[64]) — the row-major flattened 8x8
+    pooling grid of each REAL decoded raster, the integer feature
+    vector the multimodal similarity search ranks by. Arrow-batched
+    mapInPandas, partition-preserving; payload bytes never shuffle,
+    only 64 ints per image flow on."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grids = []
+            for p in pdf["payload"]:
+                if p is None:
+                    grids.append(None)
+                else:
+                    w, h, _maxval, raster = _parse_ppm(bytes(p))
+                    grids.append([int(x) for x in _raster_grid(w, h, raster).ravel()])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "g": grids})
+
+    return payloads.mapInPandas(extract, GRID_SCHEMA)
 
 
 def frame_sample(payloads: DataFrame, every_n_bytes: int = 100) -> DataFrame:

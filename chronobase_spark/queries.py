@@ -9799,3 +9799,92 @@ def q_jm_trigram_logprob(spark, sf_dir):
     shuffle_hash score join. The oracle reproduces the mixture from
     direct per-order unnests — identical counts, identical doubles."""
     return text.jm_trigram_scores(_t(spark, sf_dir, "documents"))
+
+
+_RASTER_TOPK_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         GREATEST(CAST(CEIL(octet_length(encode(text)) / 48.0) AS INT), 1) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 337
+), by AS MATERIALIZED (
+  SELECT doc_id,
+         ((((i - 1) // 3) // 16) * 8) // h AS gr,
+         ((((i - 1) // 3) % 16) * 8) // 16 AS gc,
+         ascii(text[i]) AS v
+  FROM d, LATERAL unnest(generate_series(1, n)) AS t(i)
+), cells AS MATERIALIZED (
+  SELECT doc_id, gr, gc, SUM(v) AS s FROM by GROUP BY doc_id, gr, gc
+), grid AS MATERIALIZED (
+  SELECT d.doc_id, gg.gr, gg.gc, COALESCE(c.s, 0) AS s
+  FROM d
+  CROSS JOIN (SELECT a.gr, b.gc
+              FROM (SELECT unnest(generate_series(0, 7)) AS gr) a,
+                   (SELECT unnest(generate_series(0, 7)) AS gc) b) gg
+  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.gr = gg.gr AND c.gc = gg.gc
+), g AS MATERIALIZED (
+  SELECT doc_id, list(s ORDER BY gr * 8 + gc) AS g FROM grid GROUP BY doc_id
+), probes AS (
+  SELECT doc_id AS probe_id, g AS pg FROM g WHERE doc_id % 101 = 0
+  ORDER BY probe_id LIMIT 8
+), scored AS (
+  SELECT p.probe_id, c.doc_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> abs(p.pg[i] - c.g[i]))) AS BIGINT) AS l1_dist
+  FROM probes p, g c WHERE c.doc_id <> p.probe_id
+)
+SELECT probe_id, doc_id, l1_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT probe_id, doc_id, l1_dist,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY l1_dist, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
+@register("raster_topk_l1", _RASTER_TOPK_SQL)
+def q_raster_topk_l1(spark, sf_dir):
+    """Multimodal similarity SEARCH over decoded image features: for a
+    deterministic bounded probe set (gated doc_id % 101 == 0, lowest 8
+    — the hard_negative_mining hard-cap pattern, so the broadcast is
+    O(1) regardless of SF), the 10 nearest corpus rasters by integer
+    L1 distance on the 8x8 pooling grid — the brute-force ANN baseline
+    of the `topk_cosine` family applied to the REAL decoded image
+    features (functions.multimodal.raster_grids), completing the
+    multimodal pillar's search member next to its dedup member
+    (`phash_near_pairs`). Rank is ROW_NUMBER over (distance, doc_id) —
+    tie-stable and identical cross-engine; every distance is an exact
+    integer, so the query hash-verifies fully. Scale: map-only decode
+    (payload bytes never shuffle; 64 ints per image do), 8-row probe
+    broadcast, per-probe bounded window (WindowGroupLimit pushes the
+    top-10 below the shuffle); the same thumbnail gate as phash keeps
+    grids fully covered."""
+    from chronobase_spark.dedup import phash
+    from chronobase_spark.functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
+    )
+    grids = multimodal.raster_grids(multimodal.to_ppm_payload(docs))
+    probes = (
+        grids.filter(F.col("doc_id") % 101 == 0)
+        .orderBy("doc_id")
+        .limit(8)
+        .select(F.col("doc_id").alias("probe_id"), F.col("g").alias("pg"))
+    )
+    l1 = F.aggregate(
+        F.zip_with(F.col("pg"), F.col("g"), lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("l1_dist").asc(), F.col("doc_id").asc()
+    )
+    return (
+        grids.crossJoin(F.broadcast(probes))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select("probe_id", "doc_id", l1.alias("l1_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+    )

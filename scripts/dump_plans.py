@@ -82,6 +82,7 @@ HEADLINE = [
     ("kn_bigram_logprob", "Kneser-Ney LM: word-keyed shuffle_hash model assembly, gram-keyed score join, 1-row type-total broadcast"),
     ("phash_near_pairs", "perceptual-hash dedup: map-only raster dHash (bytes never shuffle), chunk-LSH self-join, Hamming cut before distinct"),
     ("jm_trigram_logprob", "JM trigram LM: derived marginals (one corpus explode), key-bound shuffle_hash assembly, 1-row N broadcast"),
+    ("raster_topk_l1", "raster top-k: map-only grid decode, 8-row probe broadcast, WindowGroupLimit below the shuffle"),
 ]
 
 KEEP = re.compile(

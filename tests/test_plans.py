@@ -290,6 +290,10 @@ _SCALE_FLAG_ALLOWLIST = {
     # with an explicit size bound, so the BNLJ side can never exceed
     # 1000 rows at any SF
     "hard_negative_mining": {"bnlj"},
+    # hard-capped probe set (gated % 101 filter -> orderBy(doc_id)
+    # .limit(8)) broadcast over the corpus grids — the same explicit
+    # size bound, so the BNLJ side can never exceed 8 rows at any SF
+    "raster_topk_l1": {"bnlj"},
     # 1-row (total, n_labels, max_n) scalar broadcast back over the
     # |labels|-sized count table; partial rows cross the
     # SinglePartition exchange (source_mix_weights pattern)
