@@ -127,6 +127,25 @@ PPM_FEATURE_SCHEMA = StructType(
 )
 
 
+def ppm_payload_col(text_col, width: int = PPM_WIDTH):
+    """The PPM (P6) payload as a pure COLUMN expression (JVM-side
+    encode/concat/repeat, no Python) — shared by the batch
+    ``to_ppm_payload`` frame builder and the streaming ``phash_stage``
+    so the encoded bytes can never drift between surfaces."""
+    data = F.encode(text_col, "UTF-8")
+    n = F.length(data)
+    h = F.greatest(F.ceil(n / F.lit(float(width * 3))).cast("int"), F.lit(1))
+    pad = (h * width * 3 - n).cast("int")
+    header = F.concat(
+        F.lit(f"P6\n{width} "), h.cast("string"), F.lit("\n255\n")
+    )
+    return F.concat(
+        F.encode(header, "UTF-8"),
+        data,
+        F.encode(F.repeat(F.lit("\x00"), pad), "UTF-8"),
+    )
+
+
 def to_ppm_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = PPM_WIDTH
 ) -> DataFrame:
@@ -136,18 +155,7 @@ def to_ppm_payload(
     payload is a spec-valid netpbm file any external PPM reader can
     open; height varies per document, exercising real header parsing
     downstream instead of fixed-shape assumptions."""
-    data = F.encode(F.col(text_col), "UTF-8")
-    n = F.length(data)
-    h = F.greatest(F.ceil(n / F.lit(float(width * 3))).cast("int"), F.lit(1))
-    pad = (h * width * 3 - n).cast("int")
-    header = F.concat(
-        F.lit(f"P6\n{width} "), h.cast("string"), F.lit("\n255\n")
-    )
-    payload = F.concat(
-        F.encode(header, "UTF-8"),
-        data,
-        F.encode(F.repeat(F.lit("\x00"), pad), "UTF-8"),
-    )
+    payload = ppm_payload_col(F.col(text_col), width)
     return df.select(
         F.col(id_col),
         payload.alias("payload"),
@@ -318,6 +326,34 @@ def dhash_chunks(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(extract, PHASH_SCHEMA)
+
+
+def dhash_annotate(df: DataFrame, payload_col: str = "_payload") -> DataFrame:
+    """Append dHash chunk columns c0..c3 to EVERY input row, decoding
+    ``payload_col`` with the real PPM parser and dropping it — the
+    carry-all-columns twin of ``dhash_chunks`` for pipelines (batch or
+    streaming) that must keep the row intact. NULL payload → NULL
+    chunks. Stateless Arrow-batched mapInPandas; output schema =
+    input schema minus the payload plus four LongType chunks."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [StructField(f"c{j}", LongType()) for j in range(4)]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cs: dict[str, list] = {f"c{j}": [] for j in range(4)}
+            for p in pdf[payload_col]:
+                if p is None:
+                    vals = [None] * 4
+                else:
+                    w, h, _maxval, raster = _parse_ppm(bytes(p))
+                    vals = _dhash_chunks_of_raster(w, h, raster)
+                for j in range(4):
+                    cs[f"c{j}"].append(vals[j])
+            yield pdf.drop(columns=[payload_col]).assign(**cs)
+
+    return df.mapInPandas(extract, out_schema)
 
 
 GRID_SCHEMA = StructType(

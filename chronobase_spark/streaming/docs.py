@@ -583,3 +583,35 @@ def wav_stage(stream: DataFrame) -> DataFrame:
     from chronobase_spark.functions import multimodal
 
     return multimodal.decode_wav(multimodal.to_wav_payload(stream))
+
+
+def phash_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row perceptual-hash chunks computed IN the stream — the
+    multimodal member of the in-stream signature family (MinHash /
+    SimHash / winnowing / template hashes), so image payloads land in
+    storage already carrying the dHash the batch chunk-LSH banding
+    (dedup.phash.phash_near_pairs) buckets on, and admission-time
+    image dedup never re-decodes the stored corpus.
+
+    Stateless by construction: the PPM payload is built per row by the
+    SAME pure column expression the batch path uses
+    (multimodal.ppm_payload_col) and decoded/hashed by the SAME real
+    parser + integer pooling (multimodal.dhash_annotate, the
+    carry-all-columns twin of dhash_chunks) — one definition, so
+    batch/stream chunk equality holds by construction and is still
+    pinned in tests/test_streaming. No explode, no join, no state
+    store; mapInPandas on an unaggregated stream is a stateless
+    projection, so the stream stays fully pipelined. Rows under the
+    thumbnail gate (dedup.phash.MIN_PAYLOAD_BYTES) get NULL chunks —
+    exactly the rows the batch pair finder excludes."""
+    from chronobase_spark.dedup.phash import MIN_PAYLOAD_BYTES
+    from chronobase_spark.functions import multimodal
+
+    eligible = F.col(text_col).isNotNull() & (
+        F.length(F.encode(text_col, "UTF-8")) >= MIN_PAYLOAD_BYTES
+    )
+    with_payload = stream.withColumn(
+        "_payload",
+        F.when(eligible, multimodal.ppm_payload_col(F.col(text_col))),
+    )
+    return multimodal.dhash_annotate(with_payload, "_payload")

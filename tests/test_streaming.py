@@ -1780,3 +1780,56 @@ def test_streaming_benford_counts_match_batch(spark, event_source, tmp_path):
     assert got
     assert all(got[k] == want[k] for k in got)
     assert len(got) >= len(want) - 45, (len(got), len(want))
+
+
+def test_streaming_phash_stage_matches_batch_chunks(spark, tmp_path):
+    """The in-stream dHash chunks must equal the batch dhash_chunks
+    values for every gated document after an availableNow drain, and
+    sub-gate rows must pass through with NULL chunks (they are the
+    rows the batch pair finder excludes)."""
+    from chronobase_spark.dedup import phash
+    from chronobase_spark.functions import multimodal
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "phsrc")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .limit(120)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    base.repartition(2).write.parquet(src)
+
+    out = docstream.phash_stage(docstream.read_document_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("phash_rows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+        for r in spark.sql("SELECT * FROM phash_rows").collect()
+    }
+
+    gated = base.filter(
+        F.col("text").isNotNull()
+        & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
+    )
+    want = {
+        r["doc_id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+        for r in multimodal.dhash_chunks(
+            multimodal.to_ppm_payload(gated)
+        ).collect()
+    }
+    assert want, "smoke corpus should contain gated-in rasters"
+    assert len(got) == base.count()  # pass-through: every row survives
+    for doc, chunks in want.items():
+        assert got[doc] == chunks, doc
+    sub_gate = set(got) - set(want)
+    assert sub_gate, "smoke corpus should contain sub-gate rows"
+    assert all(got[d] == (None, None, None, None) for d in sub_gate)
