@@ -9888,3 +9888,132 @@ def q_raster_topk_l1(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+_BUDGET_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         len(list_distinct(list_filter(
+             string_split(trim(lower(coalesce(text, ''))), ' '),
+             x -> x <> ''))) AS score,
+         len(list_filter(
+             string_split(trim(lower(coalesce(text, ''))), ' '),
+             x -> x <> '')) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT (SUM(n_tokens) * 3) // 10 AS b FROM d
+), c AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id,
+       CAST(score AS BIGINT) AS score,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       cum <= (SELECT b FROM tot) AS admitted
+FROM c
+"""
+
+
+@register("token_budget_select", _BUDGET_SQL)
+def q_token_budget_select(spark, sf_dir):
+    """Data selection under a token BUDGET: admit documents in
+    (quality desc, doc_id asc) order until 30% of the corpus' tokens
+    are spent — the greedy knapsack a curated pretraining mix runs
+    when the constraint is a token count, not a document fraction
+    (`quality_topq_filter`'s sibling with a budget instead of a
+    quantile). Emits every doc with its admitted flag so downstream
+    packing/mixing can consume the column.
+
+    Scale: the naive formulation is ONE global cumulative-sum window —
+    a SinglePartition sort of the corpus, dead at 100 TB (the oracle
+    uses it; DuckDB's scale is the fixture's). The Spark plan instead
+    resolves the same deterministic set in three bounded steps: (1)
+    the per-SCORE token histogram (partial-agged groupBy, |score
+    values| rows) with a tiny-table cumulative picks the full buckets
+    (bucket cum ≤ B) and the single boundary score; (2) docs above the
+    boundary admit map-side; (3) ONLY the boundary bucket — one score
+    class — pays an exact doc_id-ordered prefix sum, and even that is
+    range-sharded (doc_id div 65536 → per-shard partials + a
+    tiny-table shard-offset cumulative), the doc_pack_chunks
+    distributed-loader pattern, so no corpus-sized window partition
+    exists anywhere; recurse the same split if one score class ever
+    outgrows a shard. Equality with the naive rule is by construction:
+    admitted ⟺ inclusive global cum ≤ B, monotone in the (score desc,
+    doc_id) order both plans share. All-integer arithmetic ⇒ exact
+    oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    scored = docs.select(
+        "doc_id",
+        text.space_distinct_tokens(txt).cast("bigint").alias("score"),
+        F.size(text.lm_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    b = scored.agg(
+        F.expr("CAST(sum(n_tokens) * 3 DIV 10 AS BIGINT)").alias("b")
+    )
+    hist = scored.groupBy("score").agg(F.sum("n_tokens").alias("bucket_n"))
+    w_cum = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        hist.withColumn("cum", F.sum("bucket_n").over(w_cum))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "score",
+            "cum",
+            (F.col("cum") - F.col("bucket_n")).alias("cum_before"),
+            "b",
+        )
+    )
+    # the single boundary score class: previous buckets fit, this one
+    # crosses the budget (empty when the budget swallows every bucket)
+    boundary = cum.filter(
+        (F.col("cum_before") <= F.col("b")) & (F.col("cum") > F.col("b"))
+    ).select(
+        F.col("score").alias("b_score"),
+        (F.col("b") - F.col("cum_before")).alias("remaining"),
+    )
+    full = cum.select("score", (F.col("cum") <= F.col("b")).alias("full_ok"))
+    # exact prefix inside the boundary class WITHOUT a global window:
+    # contiguous doc_id range shards -> in-shard window + tiny offset table
+    bd = scored.join(
+        F.broadcast(boundary), scored.score == boundary.b_score
+    ).withColumn("rshard", F.expr("doc_id div 65536"))
+    shard_tot = bd.groupBy("rshard").agg(F.sum("n_tokens").alias("sn"))
+    w_off = Window.orderBy("rshard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = shard_tot.withColumn(
+        "off", F.coalesce(F.sum("sn").over(w_off), F.lit(0))
+    ).select("rshard", "off")
+    w_in = (
+        Window.partitionBy("rshard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # join offsets on rshard WITHOUT a broadcast: the shard table is
+    # id_span/65536 rows (unbounded in principle), and the in-shard
+    # window already partitioned by rshard, so the shuffle_hash join
+    # reuses that partitioning with no extra exchange on the big side
+    bd_adm = (
+        bd.withColumn("in_cum", F.sum("n_tokens").over(w_in))
+        .join(offsets.hint("shuffle_hash"), "rshard")
+        .select(
+            "doc_id",
+            ((F.col("off") + F.col("in_cum")) <= F.col("remaining")).alias(
+                "b_adm"
+            ),
+        )
+    )
+    return (
+        scored.join(F.broadcast(full), "score")
+        .join(bd_adm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score",
+            "n_tokens",
+            F.coalesce(F.col("b_adm"), F.col("full_ok")).alias("admitted"),
+        )
+    )

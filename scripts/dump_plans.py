@@ -83,6 +83,7 @@ HEADLINE = [
     ("phash_near_pairs", "perceptual-hash dedup: map-only raster dHash (bytes never shuffle), chunk-LSH self-join, Hamming cut before distinct"),
     ("jm_trigram_logprob", "JM trigram LM: derived marginals (one corpus explode), key-bound shuffle_hash assembly, 1-row N broadcast"),
     ("raster_topk_l1", "raster top-k: map-only grid decode, 8-row probe broadcast, WindowGroupLimit below the shuffle"),
+    ("token_budget_select", "budget selection: histogram cumulative on tiny tables, boundary-only sharded prefix, no global sort"),
 ]
 
 KEEP = re.compile(

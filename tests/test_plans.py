@@ -294,6 +294,13 @@ _SCALE_FLAG_ALLOWLIST = {
     # .limit(8)) broadcast over the corpus grids — the same explicit
     # size bound, so the BNLJ side can never exceed 8 rows at any SF
     "raster_topk_l1": {"bnlj"},
+    # 1-row budget scalar broadcast over the |score-values| histogram
+    # (bigram_lm V pattern); the two single-partition windows run over
+    # the tiny score-histogram and shard-offset tables only — the
+    # corpus-sized legs are the map-side admit and the rshard-
+    # partitioned boundary window (quality_topq_filter histogram
+    # pattern + doc_pack_chunks sharded prefix sum)
+    "token_budget_select": {"bnlj", "single-partition"},
     # 1-row (total, n_labels, max_n) scalar broadcast back over the
     # |labels|-sized count table; partial rows cross the
     # SinglePartition exchange (source_mix_weights pattern)
