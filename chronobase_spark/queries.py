@@ -145,7 +145,10 @@ _FORCE_REGRADE = {
     # r7: NULL observations excluded up front on both engines (null
     # contract pin, see block above; previously r6's window fusion)
     "ewma_user_value": 6,
-    "multimodal_decode_features": 4,  # r5: stub decode -> real PPM decoder
+    # r5: stub decode -> real PPM decoder; bumped r12: to_ppm_payload
+    # refactored onto the shared ppm_payload_col expression (same
+    # column tree, but the rule is driver evidence postdates change)
+    "multimodal_decode_features": 11,
     "dup_clusters": 4,  # r5: CC convergence seeded from init labels
     # r5 sf0.1 robustness sweep: rounded double quotients replaced by
     # exact sums + one unrounded division (values changed slightly).
