@@ -87,7 +87,7 @@ HEADLINE = [
 ]
 
 KEEP = re.compile(
-    r"Join|Exchange|Aggregate|Window|Scan parquet|TakeOrdered|Sort |Project|Filter|Expand|Generate"
+    r"Join|Exchange|Aggregate|Window|Scan parquet|TakeOrdered|Sort |Project|Filter|Expand|Generate|InMemory"
 )
 
 
