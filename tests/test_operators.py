@@ -1279,6 +1279,34 @@ def test_wav_payloads_open_in_stdlib_wave(spark):
     assert payloads[999999] is None
 
 
+def _tied_ranks(v):
+    order = sorted(range(len(v)), key=lambda i: v[i])
+    r = [0.0] * len(v)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+            j += 1
+        for t in range(i, j + 1):
+            r[order[t]] = (i + j) / 2 + 1
+        i = j + 1
+    return r
+
+
+def _spearman(x: dict, y: dict) -> float:
+    keys = sorted(set(x) & set(y))
+    rx = _tied_ranks([x[k] for k in keys])
+    ry = _tied_ranks([y[k] for k in keys])
+    n = len(keys)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((rx[i] - mx) * (ry[i] - my) for i in range(n))
+    den = (
+        sum((rx[i] - mx) ** 2 for i in range(n))
+        * sum((ry[i] - my) ** 2 for i in range(n))
+    ) ** 0.5
+    return num / den
+
+
 def test_lm_smoothers_rank_documents_consistently(spark):
     """The add-one and Kneser-Ney bigram LMs are independent smoothers
     over the same gram stream; both oracles verify each model's
@@ -1299,32 +1327,72 @@ def test_lm_smoothers_rank_documents_consistently(spark):
         for r in _REGISTRY["kn_bigram_logprob"][0](spark, sf).collect()
     }
     assert set(add1) == set(kn) and len(add1) >= 100
-
-    def ranks(v):
-        order = sorted(range(len(v)), key=lambda i: v[i])
-        r = [0.0] * len(v)
-        i = 0
-        while i < len(order):
-            j = i
-            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
-                j += 1
-            for t in range(i, j + 1):
-                r[order[t]] = (i + j) / 2 + 1
-            i = j + 1
-        return r
-
-    docs = sorted(add1)
-    rx = ranks([add1[d] for d in docs])
-    ry = ranks([kn[d] for d in docs])
-    n = len(docs)
-    mx, my = sum(rx) / n, sum(ry) / n
-    num = sum((rx[i] - mx) * (ry[i] - my) for i in range(n))
-    den = (
-        sum((rx[i] - mx) ** 2 for i in range(n))
-        * sum((ry[i] - my) ** 2 for i in range(n))
-    ) ** 0.5
-    rho = num / den
+    rho = _spearman(add1, kn)
     assert rho >= 0.9, f"LM smoothers disagree on document ranking: ρ={rho:.4f}"
+
+
+@pytest.fixture(scope="module")
+def predictability_corpus(spark):
+    """Corpus where TRIGRAM statistics are meaningful (the sf0.001 docs
+    make most trigrams singletons, which is why the JM model is absent
+    from the sf0.001 pin above): 10-word vocabulary, 120 docs in three
+    predictability tiers — pure 4-cycle, 70% cycle + noise, uniform
+    shuffle. Every sane smoother must rank cyclers above shufflers."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    for d in range(120):
+        n = rng.randint(30, 60)
+        tier = d % 3
+        toks = []
+        for i in range(n):
+            if tier == 0:
+                toks.append(vocab[i % 4])
+            elif tier == 1:
+                toks.append(
+                    vocab[i % 4] if rng.random() < 0.7 else rng.choice(vocab)
+                )
+            else:
+                toks.append(rng.choice(vocab))
+        rows.append((d, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.mark.parametrize(
+    "pair",
+    [("add1", "kn"), ("add1", "jm"), ("kn", "jm")],
+    ids=["add1-kn", "add1-jm", "kn-jm"],
+)
+def test_lm_smoother_matrix_ranks_agree(spark, predictability_corpus, pair):
+    """Full 3-smoother rank-agreement matrix (r12 verdict task #5):
+    add-one bigram, Kneser-Ney bigram, and the Jelinek-Mercer TRIGRAM
+    share the gram/marginal helpers in functions/text.py — a regression
+    there that keeps each formula internally consistent slips every
+    per-model oracle, but not a cross-model ranking pin. On the
+    predictability corpus (trigrams non-singleton) all three pairs
+    measure ρ ≥ 0.97; floor 0.9."""
+    per_gram = {
+        "add1": lambda df: {
+            r["doc_id"]: r["logprob_micro"] / r["n_grams"]
+            for r in text.bigram_lm_scores(df).collect()
+        },
+        "kn": lambda df: {
+            r["doc_id"]: r["kn_logprob_micro"] / r["n_grams"]
+            for r in text.kn_bigram_scores(df).collect()
+        },
+        "jm": lambda df: {
+            r["doc_id"]: r["jm_logprob_micro"] / r["n_grams"]
+            for r in text.jm_trigram_scores(df).collect()
+        },
+    }
+    a, b = pair
+    sa = per_gram[a](predictability_corpus)
+    sb = per_gram[b](predictability_corpus)
+    assert len(set(sa) & set(sb)) == 120
+    rho = _spearman(sa, sb)
+    assert rho >= 0.9, f"{a} vs {b} ranking disagreement: ρ={rho:.4f}"
 
 
 def test_jm_trigram_scores_match_reference_python(spark):
@@ -1387,3 +1455,115 @@ def test_jm_trigram_scores_match_reference_python(spark):
             want[d] = (len(grams), sum(term(g) for g in grams))
     assert want and set(got) == set(want)
     assert all(got[d] == want[d] for d in want)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select edge-case pins (r12 verdict task #3): the driver
+# oracle is the naive global-cumulative formulation at sf0.01, which by
+# luck never exercises the degenerate shapes of the sharded plan — the
+# empty boundary class, a single score class (whole corpus IS the
+# boundary), and a boundary class spanning several doc_id range shards.
+# ---------------------------------------------------------------------------
+
+
+def _naive_budget_admit(rows):
+    """Plain-Python naive rule: tokenize exactly like the query
+    (trim+lower+space-split, empties dropped), admit in (score desc,
+    doc_id asc) order while inclusive cumulative tokens <= 30% budget."""
+    scored = []
+    for doc_id, txt in rows:
+        toks = [t for t in (txt or "").strip().lower().split(" ") if t]
+        scored.append((doc_id, len(set(toks)), len(toks)))
+    budget = sum(n for _, _, n in scored) * 3 // 10
+    cum, admitted = 0, {}
+    for doc_id, _score, n in sorted(scored, key=lambda r: (-r[1], r[0])):
+        cum += n
+        admitted[doc_id] = cum <= budget
+    return {d: (s, n, admitted[d]) for d, s, n in scored}
+
+
+def _run_budget_select(spark, tmp_path, rows):
+    from chronobase_spark.queries import _REGISTRY
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["score"], r["n_tokens"], r["admitted"])
+        for r in _REGISTRY["token_budget_select"][0](spark, sf_dir).collect()
+    }
+    assert got == _naive_budget_admit(rows)
+    return got
+
+
+def test_budget_select_empty_boundary_class(spark, tmp_path):
+    """Zero-token corpus: budget = 0 >= total = 0, every (empty) bucket
+    fits, the boundary filter (cum > b) matches nothing — the
+    empty-boundary branch the driver oracle never reaches. Every doc
+    must come back admitted via the full-bucket leg, with the left join
+    against the empty boundary frame coalescing cleanly (no NULLs, no
+    dropped rows)."""
+    rows = [(i, "   " if i % 2 else "") for i in range(6)]
+    got = _run_budget_select(spark, tmp_path, rows)
+    assert len(got) == 6
+    assert all(v == (0, 0, True) for v in got.values())
+
+
+def test_budget_select_exact_bucket_edge(spark, tmp_path):
+    """Budget lands EXACTLY on a bucket boundary: 10 docs x 10 distinct
+    tokens at score 10..1 -> total 100, budget 30, the score-10..8
+    buckets sum to exactly 30. The score-7 bucket is the boundary with
+    remaining = 0 — its sharded prefix must admit nothing (in_cum 10 >
+    0), while the cum == b bucket stays fully admitted (<=, not <)."""
+    # doc i: score 10-i distinct tokens, n_tokens fixed at 10
+    rows = []
+    for i in range(10):
+        k = 10 - i  # distinct tokens: 10, 9, ..., 1
+        toks = [f"d{i}_{j}" for j in range(k)]
+        toks += [toks[0]] * (10 - k)  # pad with repeats to n_tokens=10
+        rows.append((i, " ".join(toks)))
+    got = _run_budget_select(spark, tmp_path, rows)
+    assert [got[i][2] for i in range(10)] == [True] * 3 + [False] * 7
+
+
+def test_budget_select_single_score_class(spark, tmp_path):
+    """One score value for the whole corpus: zero full buckets, the
+    entire corpus IS the boundary class, so admission is decided purely
+    by the rshard prefix machinery in doc_id order."""
+    rows = [(i, " ".join(["x"] * (i + 1))) for i in range(8)]
+    got = _run_budget_select(spark, tmp_path, rows)
+    naive = _naive_budget_admit(rows)
+    assert any(v[2] for v in got.values()) and not all(v[2] for v in got.values())
+    assert got == naive
+
+
+def test_budget_select_boundary_spans_many_shards(spark, tmp_path):
+    """Boundary class spanning 4 doc_id range shards (rshard = doc_id
+    div 65536): the cross-shard offset table and the shuffle_hash
+    offset join must stitch the per-shard prefixes into ONE exact
+    global prefix — an off-by-one-shard bug admits a whole shard too
+    many. High-score docs burn most of the budget; the 8 boundary docs
+    sit at doc_ids 10, 70_000, 140_000, 200_001, ... so the admit cut
+    falls mid-shard-sequence."""
+    rows = []
+    # 3 high-score docs (5 distinct, 30 tokens each) -> 90 tokens
+    for i in range(3):
+        toks = [f"h{i}_{j}" for j in range(5)]
+        rows.append((i, " ".join(toks * 6)))
+    # 8 boundary docs (2 distinct, 20 tokens) across 4 shards
+    for k in range(8):
+        doc_id = 10 + k * 65536 + (k % 2)
+        rows.append((doc_id, " ".join(["a", "b"] * 10)))
+    # low-score tail (1 distinct, 40 tokens each) pushes total up so
+    # the budget crosses INSIDE the boundary class
+    for k in range(6):
+        rows.append((1_000_000 + k, " ".join(["z"] * 40)))
+    got = _run_budget_select(spark, tmp_path, rows)
+    naive = _naive_budget_admit(rows)
+    boundary_admits = [d for d, v in got.items() if v[0] == 2 and v[2]]
+    # the cut must land strictly inside the boundary class and span
+    # shard boundaries (admitted boundary docs in >= 2 distinct shards)
+    assert 0 < len(boundary_admits) < 8
+    assert len({d // 65536 for d in boundary_admits}) >= 2
+    assert got == naive
