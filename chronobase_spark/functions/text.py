@@ -918,6 +918,129 @@ def jm_trigram_model(docs, text_col: str = "text"):
     return lm, bi, uni, n
 
 
+# Hashed n-gram feature space for DSIR importance resampling: 3 hex
+# chars of md5 -> 4096 buckets (the published method uses 10k hashed
+# buckets; the bucket count only trades collision noise for table
+# size and every aggregate below is |buckets|-bounded either way).
+DSIR_BUCKETS = 4096
+
+
+def dsir_bucket(gram: Column) -> Column:
+    """Portable hashed-feature bucket id in [0, 4096): first 3 hex
+    chars of md5, the md5_stratified_keep idiom applied to gram text
+    so both engines bucket identically."""
+    return F.conv(F.substring(F.md5(gram), 1, 3), 16, 10).cast("bigint")
+
+
+def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169): select raw-pool documents whose hashed
+    n-gram feature distribution looks like a TARGET domain. Feature =
+    md5-hashed bigram bucket (4096 buckets); per-bucket importance
+    log-ratio ln(p_target/p_raw) with add-one smoothing over the full
+    bucket space, quantized to integer micro-nats BEFORE the per-doc
+    sum (the LM-family exactness contract, so w_micro is an order-free
+    BIGINT on both engines); per-doc weight = Σ tf·ratio_micro. The
+    target here is the ``lang = target_lang`` slice of the corpus —
+    the canonical "select web text that looks like the curated
+    high-resource domain" instantiation.
+
+    Acceptance is importance resampling made deterministic and
+    content-free: doc i survives iff u_i < exp((w̄_i − m)/1e6) with
+    u_i the md5 16-bit bucket of doc_id (the quality_weighted_sample
+    accept idiom), w̄_i = w_micro/n_grams the per-gram average
+    (length-debiased, the published per-token variant) and m the
+    corpus max of w̄ — self-normalized so the best-matching doc has
+    acceptance 1. Evaluated in log space: ln((u+1)/65536)·1e6 <
+    w̄_i − m; the only transcendentals are ln on identical doubles,
+    the same trust class as every LM oracle here.
+
+    Plan shape at 100 TB: one corpus gram explode collapsed to a
+    (doc, bucket) TF table (linear, doc-keyed); raw and target bucket
+    counts DERIVE from that table (≤4096 rows each — no second corpus
+    pass, the bigram_lm r10 lesson); the ratio table and the 1-row
+    totals/max broadcast; scoring is one broadcast join + a per-doc
+    partial-agged sum; the accept test is map-only. Returns
+    (id_col, n_grams, w_micro, accepted); docs without bigrams have
+    no feature evidence and no row, like the LM scorers."""
+    dbk = (
+        docs.select(
+            F.col(id_col),
+            F.col("lang"),
+            F.explode(lm_grams(F.col(text_col))).alias("gram"),
+        )
+        .select(id_col, "lang", dsir_bucket(F.col("gram")).alias("bucket"))
+        .groupBy(id_col, "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    c_raw = dbk.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
+    c_tgt = (
+        dbk.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("c_t"))
+    )
+    n_raw = c_raw.agg(F.sum("c_r").alias("n_r"))
+    n_tgt = c_tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    b = float(DSIR_BUCKETS)
+    ratio = (
+        c_raw.join(c_tgt, "bucket", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("n_t").cast("double") + F.lit(b))
+                    )
+                    / (
+                        (F.col("c_r").cast("double") + F.lit(1.0))
+                        / (F.col("n_r").cast("double") + F.lit(b))
+                    )
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("r_micro"),
+        )
+    )
+    # persist: the weight table feeds BOTH the 1-row max and the final
+    # accept projection — without it the whole scoring subtree (ratio
+    # assembly + doc-keyed aggregate) executes twice (the mad_outliers
+    # 2-column-projection lesson; 3 BIGINTs per doc, cheap to hold)
+    w = (
+        dbk.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("r_micro")).cast("bigint").alias("w_micro"),
+        )
+        .persist()
+    )
+    avg = F.col("w_micro").cast("double") / F.col("n_grams").cast("double")
+    m = w.agg(F.max(avg).alias("m"))
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    return (
+        w.crossJoin(F.broadcast(m))
+        .select(
+            id_col,
+            "n_grams",
+            "w_micro",
+            (
+                F.log((u.cast("double") + F.lit(1.0)) / F.lit(65536.0))
+                * F.lit(1000000.0)
+                < avg - F.col("m")
+            ).alias("accepted"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction (LLM-pipeline scrubbing pass)
 # ---------------------------------------------------------------------------

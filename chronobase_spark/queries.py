@@ -9639,23 +9639,24 @@ def q_user_sessions_native(spark, sf_dir):
     )
 
 
-def _phash_sql(max_hamming: int = 3) -> str:
-    w = 16  # PPM fixture width (multimodal.PPM_WIDTH)
-    g = 8  # pooling grid (multimodal.PHASH_GRID)
-    min_bytes = (8 - 1) * w * 3 + 1  # dedup.phash.MIN_PAYLOAD_BYTES
-    chunk_exprs = ",\n         ".join(
-        f"CAST(SUM(CASE WHEN gr // 2 = {j} THEN bit * (1 << ((gr % 2) * {g} + gc))"
-        f" ELSE 0 END) AS BIGINT) AS c{j}"
-        for j in range(4)
-    )
-    band_rows = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, c0, c1, c2, c3, {j} AS chunk_id, c{j} AS chunk_val"
-        " FROM sig"
-        for j in range(4)
-    )
-    ham = " + ".join(f"bit_count(xor(a.c{j}, b.c{j}))" for j in range(4))
-    return f"""
-WITH d AS MATERIALIZED (
+def _raster_constants() -> tuple[int, int, int]:
+    """(w, g, min_bytes) for the PPM-raster oracles, DERIVED from the
+    engine's canonical definitions (r12 advice: inline literal copies
+    in _RASTER_TOPK_SQL could silently diverge from the Spark side if
+    PPM_WIDTH / PHASH_GRID / MIN_PAYLOAD_BYTES ever changed)."""
+    from chronobase_spark.dedup import phash as _ph
+    from chronobase_spark.functions import multimodal as _mm
+
+    return _mm.PPM_WIDTH, _mm.PHASH_GRID, _ph.MIN_PAYLOAD_BYTES
+
+
+def _raster_grid_cte() -> str:
+    """Shared DuckDB CTE prefix (d → by → cells → grid) decoding each
+    gated document's PPM raster into the g×g pooling grid — ONE
+    builder for both raster oracles (_phash_sql, _raster_topk_sql) so
+    their decode semantics can never drift apart."""
+    w, g, min_bytes = _raster_constants()
+    return f"""WITH d AS MATERIALIZED (
   SELECT doc_id, text, octet_length(encode(text)) AS n,
          GREATEST(CAST(CEIL(octet_length(encode(text)) / {w * 3}.0) AS INT), 1) AS h
   FROM documents
@@ -9675,7 +9676,24 @@ WITH d AS MATERIALIZED (
               FROM (SELECT unnest(generate_series(0, {g - 1})) AS gr) a,
                    (SELECT unnest(generate_series(0, {g - 1})) AS gc) b) gg
   LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.gr = gg.gr AND c.gc = gg.gc
-), bits AS MATERIALIZED (
+)"""
+
+
+def _phash_sql(max_hamming: int = 3) -> str:
+    _w, g, _min_bytes = _raster_constants()
+    chunk_exprs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN gr // 2 = {j} THEN bit * (1 << ((gr % 2) * {g} + gc))"
+        f" ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(4)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, c0, c1, c2, c3, {j} AS chunk_id, c{j} AS chunk_val"
+        " FROM sig"
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{j}, b.c{j}))" for j in range(4))
+    return f"""
+{_raster_grid_cte()}, bits AS MATERIALIZED (
   SELECT l.doc_id, l.gr, l.gc,
          CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
   FROM grid l JOIN grid r
@@ -9804,35 +9822,17 @@ def q_jm_trigram_logprob(spark, sf_dir):
     return text.jm_trigram_scores(_t(spark, sf_dir, "documents"))
 
 
-_RASTER_TOPK_SQL = """
-WITH d AS MATERIALIZED (
-  SELECT doc_id, text, octet_length(encode(text)) AS n,
-         GREATEST(CAST(CEIL(octet_length(encode(text)) / 48.0) AS INT), 1) AS h
-  FROM documents
-  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 337
-), by AS MATERIALIZED (
-  SELECT doc_id,
-         ((((i - 1) // 3) // 16) * 8) // h AS gr,
-         ((((i - 1) // 3) % 16) * 8) // 16 AS gc,
-         ascii(text[i]) AS v
-  FROM d, LATERAL unnest(generate_series(1, n)) AS t(i)
-), cells AS MATERIALIZED (
-  SELECT doc_id, gr, gc, SUM(v) AS s FROM by GROUP BY doc_id, gr, gc
-), grid AS MATERIALIZED (
-  SELECT d.doc_id, gg.gr, gg.gc, COALESCE(c.s, 0) AS s
-  FROM d
-  CROSS JOIN (SELECT a.gr, b.gc
-              FROM (SELECT unnest(generate_series(0, 7)) AS gr) a,
-                   (SELECT unnest(generate_series(0, 7)) AS gc) b) gg
-  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.gr = gg.gr AND c.gc = gg.gc
-), g AS MATERIALIZED (
-  SELECT doc_id, list(s ORDER BY gr * 8 + gc) AS g FROM grid GROUP BY doc_id
+def _raster_topk_sql(probe_mod: int = 101, n_probes: int = 8, k: int = 10) -> str:
+    _w, g, _min_bytes = _raster_constants()
+    return f"""
+{_raster_grid_cte()}, g AS MATERIALIZED (
+  SELECT doc_id, list(s ORDER BY gr * {g} + gc) AS g FROM grid GROUP BY doc_id
 ), probes AS (
-  SELECT doc_id AS probe_id, g AS pg FROM g WHERE doc_id % 101 = 0
-  ORDER BY probe_id LIMIT 8
+  SELECT doc_id AS probe_id, g AS pg FROM g WHERE doc_id % {probe_mod} = 0
+  ORDER BY probe_id LIMIT {n_probes}
 ), scored AS (
   SELECT p.probe_id, c.doc_id,
-         CAST(list_sum(list_transform(range(1, 65),
+         CAST(list_sum(list_transform(range(1, {g * g + 1}),
               i -> abs(p.pg[i] - c.g[i]))) AS BIGINT) AS l1_dist
   FROM probes p, g c WHERE c.doc_id <> p.probe_id
 )
@@ -9841,8 +9841,11 @@ SELECT probe_id, doc_id, l1_dist, CAST(rnk AS BIGINT) AS rnk FROM (
          ROW_NUMBER() OVER (PARTITION BY probe_id
                             ORDER BY l1_dist, doc_id) AS rnk
   FROM scored
-) WHERE rnk <= 10
+) WHERE rnk <= {k}
 """
+
+
+_RASTER_TOPK_SQL = _raster_topk_sql()
 
 
 @register("raster_topk_l1", _RASTER_TOPK_SQL)
@@ -10020,3 +10023,66 @@ def q_token_budget_select(spark, sf_dir):
             F.coalesce(F.col("b_adm"), F.col("full_ok")).alias("admitted"),
         )
     )
+
+
+_DSIR_SQL = """
+WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(lower(coalesce(text, ''))), ' '),
+                     x -> x <> '') AS tk
+  FROM documents
+), db AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 3)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, greatest(len(tk), 1)),
+                                 i -> tk[i] || ' ' || tk[i + 1])) AS g
+    FROM tk
+  )
+  GROUP BY doc_id, lang, bucket
+), craw AS (
+  SELECT bucket, SUM(tf) AS c_r FROM db GROUP BY bucket
+), ctgt AS (
+  SELECT bucket, SUM(tf) AS c_t FROM db WHERE lang = 'en' GROUP BY bucket
+), tots AS (
+  SELECT (SELECT SUM(c_r) FROM craw) AS n_r,
+         (SELECT COALESCE(SUM(c_t), 0) FROM ctgt) AS n_t
+), ratio AS (
+  SELECT craw.bucket,
+         CAST(round(ln(((CAST(COALESCE(ctgt.c_t, 0) AS DOUBLE) + 1.0)
+                        / (CAST(n_t AS DOUBLE) + 4096.0))
+                       / ((CAST(craw.c_r AS DOUBLE) + 1.0)
+                          / (CAST(n_r AS DOUBLE) + 4096.0)))
+                    * 1000000.0, 0) AS BIGINT) AS r_micro
+  FROM craw LEFT JOIN ctgt ON craw.bucket = ctgt.bucket CROSS JOIN tots
+), w AS (
+  SELECT doc_id,
+         CAST(SUM(db.tf) AS BIGINT) AS n_grams,
+         CAST(SUM(db.tf * r_micro) AS BIGINT) AS w_micro
+  FROM db JOIN ratio USING (bucket)
+  GROUP BY doc_id
+), mx AS (
+  SELECT MAX(CAST(w_micro AS DOUBLE) / CAST(n_grams AS DOUBLE)) AS m FROM w
+)
+SELECT doc_id, n_grams, w_micro,
+       ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS BIGINT) AS DOUBLE) + 1.0) / 65536.0) * 1000000.0
+         < CAST(w_micro AS DOUBLE) / CAST(n_grams AS DOUBLE) - m
+         AS accepted
+FROM w CROSS JOIN mx
+"""
+
+
+@register("dsir_select", _DSIR_SQL)
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling toward a target domain (Xie et al.
+    2023): hashed-bigram bucket log-ratio weights, per-gram-average
+    self-normalized md5 acceptance — the distribution-MATCHED member
+    of the selection family (quantile: quality_topq_filter; Bernoulli:
+    quality_weighted_sample; fixed-k: weighted_reservoir_sample;
+    diversity: cluster_balanced_sample; budget: token_budget_select).
+    Target = the lang='en' slice of the corpus. Full plan-shape and
+    exactness notes on functions/text.dsir_select."""
+    return text.dsir_select(_t(spark, sf_dir, "documents"))

@@ -615,3 +615,90 @@ def phash_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(eligible, multimodal.ppm_payload_col(F.col(text_col))),
     )
     return multimodal.dhash_annotate(with_payload, "_payload")
+
+
+def budget_histogram_stage(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed per-SCORE token histogram — the streaming half of the
+    batch ``token_budget_select`` admission: budget selection is a
+    corpus-level decision (which score classes fit 30% of the window's
+    tokens), so per the corpus-marginal boundary in this module's
+    docstring its streaming twin is a WINDOWED AGGREGATION, not a
+    map stage — exactly the streaming_benford_counts split. This
+    stage emits the watermark-bounded (window_start, score, bucket_n,
+    n_docs) histogram; the admission plan (full buckets, boundary
+    class, remaining tokens) is the tiny finalize over the drained
+    counts (``finalize_budget_admission``), and the per-doc admit bit
+    inside the boundary class stays a batch concern (it needs the
+    window's full doc_id order, which no stream row can see).
+
+    Score and token count are the batch query's LITERAL expressions
+    (text.space_distinct_tokens / text.lm_tokens), so a drained
+    window's histogram equals the batch histogram over the same rows
+    (pinned in tests/test_streaming.py). State per window is at most
+    |distinct scores| count rows, watermark-evicted."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            ts_col,
+            text.space_distinct_tokens(txt).cast("bigint").alias("score"),
+            F.size(text.lm_tokens(F.col(text_col)))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .groupBy(F.window(ts_col, window), "score")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("bucket_n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "score",
+            "bucket_n",
+            "n_docs",
+        )
+    )
+
+
+def finalize_budget_admission(
+    counts: DataFrame, ratio_num: int = 3, ratio_den: int = 10
+) -> DataFrame:
+    """The admission plan from drained budget histograms: per window,
+    budget = window_tokens * ratio_num DIV ratio_den; score classes
+    whose inclusive (score desc) cumulative fits are fully admitted,
+    the single crossing class is the boundary with its exact remaining
+    token allowance. One batch projection over |windows|·|scores|
+    rows — every window is independent, so the cumulative windows
+    partition by window_start and nothing global exists (the
+    continuous-aggregate finalize split). Returns (window_start,
+    score, bucket_n, full_ok, is_boundary, remaining)."""
+    from pyspark.sql import Window as W
+
+    w_b = W.partitionBy("window_start")
+    w_cum = (
+        W.partitionBy("window_start")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # integer DIV, the batch query's exact budget arithmetic — a double
+    # quotient would drift for window token sums beyond 2^53
+    counts = counts.withColumn("_tot", F.sum("bucket_n").over(w_b))
+    b = F.expr(f"_tot * {int(ratio_num)} div {int(ratio_den)}")
+    cum = F.sum("bucket_n").over(w_cum)
+    cum_before = cum - F.col("bucket_n")
+    return counts.select(
+        "window_start",
+        "score",
+        "bucket_n",
+        (cum <= b).alias("full_ok"),
+        ((cum_before <= b) & (cum > b)).alias("is_boundary"),
+        F.when((cum_before <= b) & (cum > b), b - cum_before)
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("remaining"),
+    )

@@ -84,6 +84,7 @@ HEADLINE = [
     ("jm_trigram_logprob", "JM trigram LM: derived marginals (one corpus explode), key-bound shuffle_hash assembly, 1-row N broadcast"),
     ("raster_topk_l1", "raster top-k: map-only grid decode, 8-row probe broadcast, WindowGroupLimit below the shuffle"),
     ("token_budget_select", "budget selection: histogram cumulative on tiny tables, boundary-only sharded prefix, no global sort"),
+    ("dsir_select", "DSIR: one corpus gram pass cached, |buckets|-bounded ratio broadcast, persisted weight table feeds max + accept"),
 ]
 
 KEEP = re.compile(

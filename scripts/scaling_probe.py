@@ -722,6 +722,130 @@ R11_STAGES = (
 _MUT_DUP_MOD = 10
 _MUT_TOK_MOD = 20
 
+# --- phash raster-perturbation fixture (round 13) -------------------------
+# The token-edit fixture above appends "zz" to mutated tokens — an
+# INSERTION, which shifts every downstream raster byte and throws twin
+# dHashes far apart; it measures phash wall growth but never stresses
+# the chunk-LSH bucket distribution with actual NEAR (Hamming 0-3)
+# twins. This fixture mutates at the CHARACTER level, length-preserving:
+# universes remap every char pseudo-randomly per (universe, position,
+# char) so cross-universe rasters are noise (no cross-universe near
+# pairs), and every _PHASH_DUP_MOD-th doc gains _PHASH_TWINS twins that
+# differ in ~1/_PHASH_SUB_MOD of characters — a few perturbed pixels,
+# the adversarial many-near-twin-families shape for the band join.
+_PHASH_DUP_MOD = 8
+_PHASH_TWINS = 4
+_PHASH_SUB_MOD = 256
+
+
+def phash_mutated_documents_dir(spark, factor: int) -> str:
+    """Write the raster-perturbation fixture for one factor and return
+    its sf-dir. Only docs passing the phash raster gate are kept (the
+    others never reach the band join in the registered query either)."""
+    from chronobase_spark import catalog
+    from chronobase_spark.dedup import phash
+
+    d = SCRATCH / f"phash_mutated_x{factor}"
+    dest = d / "documents.parquet"
+    if dest.exists():
+        return str(d)
+    d.mkdir(parents=True, exist_ok=True)
+    base = catalog.table(spark, BASE_SF, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
+    )
+    shift = 10_000_000
+    uni = base.withColumn(
+        "_u", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    )
+    # universe remap: printable char 33..126 per (u, position, char)
+    remapped = F.expr(
+        "transform(split(text, ''), (c, i) -> "
+        "char(33 + pmod(xxhash64(_u, i, ascii(c)), 94)))"
+    )
+    orig = uni.select(
+        (F.col("doc_id") + F.col("_u") * shift).alias("doc_id"),
+        F.array_join(remapped, "").alias("text"),
+        "lang",
+        "source",
+    )
+    twins = []
+    for t in range(1, _PHASH_TWINS + 1):
+        perturbed = F.expr(
+            f"transform(split(text, ''), (c, i) -> CASE WHEN "
+            f"pmod(xxhash64(doc_id, _u, {t}, i), {_PHASH_SUB_MOD}) = 0 "
+            f"THEN char(33 + pmod(xxhash64(_u, i, ascii(c), {t}), 94)) "
+            f"ELSE char(33 + pmod(xxhash64(_u, i, ascii(c)), 94)) END)"
+        )
+        twins.append(
+            uni.filter(F.col("doc_id") % _PHASH_DUP_MOD == 0).select(
+                (
+                    F.col("doc_id")
+                    + F.col("_u") * shift
+                    + shift // 2
+                    + t * (shift // 8)
+                ).alias("doc_id"),
+                F.array_join(perturbed, "").alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    out = orig
+    for tw in twins:
+        out = out.unionAll(tw)
+    out = out.withColumn("n_chars", F.length("text").cast("bigint"))
+    out.repartition(32).write.mode("overwrite").parquet(str(dest))
+    return str(d)
+
+
+def run_phash_mutated(spark, factor: int) -> dict:
+    """Min-of-2 fresh-cache wall of phash_near_pairs on the raster
+    fixture, plus the band-bucket distribution stats the wall number
+    alone can't evidence: bucket size = rows per (chunk_id, value)
+    after the 4-way chunk explode — the join's fan-in."""
+    from chronobase_spark import queries as q
+    from chronobase_spark.functions import multimodal
+
+    sf_dir = phash_mutated_documents_dir(spark, factor)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    sigs = multimodal.dhash_chunks(multimodal.to_ppm_payload(docs))
+    chunked = sigs.selectExpr(
+        "stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (j, v)"
+    )
+    bstats = (
+        chunked.groupBy("j", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.avg("n").alias("mean_bucket"),
+            F.expr("percentile_approx(n, 0.99)").alias("p99_bucket"),
+        )
+        .collect()[0]
+    )
+    n_pairs = None
+    wall = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        q._REGISTRY["phash_near_pairs"][0](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        wall = dt if wall is None else min(wall, dt)
+        spark.catalog.clearCache()
+    n_pairs = q._REGISTRY["phash_near_pairs"][0](spark, sf_dir).count()
+    return {
+        "factor": factor,
+        "n_docs": n_docs,
+        "n_pairs": n_pairs,
+        "n_buckets": bstats["n_buckets"],
+        "max_bucket": bstats["max_bucket"],
+        "mean_bucket": round(float(bstats["mean_bucket"]), 2),
+        "p99_bucket": bstats["p99_bucket"],
+        "phash_near_pairs": round(wall, 2),
+    }
+
 
 def mutated_documents_dir(spark, factor: int) -> str:
     """Replication-FREE scale fixture: grow the corpus by MUTATION so
@@ -1095,6 +1219,27 @@ def main():
                     f"{k}: {last['factor']}x data -> "
                     f"{last[k] / max(base[k], 1e-9):.1f}x time"
                 )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--phash-mut"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"phash-mutation-probe-x{factor}",
+                shuffle_partitions=32,
+            )
+            rows.append(run_phash_mutated(spark, factor))
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        print(
+            f"phash_near_pairs: {last['factor']}x data -> "
+            f"{last['phash_near_pairs'] / max(base['phash_near_pairs'], 1e-9):.1f}x time; "
+            f"pairs {base['n_pairs']} -> {last['n_pairs']}; "
+            f"max bucket {base['max_bucket']} -> {last['max_bucket']}"
+        )
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     if sys.argv[1:2] == ["--r11"]:

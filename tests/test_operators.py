@@ -1567,3 +1567,81 @@ def test_budget_select_boundary_spans_many_shards(spark, tmp_path):
     assert 0 < len(boundary_admits) < 8
     assert len({d // 65536 for d in boundary_admits}) >= 2
     assert got == naive
+
+
+def test_dsir_weights_match_reference_python(spark):
+    """dsir_select vs an independent pure-Python model: hashed bigram
+    buckets (hashlib md5), add-one smoothed target/raw bucket
+    distributions, half-up micro-nat quantization per bucket, exact
+    integer doc sums, and the self-normalized log-space accept test —
+    proving the derived bucket tables and the no-second-explode plan
+    exact, not just oracle-consistent. Synthetic corpus: two langs
+    with disjoint-ish vocabularies so target-likeness actually
+    separates (en docs must be accepted at a higher rate)."""
+    import collections
+    import hashlib
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from chronobase_spark.functions import text as textf
+
+    rng = random.Random(7)
+    en_vocab = [f"en{i}" for i in range(30)]
+    xx_vocab = [f"xx{i}" for i in range(30)] + en_vocab[:5]
+    rows = []
+    for d in range(90):
+        lang = "en" if d % 3 else "xx"
+        vocab = en_vocab if lang == "en" else xx_vocab
+        n = rng.randint(5, 40)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n)), lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["w_micro"], r["accepted"])
+        for r in textf.dsir_select(docs).collect()
+    }
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:3], 16)
+
+    doc_buckets, c_raw, c_tgt = {}, collections.Counter(), collections.Counter()
+    for d, txt, lang in rows:
+        toks = [t for t in txt.strip().lower().split(" ") if t]
+        bs = collections.Counter(
+            bucket(f"{toks[i]} {toks[i + 1]}") for i in range(len(toks) - 1)
+        )
+        if bs:
+            doc_buckets[d] = bs
+        c_raw.update(bs)
+        if lang == "en":
+            c_tgt.update(bs)
+    n_r, n_t, B = sum(c_raw.values()), sum(c_tgt.values()), 4096.0
+
+    def r_micro(b):
+        p_t = (c_tgt[b] + 1.0) / (n_t + B)
+        p_r = (c_raw[b] + 1.0) / (n_r + B)
+        return int(
+            Decimal(repr(math.log(p_t / p_r) * 1e6)).quantize(
+                0, rounding=ROUND_HALF_UP
+            )
+        )
+
+    want_w = {
+        d: (sum(bs.values()), sum(tf * r_micro(b) for b, tf in bs.items()))
+        for d, bs in doc_buckets.items()
+    }
+    assert set(got) == set(want_w)
+    assert all(got[d][:2] == want_w[d] for d in want_w)
+
+    m = max(w / n for n, w in want_w.values())
+    acc_rate = {}
+    for d, (n, w) in want_w.items():
+        u = int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+        want_acc = math.log((u + 1.0) / 65536.0) * 1e6 < w / n - m
+        assert got[d][2] == want_acc, d
+        lang = "en" if d % 3 else "xx"
+        acc_rate.setdefault(lang, []).append(want_acc)
+    en_rate = sum(acc_rate["en"]) / len(acc_rate["en"])
+    xx_rate = sum(acc_rate["xx"]) / len(acc_rate["xx"])
+    assert en_rate > xx_rate, (en_rate, xx_rate)

@@ -1833,3 +1833,91 @@ def test_streaming_phash_stage_matches_batch_chunks(spark, tmp_path):
     sub_gate = set(got) - set(want)
     assert sub_gate, "smoke corpus should contain sub-gate rows"
     assert all(got[d] == (None, None, None, None) for d in sub_gate)
+
+
+def test_streaming_budget_histogram_matches_batch_and_finalize(spark, tmp_path):
+    """Drained windowed budget histograms must equal the batch per-day
+    (score -> tokens, docs) histogram over the same rows, and the
+    finalize projection must produce the plain-Python admission plan
+    per window (full buckets by inclusive cumulative <= 30% DIV
+    budget, single boundary class, exact remaining) — the windowed-
+    aggregation streaming form of token_budget_select prescribed by
+    the corpus-marginal boundary in streaming/docs.py."""
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "budget_src")
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 400),
+        )
+    )
+    base.repartition(3).write.parquet(src)
+
+    sink = str(tmp_path / "budget_sink")
+    q = (
+        docstream.budget_histogram_stage(
+            docstream.read_document_stream(spark, src)
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "budget_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    drained = spark.read.parquet(sink)
+    got = {
+        (r["window_start"], r["score"]): (r["bucket_n"], r["n_docs"])
+        for r in drained.collect()
+    }
+    assert got
+
+    # batch truth over the same rows, same day windows
+    rows = base.select("doc_id", "text", "ingest_ts").collect()
+    import collections
+
+    hist = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        toks = [t for t in (r["text"] or "").strip().lower().split(" ") if t]
+        day = r["ingest_ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        key = (day, len(set(toks)))
+        hist[key][0] += len(toks)
+        hist[key][1] += 1
+    want = {k: tuple(v) for k, v in hist.items()}
+    # append mode withholds at most the open tail window's cells
+    open_days = {max(d for d, _ in want)}
+    assert all(got[k] == want[k] for k in got)
+    missing = {k for k in want if k not in got}
+    assert all(k[0] in open_days for k in missing), missing
+
+    # finalize: plan equals plain-Python per drained window
+    plan = {
+        (r["window_start"], r["score"]): (
+            r["full_ok"],
+            r["is_boundary"],
+            r["remaining"],
+        )
+        for r in docstream.finalize_budget_admission(drained).collect()
+    }
+    days = {d for d, _ in got}
+    for day in days:
+        buckets = sorted(
+            ((s, got[(day, s)][0]) for d, s in got if d == day),
+            key=lambda x: -x[0],
+        )
+        b = sum(n for _, n in buckets) * 3 // 10
+        cum = 0
+        for s, n in buckets:
+            before, cum = cum, cum + n
+            full = cum <= b
+            boundary = before <= b < cum
+            rem = b - before if boundary else None
+            assert plan[(day, s)] == (full, boundary, rem), (day, s)
+        # exactly one boundary class per non-degenerate window
+        n_boundary = sum(
+            1 for s, _ in buckets if plan[(day, s)][1]
+        )
+        assert n_boundary == (1 if b < cum else 0), day
