@@ -311,6 +311,10 @@ _SCALE_FLAG_ALLOWLIST = {
     # two topk_cosine passes (raw + whitened), each the reviewed 3-row
     # probe broadcast cross; the 64-row dim-stats broadcast is constant
     "whitened_topk_overlap": {"bnlj"},
+    # 1-row totals (n_r, n_t) crossed over the ≤4096-row bucket ratio
+    # table, and the 1-row max-weight broadcast over the persisted doc
+    # weight table; SinglePartition carries partial-agg scalars only
+    "dsir_select": {"bnlj", "single-partition"},
 }
 
 
