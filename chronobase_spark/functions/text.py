@@ -964,7 +964,41 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
     partial-agged sum; the accept test is map-only. Returns
     (id_col, n_grams, w_micro, accepted); docs without bigrams have
     no feature evidence and no row, like the LM scorers."""
-    dbk = (
+    dbk = _dsir_doc_buckets(docs, id_col, text_col).persist()
+    ratio = _dsir_ratio(dbk, target_lang)
+    # persist: the weight table feeds BOTH the 1-row max and the final
+    # accept projection — without it the whole scoring subtree (ratio
+    # assembly + doc-keyed aggregate) executes twice (the mad_outliers
+    # 2-column-projection lesson; 3 BIGINTs per doc, cheap to hold)
+    w = (
+        dbk.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_grams"),
+            F.sum(F.col("tf") * F.col("r_micro")).cast("bigint").alias("w_micro"),
+        )
+        .persist()
+    )
+    avg = F.col("w_micro").cast("double") / F.col("n_grams").cast("double")
+    m = w.agg(F.max(avg).alias("m"))
+    return (
+        w.crossJoin(F.broadcast(m))
+        .select(
+            id_col,
+            "n_grams",
+            "w_micro",
+            dsir_accept_col(
+                F.col(id_col), F.col("w_micro"), F.col("n_grams"), F.col("m")
+            ).alias("accepted"),
+        )
+    )
+
+
+def _dsir_doc_buckets(docs, id_col: str, text_col: str):
+    """(id, lang, bucket, tf): per-document hashed-bigram bucket term
+    frequencies — the one corpus-linear pass every DSIR surface derives
+    its model tables from."""
+    return (
         docs.select(
             F.col(id_col),
             F.col("lang"),
@@ -973,8 +1007,14 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
         .select(id_col, "lang", dsir_bucket(F.col("gram")).alias("bucket"))
         .groupBy(id_col, "lang", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist()
     )
+
+
+def _dsir_ratio(dbk, target_lang: str):
+    """(bucket, r_micro): the ≤4096-row importance log-ratio table,
+    derived from the doc-bucket TF table (raw AND target counts — no
+    second corpus pass), add-one smoothed over the full bucket space,
+    micro-nat quantized."""
     c_raw = dbk.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
     c_tgt = (
         dbk.filter(F.col("lang") == target_lang)
@@ -984,7 +1024,7 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
     n_raw = c_raw.agg(F.sum("c_r").alias("n_r"))
     n_tgt = c_tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
     b = float(DSIR_BUCKETS)
-    ratio = (
+    return (
         c_raw.join(c_tgt, "bucket", "left")
         .crossJoin(F.broadcast(n_raw))
         .crossJoin(F.broadcast(n_tgt))
@@ -1008,37 +1048,68 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
             .alias("r_micro"),
         )
     )
-    # persist: the weight table feeds BOTH the 1-row max and the final
-    # accept projection — without it the whole scoring subtree (ratio
-    # assembly + doc-keyed aggregate) executes twice (the mad_outliers
-    # 2-column-projection lesson; 3 BIGINTs per doc, cheap to hold)
-    w = (
+
+
+def dsir_accept_col(id_col: Column, w_micro: Column, n_grams: Column,
+                    m: Column) -> Column:
+    """The self-normalized log-space accept test as a pure column:
+    u < exp((w̄ − m)/1e6) with u the content-free md5 16-bit bucket of
+    the id — ONE definition shared by the batch selector and the
+    in-stream admission stage so the two surfaces can never drift."""
+    u = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    )
+    avg = w_micro.cast("double") / n_grams.cast("double")
+    return (
+        F.log((u.cast("double") + F.lit(1.0)) / F.lit(65536.0))
+        * F.lit(1000000.0)
+        < avg - m
+    )
+
+
+def dsir_model(docs, target_lang: str = "en", id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Train the FROZEN DSIR model for in-stream admission
+    (streaming/docs.dsir_admit_stage): returns (ratio, unseen_micro, m)
+    — the ≤4096-row (bucket, r_micro) table, the unseen-bucket back-off
+    ratio round(ln((n_r+B)/(n_t+B))·1e6) as a Python int (the add-one
+    ratio of a bucket with zero mass on BOTH sides — a bucket the
+    training corpus never touched scores the smoothing prior, exactly
+    the lm_score_stage unseen-gram contract), and the training corpus'
+    max per-gram weight m as a Python float (the self-normalization
+    reference; two 1-row collects — the bigram_lm_model frozen-constant
+    pattern)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    dbk = _dsir_doc_buckets(docs, id_col, text_col).persist()
+    ratio = _dsir_ratio(dbk, target_lang)
+    totals = dbk.agg(
+        F.sum("tf").alias("n_r"),
+        F.sum(F.when(F.col("lang") == target_lang, F.col("tf")).otherwise(0)).alias(
+            "n_t"
+        ),
+    ).collect()[0]
+    n_r, n_t = int(totals["n_r"] or 0), int(totals["n_t"] or 0)
+    b = float(DSIR_BUCKETS)
+    unseen_micro = int(
+        Decimal(repr(math.log((n_r + b) / (n_t + b)) * 1e6)).quantize(
+            0, rounding=ROUND_HALF_UP
+        )
+    )
+    m = float(
         dbk.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
-            F.sum("tf").cast("bigint").alias("n_grams"),
-            F.sum(F.col("tf") * F.col("r_micro")).cast("bigint").alias("w_micro"),
-        )
-        .persist()
-    )
-    avg = F.col("w_micro").cast("double") / F.col("n_grams").cast("double")
-    m = w.agg(F.max(avg).alias("m"))
-    u = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-    ).cast("bigint")
-    return (
-        w.crossJoin(F.broadcast(m))
-        .select(
-            id_col,
-            "n_grams",
-            "w_micro",
             (
-                F.log((u.cast("double") + F.lit(1.0)) / F.lit(65536.0))
-                * F.lit(1000000.0)
-                < avg - F.col("m")
-            ).alias("accepted"),
+                F.sum(F.col("tf") * F.col("r_micro")).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("avg")
         )
+        .agg(F.max("avg").alias("m"))
+        .collect()[0]["m"]
     )
+    return ratio, unseen_micro, m
 
 
 # ---------------------------------------------------------------------------

@@ -702,3 +702,65 @@ def finalize_budget_admission(
         .otherwise(F.lit(None).cast("bigint"))
         .alias("remaining"),
     )
+
+
+def dsir_admit_stage(
+    stream: DataFrame,
+    ratio: DataFrame,
+    unseen_micro: int,
+    m: float,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Admit arriving documents under a FROZEN DSIR model trained in
+    batch (functions/text.dsir_model) — the intake half of the
+    distribution-matched selection: the batch pipeline periodically
+    retrains the hashed-bigram importance ratios against the target
+    domain, and ingest scores each new document against that frozen
+    reference as it lands (the lm_score_stage shape applied to
+    selection instead of perplexity).
+
+    Mechanics: buckets per row are the IDENTICAL expression chain the
+    batch trainer uses (text.lm_grams → text.dsir_bucket — one
+    definition, no drift); the ratio lookup is a stream-STATIC left
+    join on the ≤4096-row model table; an UNSEEN bucket backs off to
+    the frozen smoothing prior ``unseen_micro`` (a bucket with zero
+    training mass on both sides — the exact add-one value, not an
+    ad-hoc floor); the per-doc integer sum is a windowed streaming
+    aggregation (two BIGINTs of state per in-flight doc, watermark-
+    evicted); the accept test is the SHARED text.dsir_accept_col
+    against the frozen max-weight m. Drained output over the training
+    corpus itself is BIT-IDENTICAL to batch dsir_select (pinned in
+    tests/test_streaming.py, which also pins the unseen-bucket branch
+    against plain Python). Returns (window, doc_id, n_grams, w_micro,
+    accepted); docs with fewer than two tokens have no grams and no
+    row, matching batch."""
+    buckets = (
+        stream.withWatermark("ingest_ts", watermark)
+        .select(
+            "doc_id",
+            "ingest_ts",
+            F.explode(text.lm_grams(F.col("text"))).alias("gram"),
+        )
+        .select("doc_id", "ingest_ts", text.dsir_bucket(F.col("gram")).alias("bucket"))
+    )
+    scored = buckets.join(ratio, "bucket", "left").select(
+        "doc_id",
+        "ingest_ts",
+        F.coalesce(F.col("r_micro"), F.lit(int(unseen_micro))).alias("r_micro"),
+    )
+    agg = scored.groupBy(F.window("ingest_ts", watermark), "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("r_micro").cast("bigint").alias("w_micro"),
+    )
+    return agg.select(
+        "window",
+        "doc_id",
+        "n_grams",
+        "w_micro",
+        text.dsir_accept_col(
+            F.col("doc_id"),
+            F.col("w_micro"),
+            F.col("n_grams"),
+            F.lit(float(m)),
+        ).alias("accepted"),
+    )

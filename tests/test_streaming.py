@@ -1921,3 +1921,97 @@ def test_streaming_budget_histogram_matches_batch_and_finalize(spark, tmp_path):
             1 for s, _ in buckets if plan[(day, s)][1]
         )
         assert n_boundary == (1 if b < cum else 0), day
+
+
+def test_streaming_dsir_admit_matches_batch_and_unseen_backoff(spark, tmp_path):
+    """Drained frozen-model DSIR admission over the training corpus
+    itself must be BIT-IDENTICAL to batch dsir_select (same ratio
+    table, every bucket seen, same max-weight m), and documents with
+    buckets the training corpus never touched must score the exact
+    add-one smoothing prior unseen_micro — pinned against plain Python
+    over the collected model. The lm_score_stage frozen-model contract
+    applied to selection."""
+    import hashlib
+    import math
+
+    from chronobase_spark.functions import text as textf
+    from chronobase_spark.streaming import docs as docstream
+
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    ratio, unseen_micro, m = textf.dsir_model(base)
+    ratio_py = {r["bucket"]: r["r_micro"] for r in ratio.collect()}
+
+    # novel-vocab rows: grams built from tokens no fixture doc contains;
+    # timestamps sit INSIDE the base docs' span, and a far-future flush
+    # row (never asserted — its window stays open) advances the final
+    # watermark past every window that matters
+    novel = spark.createDataFrame(
+        [
+            (999999, "qqxx1 qqxx2 qqxx3 qqxx1 qqxx2", "xx", "synthetic", 29, 100),
+            (999998, "zzyy1 zzyy2", "xx", "synthetic", 11, 200),
+            (999990, "flush row", "xx", "synthetic", 9, 10_000_000),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, off long",
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias(
+            "ingest_ts"
+        ),
+    )
+
+    src = str(tmp_path / "dsir_src")
+    base.unionByName(novel).repartition(3).write.parquet(src)
+    sink = str(tmp_path / "dsir_sink")
+    q = (
+        docstream.dsir_admit_stage(
+            docstream.read_document_stream(spark, src), ratio, unseen_micro, m
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["w_micro"], r["accepted"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    # batch equality over the training corpus
+    want = {
+        r["doc_id"]: (r["n_grams"], r["w_micro"], r["accepted"])
+        for r in textf.dsir_select(base).collect()
+    }
+    assert want and all(got[d] == want[d] for d in want)
+
+    # unseen-bucket back-off: plain-Python mirror over the frozen model
+    for doc_id, text_val in ((999999, "qqxx1 qqxx2 qqxx3 qqxx1 qqxx2"),
+                             (999998, "zzyy1 zzyy2")):
+        toks = text_val.split(" ")
+        grams = [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+        bks = [
+            int(hashlib.md5(g.encode()).hexdigest()[:3], 16) for g in grams
+        ]
+        w = sum(ratio_py.get(b, unseen_micro) for b in bks)
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        acc = math.log((u + 1.0) / 65536.0) * 1e6 < w / len(grams) - m
+        assert got[doc_id] == (len(grams), w, acc), doc_id
+    # at least one novel gram actually exercised the unseen branch
+    novel_bks = {
+        int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:3], 16)
+        for a, b in [("qqxx1", "qqxx2"), ("qqxx2", "qqxx3"), ("zzyy1", "zzyy2")]
+    }
+    assert any(b not in ratio_py for b in novel_bks)
