@@ -1086,6 +1086,9 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
       +template          ... + template_stage (map-only md5 end-hashes)
       +datacard          ... + datacard_stage (map-only signal struct)
       +dedup             ... + content_dedup (watermark state store)
+      +dsir              ... + dsir_admit_stage (frozen ratio join +
+                         windowed per-doc sums; model trained in batch
+                         BEFORE the drain clock starts)
 
     The marginal docs/s drop between consecutive rows names the
     binding stage; wall includes sink commit (ingest is a write's
@@ -1124,6 +1127,9 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
             .select("d.*", "ingest_ts")
         )
 
+    # frozen DSIR model trained in batch BEFORE any drain clock starts
+    # (the retrain cadence is a batch concern; intake only pays the join)
+    _dsir_frozen = text.dsir_model(docs)
     pipelines = [
         ("decode", lambda s: s),
         ("pii", docstream.pii_scrub_stage),
@@ -1140,6 +1146,19 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
                 docstream.datacard_stage(
                     docstream.template_stage(docstream.pii_scrub_stage(s))
                 )
+            ),
+        ),
+        (
+            "dsir",
+            lambda s: docstream.dsir_admit_stage(
+                docstream.content_dedup(
+                    docstream.datacard_stage(
+                        docstream.template_stage(docstream.pii_scrub_stage(s))
+                    )
+                ),
+                _dsir_frozen[0],
+                _dsir_frozen[1],
+                _dsir_frozen[2],
             ),
         ),
     ]
