@@ -964,8 +964,8 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
     partial-agged sum; the accept test is map-only. Returns
     (id_col, n_grams, w_micro, accepted); docs without bigrams have
     no feature evidence and no row, like the LM scorers."""
-    dbk = _dsir_doc_buckets(docs, id_col, text_col).persist()
-    ratio = _dsir_ratio(dbk, target_lang)
+    dbk = _dsir_doc_buckets(docs, target_lang, id_col, text_col).persist()
+    ratio = _dsir_ratio(dbk)
     # persist: the weight table feeds BOTH the 1-row max and the final
     # accept projection — without it the whole scoring subtree (ratio
     # assembly + doc-keyed aggregate) executes twice (the mad_outliers
@@ -994,30 +994,34 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
     )
 
 
-def _dsir_doc_buckets(docs, id_col: str, text_col: str):
-    """(id, lang, bucket, tf): per-document hashed-bigram bucket term
+def _dsir_doc_buckets(docs, target_lang: str, id_col: str, text_col: str):
+    """(id, is_t, bucket, tf): per-document hashed-bigram bucket term
     frequencies — the one corpus-linear pass every DSIR surface derives
-    its model tables from."""
+    its model tables from. Target membership is resolved to a 1-byte
+    flag BEFORE the explode: carrying the lang string through a
+    corpus-scale gram shuffle pays string bytes per gram row for a
+    predicate the map side can evaluate once per document."""
+    is_t = (F.col("lang") == target_lang).cast("int").alias("is_t")
     return (
         docs.select(
             F.col(id_col),
-            F.col("lang"),
+            is_t,
             F.explode(lm_grams(F.col(text_col))).alias("gram"),
         )
-        .select(id_col, "lang", dsir_bucket(F.col("gram")).alias("bucket"))
-        .groupBy(id_col, "lang", "bucket")
+        .select(id_col, "is_t", dsir_bucket(F.col("gram")).alias("bucket"))
+        .groupBy(id_col, "is_t", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
 
 
-def _dsir_ratio(dbk, target_lang: str):
+def _dsir_ratio(dbk):
     """(bucket, r_micro): the ≤4096-row importance log-ratio table,
     derived from the doc-bucket TF table (raw AND target counts — no
     second corpus pass), add-one smoothed over the full bucket space,
     micro-nat quantized."""
     c_raw = dbk.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
     c_tgt = (
-        dbk.filter(F.col("lang") == target_lang)
+        dbk.filter(F.col("is_t") == 1)
         .groupBy("bucket")
         .agg(F.sum("tf").alias("c_t"))
     )
@@ -1082,11 +1086,11 @@ def dsir_model(docs, target_lang: str = "en", id_col: str = "doc_id",
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    dbk = _dsir_doc_buckets(docs, id_col, text_col).persist()
-    ratio = _dsir_ratio(dbk, target_lang)
+    dbk = _dsir_doc_buckets(docs, target_lang, id_col, text_col).persist()
+    ratio = _dsir_ratio(dbk)
     totals = dbk.agg(
         F.sum("tf").alias("n_r"),
-        F.sum(F.when(F.col("lang") == target_lang, F.col("tf")).otherwise(0)).alias(
+        F.sum(F.when(F.col("is_t") == 1, F.col("tf")).otherwise(0)).alias(
             "n_t"
         ),
     ).collect()[0]
