@@ -783,7 +783,10 @@ def phash_mutated_documents_dir(spark, factor: int) -> str:
                     F.col("doc_id")
                     + F.col("_u") * shift
                     + shift // 2
-                    + t * (shift // 8)
+                    # (t-1), NOT t: a t*shift//8 offset reaches exactly
+                    # `shift` at t=4, colliding twin ids with the NEXT
+                    # universe's originals (r13 review catch)
+                    + (t - 1) * (shift // 8)
                 ).alias("doc_id"),
                 F.array_join(perturbed, "").alias("text"),
                 "lang",
