@@ -1014,43 +1014,46 @@ def _dsir_doc_buckets(docs, target_lang: str, id_col: str, text_col: str):
     )
 
 
+def _dsir_bucket_counts(dbk):
+    """(bucket, c_r, c_t): raw and target mass per bucket in ONE
+    ≤4096-row aggregate — a conditional sum, not a second pass + join
+    (the target side is a filter of the same table, so splitting it
+    into its own aggregate paid one extra scan of the TF table and a
+    bucket-bucket join for nothing)."""
+    return dbk.groupBy("bucket").agg(
+        F.sum("tf").alias("c_r"),
+        F.sum(F.when(F.col("is_t") == 1, F.col("tf")).otherwise(0)).alias(
+            "c_t"
+        ),
+    )
+
+
 def _dsir_ratio(dbk):
     """(bucket, r_micro): the ≤4096-row importance log-ratio table,
     derived from the doc-bucket TF table (raw AND target counts — no
     second corpus pass), add-one smoothed over the full bucket space,
     micro-nat quantized."""
-    c_raw = dbk.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
-    c_tgt = (
-        dbk.filter(F.col("is_t") == 1)
-        .groupBy("bucket")
-        .agg(F.sum("tf").alias("c_t"))
-    )
-    n_raw = c_raw.agg(F.sum("c_r").alias("n_r"))
-    n_tgt = c_tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    bc = _dsir_bucket_counts(dbk)
+    tots = bc.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
     b = float(DSIR_BUCKETS)
-    return (
-        c_raw.join(c_tgt, "bucket", "left")
-        .crossJoin(F.broadcast(n_raw))
-        .crossJoin(F.broadcast(n_tgt))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + F.lit(1.0))
-                        / (F.col("n_t").cast("double") + F.lit(b))
-                    )
-                    / (
-                        (F.col("c_r").cast("double") + F.lit(1.0))
-                        / (F.col("n_r").cast("double") + F.lit(b))
-                    )
+    return bc.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (
+                    (F.col("c_t").cast("double") + F.lit(1.0))
+                    / (F.col("n_t").cast("double") + F.lit(b))
                 )
-                * F.lit(1000000.0),
-                0,
+                / (
+                    (F.col("c_r").cast("double") + F.lit(1.0))
+                    / (F.col("n_r").cast("double") + F.lit(b))
+                )
             )
-            .cast("bigint")
-            .alias("r_micro"),
+            * F.lit(1000000.0),
+            0,
         )
+        .cast("bigint")
+        .alias("r_micro"),
     )
 
 
