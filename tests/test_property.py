@@ -576,3 +576,74 @@ def test_levenshtein_pairs_match_bruteforce_within_canopy(spark, texts, rel):
                 if d <= rel * max(len(a), len(b)):
                     want[(i, j)] = d
     assert got == want
+
+
+# (window-day, score, bucket_n) histograms: tiny score space forces
+# many buckets per window; bucket_n 0 is legal (a score class whose
+# docs are all empty); several windows exercise the per-window
+# independence of the cumulative.
+budget_hist_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),     # window index
+        st.integers(0, 6),     # score
+        st.integers(0, 40),    # bucket tokens
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=budget_hist_strategy)
+@SETTINGS
+def test_finalize_budget_admission_matches_bruteforce(spark, rows):
+    """finalize_budget_admission (streaming/docs.py) must reproduce the
+    naive per-window rule on arbitrary histograms: budget = tot*3 DIV
+    10, inclusive (score desc) cumulative picks full buckets, exactly
+    one boundary class crosses (none when the budget swallows every
+    bucket — the all-zero-token window), remaining = budget − tokens
+    before the boundary. Edge shapes hand tests under-cover: zero
+    bucket_n rows, a single bucket, budget landing exactly on a bucket
+    edge."""
+    import collections
+
+    from chronobase_spark.streaming import docs as docstream
+
+    # collapse duplicate (window, score) pairs like the upstream
+    # aggregation would
+    hist = collections.defaultdict(int)
+    for w, s, n in rows:
+        hist[(w, s)] += n
+    data = [
+        (dt.datetime(2024, 1, 1 + w), s, n, 1)
+        for (w, s), n in sorted(hist.items())
+    ]
+    counts = spark.createDataFrame(
+        data, ["window_start", "score", "bucket_n", "n_docs"]
+    )
+    got = {
+        (r["window_start"], r["score"]): (
+            r["full_ok"],
+            r["is_boundary"],
+            r["remaining"],
+        )
+        for r in docstream.finalize_budget_admission(counts).collect()
+    }
+    assert len(got) == len(hist)
+
+    for w in {k[0] for k in hist}:
+        buckets = sorted(
+            ((s, n) for (wi, s), n in hist.items() if wi == w),
+            key=lambda x: -x[0],
+        )
+        budget = sum(n for _, n in buckets) * 3 // 10
+        cum = 0
+        n_boundary = 0
+        for s, n in buckets:
+            before, cum = cum, cum + n
+            full = cum <= budget
+            boundary = before <= budget < cum
+            n_boundary += boundary
+            rem = budget - before if boundary else None
+            key = (dt.datetime(2024, 1, 1 + w), s)
+            assert got[key] == (full, boundary, rem), (w, s, got[key])
+        assert n_boundary == (1 if budget < cum else 0)
