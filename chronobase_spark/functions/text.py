@@ -957,11 +957,13 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
     the same trust class as every LM oracle here.
 
     Plan shape at 100 TB: one corpus gram explode collapsed to a
-    (doc, bucket) TF table (linear, doc-keyed); raw and target bucket
-    counts DERIVE from that table (≤4096 rows each — no second corpus
-    pass, the bigram_lm r10 lesson); the ratio table and the 1-row
-    totals/max broadcast; scoring is one broadcast join + a per-doc
-    partial-agged sum; the accept test is map-only. Returns
+    cached (doc, bucket) TF table (linear, doc-keyed); raw AND target
+    bucket counts come from ONE conditional-sum aggregate over that
+    table (≤4096 rows — no second corpus pass, the bigram_lm r10
+    lesson, and no bucket-bucket join); one 1-row totals broadcast
+    builds the ratio table and one 1-row max broadcast normalizes;
+    scoring is one broadcast join + a per-doc partial-agged sum over
+    the persisted weight table; the accept test is map-only. Returns
     (id_col, n_grams, w_micro, accepted); docs without bigrams have
     no feature evidence and no row, like the LM scorers."""
     dbk = _dsir_doc_buckets(docs, target_lang, id_col, text_col).persist()
