@@ -143,6 +143,110 @@ def lsh_candidates(
     )
 
 
+def md5_lane(g, i: int):
+    """Lane-``i`` portable hash of one shingle: 32-bit int via
+    ``conv(substr(md5(shingle#i),1,8),16,10)`` — the ONE definition
+    shared by the batch explode+groupBy signature (md5_band_table) and
+    the streaming per-row HOF fold (streaming/docs.minhash_admit_stage),
+    so the two surfaces can never drift."""
+    return F.conv(
+        F.substring(F.md5(F.concat(g, F.lit(f"#{i}"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def md5_band_key(lane_cols, bands: int, rows_per_band: int):
+    """array<struct(band_id, band_val)> from per-lane columns — the
+    shared banding layout (comma-joined lane strings, engine-portable).
+    ``lane_cols[i]`` must be lane i's value; shared by batch and
+    streaming so band keys join across surfaces by construction."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        lane_cols[bi * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_val"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
+def md5_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band_id, band_val): the batch md5-MinHash LSH band table —
+    one shingle explode, ONE groupBy with num_perm min-lanes (map-side
+    partial agg), then the band explode. Extracted from
+    minhash_md5_pairs so the frozen-corpus admission model
+    (minhash_band_model) is the LITERAL same table the batch pair
+    finder self-joins — the one-definition contract."""
+    num_perm = bands * rows_per_band
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    exploded = spread.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    )
+    lanes = [
+        F.min(md5_lane(F.col("_g"), i)).alias(f"_m{i}")
+        for i in range(num_perm)
+    ]
+    sigs = exploded.groupBy("doc").agg(*lanes).persist()
+    key_arr = md5_band_key(
+        [F.col(f"_m{i}") for i in range(num_perm)], bands, rows_per_band
+    )
+    return (
+        sigs.select("doc", F.explode(key_arr).alias("b"))
+        .select("doc", "b.band_id", "b.band_val")
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc, sh): per-doc distinct shingle arrays for the exact-Jaccard
+    verify stage — shared by minhash_md5_pairs and the admission
+    model."""
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (
+        spread.select(
+            F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+    )
+
+
+def minhash_band_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Freeze the corpus-side model for streaming near-dup admission
+    (streaming/docs.minhash_admit_stage): the (doc, band_id, band_val)
+    band table and the (doc, sh) shingle table, both persisted — they
+    are re-read every micro-batch as the static sides of stream-static
+    joins, so recomputing the corpus signature pass per trigger would
+    be a corpus scan per micro-batch. Both tables are the LITERAL batch
+    expressions (md5_band_table / shingle_table), so admission joins
+    hit exactly the keys the batch pair finder banded on. Callers own
+    the caches' lifetime (unpersist on retrain — the dsir_model
+    lesson)."""
+    band_t = md5_band_table(docs, text_col, id_col, bands, rows_per_band, n)
+    return band_t.persist(), shingle_table(docs, text_col, id_col, n).persist()
+
+
 def minhash_md5_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -170,40 +274,7 @@ def minhash_md5_pairs(
     both corpus-sized sides, and the threshold gate is an integer
     cross-multiplication (micro-units) — no float boundary anywhere;
     the reported jaccard is one unrounded int/int division."""
-    num_perm = bands * rows_per_band
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    exploded = spread.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("_g"),
-    )
-    lanes = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.col("_g"), F.lit(f"#{i}"))), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias(f"_m{i}")
-        for i in range(num_perm)
-    ]
-    sigs = exploded.groupBy("doc").agg(*lanes).persist()
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band_id"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"_m{bi * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("band_val"),
-        )
-        for bi in range(bands)
-    ]
-    banded = (
-        sigs.select("doc", F.explode(F.array(*band_structs)).alias("b"))
-        .select("doc", "b.band_id", "b.band_val")
-    )
+    banded = md5_band_table(df, text_col, id_col, bands, rows_per_band, n)
     a = banded.alias("a")
     b = banded.hint("shuffle_hash").alias("b")
     cands = (
@@ -216,16 +287,11 @@ def minhash_md5_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sh = (
-        spread.select(
-            F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("_sh")
-        )
-        .filter(F.size("_sh") > 0)
-    )
-    sa = sh.select(F.col("doc").alias("doc_a"), F.col("_sh").alias("sh_a")).hint(
+    sh = shingle_table(df, text_col, id_col, n)
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")).hint(
         "shuffle_hash"
     )
-    sb = sh.select(F.col("doc").alias("doc_b"), F.col("_sh").alias("sh_b")).hint(
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")).hint(
         "shuffle_hash"
     )
     thresh_micro = int(round(threshold * 1_000_000))

@@ -933,7 +933,7 @@ def dsir_bucket(gram: Column) -> Column:
 
 
 def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
-                text_col: str = "text"):
+                text_col: str = "text", lang_col: str = "lang"):
     """Data Selection via Importance Resampling (DSIR — Xie et al.
     2023, arXiv:2302.03169): select raw-pool documents whose hashed
     n-gram feature distribution looks like a TARGET domain. Feature =
@@ -965,8 +965,14 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
     scoring is one broadcast join + a per-doc partial-agged sum over
     the persisted weight table; the accept test is map-only. Returns
     (id_col, n_grams, w_micro, accepted); docs without bigrams have
-    no feature evidence and no row, like the LM scorers."""
-    dbk = _dsir_doc_buckets(docs, target_lang, id_col, text_col).persist()
+    no feature evidence and no row, like the LM scorers.
+
+    ``target_lang``/``lang_col`` parameterize the target-domain
+    predicate end to end (threaded into the bucket pass); the
+    registered oracle (queries._dsir_sql) is GENERATED from the same
+    parameters, so a non-default configuration stays oracle-checkable
+    instead of silently diverging from a hardcoded 'en' (r13 advice)."""
+    dbk = _dsir_doc_buckets(docs, target_lang, id_col, text_col, lang_col).persist()
     ratio = _dsir_ratio(dbk)
     # persist: the weight table feeds BOTH the 1-row max and the final
     # accept projection — without it the whole scoring subtree (ratio
@@ -996,14 +1002,15 @@ def dsir_select(docs, target_lang: str = "en", id_col: str = "doc_id",
     )
 
 
-def _dsir_doc_buckets(docs, target_lang: str, id_col: str, text_col: str):
+def _dsir_doc_buckets(docs, target_lang: str, id_col: str, text_col: str,
+                      lang_col: str = "lang"):
     """(id, is_t, bucket, tf): per-document hashed-bigram bucket term
     frequencies — the one corpus-linear pass every DSIR surface derives
     its model tables from. Target membership is resolved to a 1-byte
     flag BEFORE the explode: carrying the lang string through a
     corpus-scale gram shuffle pays string bytes per gram row for a
     predicate the map side can evaluate once per document."""
-    is_t = (F.col("lang") == target_lang).cast("int").alias("is_t")
+    is_t = (F.col(lang_col) == target_lang).cast("int").alias("is_t")
     return (
         docs.select(
             F.col(id_col),
@@ -1077,7 +1084,7 @@ def dsir_accept_col(id_col: Column, w_micro: Column, n_grams: Column,
 
 
 def dsir_model(docs, target_lang: str = "en", id_col: str = "doc_id",
-               text_col: str = "text"):
+               text_col: str = "text", lang_col: str = "lang"):
     """Train the FROZEN DSIR model for in-stream admission
     (streaming/docs.dsir_admit_stage): returns (ratio, unseen_micro, m)
     — the ≤4096-row (bucket, r_micro) table, the unseen-bucket back-off
@@ -1087,12 +1094,19 @@ def dsir_model(docs, target_lang: str = "en", id_col: str = "doc_id",
     the lm_score_stage unseen-gram contract), and the training corpus'
     max per-gram weight m as a Python float (the self-normalization
     reference; two 1-row collects — the bigram_lm_model frozen-constant
-    pattern)."""
+    pattern).
+
+    The returned ratio table is MATERIALIZED (its ≤4096 rows are
+    collected and re-created as a local DataFrame) and the
+    corpus-sized (doc, bucket) TF cache is unpersisted before
+    returning: the frozen model must not pin a corpus-scale cached
+    table across retrains in a long-lived session (r13 advice — the
+    intake_decomp_probe retrain loop is exactly that use case)."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    dbk = _dsir_doc_buckets(docs, target_lang, id_col, text_col).persist()
-    ratio = _dsir_ratio(dbk)
+    dbk = _dsir_doc_buckets(docs, target_lang, id_col, text_col, lang_col).persist()
+    ratio_plan = _dsir_ratio(dbk)
     totals = dbk.agg(
         F.sum("tf").alias("n_r"),
         F.sum(F.when(F.col("is_t") == 1, F.col("tf")).otherwise(0)).alias(
@@ -1107,7 +1121,7 @@ def dsir_model(docs, target_lang: str = "en", id_col: str = "doc_id",
         )
     )
     m = float(
-        dbk.join(F.broadcast(ratio), "bucket")
+        dbk.join(F.broadcast(ratio_plan), "bucket")
         .groupBy(id_col)
         .agg(
             (
@@ -1118,6 +1132,10 @@ def dsir_model(docs, target_lang: str = "en", id_col: str = "doc_id",
         .agg(F.max("avg").alias("m"))
         .collect()[0]["m"]
     )
+    ratio = docs.sparkSession.createDataFrame(
+        ratio_plan.collect(), schema="bucket bigint, r_micro bigint"
+    )
+    dbk.unpersist()
     return ratio, unseen_micro, m
 
 

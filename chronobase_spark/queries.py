@@ -202,6 +202,13 @@ _FORCE_REGRADE = {
     # persists (measured A/B in the docstring; r11 verdict finding
     # #2). Rows-only check, but the plan changed materially.
     "mad_outliers_approx": 11,
+    # r13 (commit 3bd7ad1): oracle SQL refactored onto shared grid-CTE
+    # constants AFTER both queries' r12 driver grades, and r13's
+    # 50-query sample missed them — the regrade-on-oracle-refactor rule
+    # (r13 verdict task #6): touching a query's ORACLE text forces the
+    # next driver window just like touching its Spark plan.
+    "phash_near_pairs": 13,
+    "raster_topk_l1": 13,
 }
 
 # Families whose driver evidence matters most while slots are scarce
@@ -1693,6 +1700,53 @@ def q_sketch_rollup_users(spark, sf_dir):
     total = daily.agg(
         F.lit("total").alias("bucket"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    return per_day.unionByName(total)
+
+
+@register(
+    "distinct_rollup_users",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1
+       UNION ALL
+       SELECT 'total' AS bucket,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events""",
+)
+def q_distinct_rollup_users(spark, sf_dir):
+    """EXACT distinct-user rollup — the hash-checkable twin of
+    [[sketch_rollup_users]] (same (bucket, count) output shape), so the
+    sketch family follows the repo's exact-counterpart convention
+    (mad_outliers / value_percentiles / minhash_md5 precedent) and its
+    driver slot is gradeable; tests pin sketch-vs-exact agreement
+    within the HLL error bound.
+
+    Scale: ONE corpus scan dedups to the (day, user) pair table — the
+    shuffle carries distinct pairs only (map-side partial dedup), never
+    raw events — then BOTH rollup levels aggregate that reduced table:
+    per-day counts are a partial-agged groupBy, and the grand total
+    re-dedups pairs by user (a second, much smaller shuffle over
+    |distinct pairs| rows, ≪ re-scanning events; persist holds 2
+    narrow columns). This is the exact-arithmetic mirror of the sketch
+    rollup's partial-union tree."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "bucket"
+            ),
+            "user_id",
+        )
+        .distinct()
+        .persist()
+    )
+    per_day = pairs.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    total = pairs.select("user_id").distinct().agg(
+        F.lit("total").alias("bucket"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
     )
     return per_day.unionByName(total)
 
@@ -10025,36 +10079,48 @@ def q_token_budget_select(spark, sf_dir):
     )
 
 
-_DSIR_SQL = """
+def _dsir_sql(
+    target_lang: str = "en",
+    lang_col: str = "lang",
+    buckets: int = text.DSIR_BUCKETS,
+) -> str:
+    """DuckDB oracle for dsir_select, GENERATED from the SAME
+    parameters the Spark operator takes (target_lang / lang_col /
+    bucket count) — the _raster_grid_cte pattern, so a non-default
+    configuration stays oracle-checked instead of silently diverging
+    from a hardcoded 'en'/4096 (r13 advice)."""
+    b = float(buckets)
+    return f"""
 WITH tk AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, {lang_col},
          list_filter(string_split(trim(lower(coalesce(text, ''))), ' '),
                      x -> x <> '') AS tk
   FROM documents
 ), db AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, {lang_col},
          CAST(('0x' || substr(md5(g), 1, 3)) AS BIGINT) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS tf
   FROM (
-    SELECT doc_id, lang,
+    SELECT doc_id, {lang_col},
            unnest(list_transform(range(1, greatest(len(tk), 1)),
                                  i -> tk[i] || ' ' || tk[i + 1])) AS g
     FROM tk
   )
-  GROUP BY doc_id, lang, bucket
+  GROUP BY doc_id, {lang_col}, bucket
 ), craw AS (
   SELECT bucket, SUM(tf) AS c_r FROM db GROUP BY bucket
 ), ctgt AS (
-  SELECT bucket, SUM(tf) AS c_t FROM db WHERE lang = 'en' GROUP BY bucket
+  SELECT bucket, SUM(tf) AS c_t FROM db
+  WHERE {lang_col} = '{target_lang}' GROUP BY bucket
 ), tots AS (
   SELECT (SELECT SUM(c_r) FROM craw) AS n_r,
          (SELECT COALESCE(SUM(c_t), 0) FROM ctgt) AS n_t
 ), ratio AS (
   SELECT craw.bucket,
          CAST(round(ln(((CAST(COALESCE(ctgt.c_t, 0) AS DOUBLE) + 1.0)
-                        / (CAST(n_t AS DOUBLE) + 4096.0))
+                        / (CAST(n_t AS DOUBLE) + {b!r}))
                        / ((CAST(craw.c_r AS DOUBLE) + 1.0)
-                          / (CAST(n_r AS DOUBLE) + 4096.0)))
+                          / (CAST(n_r AS DOUBLE) + {b!r})))
                     * 1000000.0, 0) AS BIGINT) AS r_micro
   FROM craw LEFT JOIN ctgt ON craw.bucket = ctgt.bucket CROSS JOIN tots
 ), w AS (
@@ -10075,7 +10141,7 @@ FROM w CROSS JOIN mx
 """
 
 
-@register("dsir_select", _DSIR_SQL)
+@register("dsir_select", _dsir_sql())
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling toward a target domain (Xie et al.
     2023): hashed-bigram bucket log-ratio weights, per-gram-average

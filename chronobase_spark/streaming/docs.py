@@ -617,6 +617,124 @@ def phash_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
     return multimodal.dhash_annotate(with_payload, "_payload")
 
 
+def minhash_admit_stage(
+    stream: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    watermark: str = "10 minutes",
+    window: str | None = None,
+) -> DataFrame:
+    """Is this ARRIVING document a near-dup of the FROZEN corpus? —
+    the intake member of the near-dup family (the incremental
+    crawl-ingest question every snapshot ingest asks). The in-stream
+    signature stages (signature/simhash/winnow/phash) only ANNOTATE
+    arriving rows; ``content_dedup`` is exact-fingerprint only. This
+    stage answers admission against stored content: the
+    ``dsir_admit_stage`` frozen-model shape applied to
+    ``minhash_md5_pairs``' banding.
+
+    Mechanics: the arriving doc's 16 md5-MinHash lanes are a pure
+    per-row HOF fold over its shingle array (dedup.minhash.md5_lane —
+    the LITERAL batch lane hash, arranged per-row exactly like
+    signature_stage's xxhash64 fold; the shingle array is let-bound via
+    a single-element transform so tokenization runs once per row, not
+    once per lane). Band keys assemble through the SHARED
+    dedup.minhash.md5_band_key layout and LEFT-join stream-static
+    against the frozen (doc, band_id, band_val) table from
+    minhash_band_model — stateless, no state store; a second
+    stream-static LEFT join fetches the matched corpus doc's shingle
+    array and the exact-Jaccard verify is the batch query's integer
+    cross-multiplication (LSH recall only tunes candidates; the OUTPUT
+    is exact). The per-doc verdict is a windowed streaming aggregation
+    (dup iff ANY verified candidate; canonical = min matched corpus
+    id): three scalars of state per in-flight doc, watermark-evicted.
+
+    Drained output over a fresh×frozen split equals the batch
+    ``minhash_md5_pairs`` pair list restricted to (new, old) pairs
+    (pinned in tests/test_streaming.py). Docs with no shingles — and
+    docs whose bands match nothing — aggregate to dup_of_corpus=false
+    with NULL canonical (explode_outer keeps them; admission needs a
+    verdict for EVERY arrival, unlike the batch pair list). A re-ingest
+    carrying an id already in the corpus verifies against its own
+    stored content and reports dup (the crawl re-fetch case).
+
+    State/scale: the static sides are |corpus| band rows and |corpus|
+    shingle arrays — persisted once by minhash_band_model, re-read per
+    micro-batch; per-band fan-out is bounded by the band-bucket
+    distribution the batch pair finder already relies on (hot buckets
+    probed adversarially in SCALING.md). ``corpus_bands`` must be
+    built with the SAME (bands, rows_per_band, n) — a mismatch formats
+    band_val differently and every arrival silently reports non-dup
+    (the lsh_candidates lane-count contract; band_val carries no lane
+    count to check against, so the tuple is the caller's contract).
+    ``watermark``/``window`` are independent knobs
+    (budget_histogram_stage convention)."""
+    from chronobase_spark.dedup.minhash import md5_band_key, md5_lane
+    from chronobase_spark.dedup.ngram import shingles as _shingles
+
+    if window is None:
+        window = watermark
+    num_perm = bands * rows_per_band
+
+    def _lane_fold(i: int):
+        # one-arg lambda REQUIRED: F.transform passes the array INDEX
+        # to a second parameter (even one with a default), which would
+        # silently shadow the lane constant — measured wrong band keys
+        return lambda g: md5_lane(g, i)
+
+    def _bands_of(s):
+        lanes = [
+            F.array_min(F.transform(s, _lane_fold(i)))
+            for i in range(num_perm)
+        ]
+        return md5_band_key(lanes, bands, rows_per_band)
+
+    sh = _shingles(F.col(text_col), n)
+    prepped = stream.withWatermark("ingest_ts", watermark).select(
+        "doc_id", "ingest_ts", sh.alias("_sh")
+    )
+    banded = prepped.select(
+        "doc_id",
+        "ingest_ts",
+        "_sh",
+        F.explode_outer(
+            F.when(F.size("_sh") > 0, _bands_of(F.col("_sh")))
+        ).alias("b"),
+    ).select("doc_id", "ingest_ts", "_sh", "b.band_id", "b.band_val")
+    cand = banded.join(
+        corpus_bands.select(
+            F.col("doc").alias("cand"), "band_id", "band_val"
+        ),
+        ["band_id", "band_val"],
+        "left",
+    ).join(
+        corpus_shingles.select(F.col("doc").alias("cand"), F.col("sh").alias("sh_c")),
+        "cand",
+        "left",
+    )
+    thresh_micro = int(round(threshold * 1_000_000))
+    common = F.size(F.array_intersect("_sh", "sh_c")).cast("bigint")
+    union = F.size(F.array_union("_sh", "sh_c")).cast("bigint")
+    ok = F.col("cand").isNotNull() & (
+        common * 1_000_000 >= F.lit(thresh_micro) * union
+    )
+    agg = cand.groupBy(F.window("ingest_ts", window), "doc_id").agg(
+        F.max(F.when(ok, 1).otherwise(0)).alias("_dup"),
+        F.min(F.when(ok, F.col("cand"))).alias("canonical_id"),
+    )
+    return agg.select(
+        "window",
+        "doc_id",
+        (F.col("_dup") == 1).alias("dup_of_corpus"),
+        "canonical_id",
+    )
+
+
 def budget_histogram_stage(
     stream: DataFrame,
     text_col: str = "text",
@@ -677,9 +795,18 @@ def finalize_budget_admission(
     rows — every window is independent, so the cumulative windows
     partition by window_start and nothing global exists (the
     continuous-aggregate finalize split). Returns (window_start,
-    score, bucket_n, full_ok, is_boundary, remaining)."""
+    score, bucket_n, full_ok, is_boundary, remaining).
+
+    Input is defensively re-aggregated to one row per (window_start,
+    score) first: a sink that accumulated counts across two drain runs
+    (or a restart) would otherwise make the desc-ordered cumulative
+    nondeterministic per duplicate row and could mark multiple
+    boundary classes (r13 advice)."""
     from pyspark.sql import Window as W
 
+    counts = counts.groupBy("window_start", "score").agg(
+        F.sum("bucket_n").cast("bigint").alias("bucket_n")
+    )
     w_b = W.partitionBy("window_start")
     w_cum = (
         W.partitionBy("window_start")
@@ -704,12 +831,100 @@ def finalize_budget_admission(
     )
 
 
+def topq_histogram_stage(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed per-(lang, score) document histogram — the streaming
+    half of the batch ``quality_topq_filter`` admission, completing the
+    intake selection trio (budget: budget_histogram_stage; DSIR:
+    dsir_admit_stage; quantile: here). A per-stratum percentile cut is
+    a corpus-level marginal (which scores sit in the window's top
+    half), so per this module's corpus-marginal boundary its streaming
+    twin is a WINDOWED AGGREGATION: this stage emits the
+    watermark-bounded (window_start, lang, score, n_docs) histogram and
+    the quantile cut is the tiny finalize over the drained counts
+    (``finalize_topq_admission``) — the budget_histogram_stage split
+    applied to the quantile rule.
+
+    Score is the batch query's LITERAL expression
+    (text.space_distinct_tokens), so a drained window's histogram
+    equals the batch histogram over the same rows (pinned in
+    tests/test_streaming.py). State per window is at most
+    |langs|·|distinct scores| count rows, watermark-evicted."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            ts_col,
+            "lang",
+            text.space_distinct_tokens(F.col(text_col)).alias("score"),
+        )
+        .groupBy(F.window(ts_col, window), "lang", "score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "lang",
+            "score",
+            "n_docs",
+        )
+    )
+
+
+def finalize_topq_admission(
+    counts: DataFrame, ratio_num: int = 1, ratio_den: int = 2
+) -> DataFrame:
+    """The quantile admission plan from drained topq histograms: per
+    (window, lang) stratum, the threshold is the LARGEST score whose
+    inclusive (score desc) cumulative count covers ratio_num/ratio_den
+    of the stratum (``n_ge·den ≥ total·num`` — quality_topq_filter's
+    exact integer rule, boundary ties kept inclusively), and a score
+    class is admitted iff it is ≥ that threshold. One batch projection
+    over |windows|·|langs|·|scores| rows; every stratum is independent,
+    so the windows partition by (window_start, lang) and nothing global
+    exists. Input is defensively re-aggregated to one row per
+    (window_start, lang, score) first (the finalize_budget_admission
+    accumulated-sink rule). Returns (window_start, lang, score,
+    n_docs, thr, admitted)."""
+    from pyspark.sql import Window as W
+
+    counts = counts.groupBy("window_start", "lang", "score").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs")
+    )
+    w_b = W.partitionBy("window_start", "lang")
+    w_cum = (
+        W.partitionBy("window_start", "lang")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = counts.withColumn("_n_ge", F.sum("n_docs").over(w_cum)).withColumn(
+        "_total", F.sum("n_docs").over(w_b)
+    )
+    qualifies = (
+        F.col("_n_ge") * int(ratio_den) >= F.col("_total") * int(ratio_num)
+    )
+    thr = cum.withColumn(
+        "thr", F.max(F.when(qualifies, F.col("score"))).over(w_b)
+    )
+    return thr.select(
+        "window_start",
+        "lang",
+        "score",
+        "n_docs",
+        "thr",
+        (F.col("score") >= F.col("thr")).alias("admitted"),
+    )
+
+
 def dsir_admit_stage(
     stream: DataFrame,
     ratio: DataFrame,
     unseen_micro: int,
     m: float,
     watermark: str = "10 minutes",
+    window: str | None = None,
 ) -> DataFrame:
     """Admit arriving documents under a FROZEN DSIR model trained in
     batch (functions/text.dsir_model) — the intake half of the
@@ -733,7 +948,16 @@ def dsir_admit_stage(
     tests/test_streaming.py, which also pins the unseen-bucket branch
     against plain Python). Returns (window, doc_id, n_grams, w_micro,
     accepted); docs with fewer than two tokens have no grams and no
-    row, matching batch."""
+    row, matching batch.
+
+    ``watermark`` (lateness tolerance / state-eviction horizon) and
+    ``window`` (per-doc aggregation window duration) are INDEPENDENT
+    knobs — the budget_histogram_stage convention; window defaults to
+    the watermark so existing callers keep their granularity, but
+    tuning lateness no longer silently changes the output window
+    column (r13 advice)."""
+    if window is None:
+        window = watermark
     buckets = (
         stream.withWatermark("ingest_ts", watermark)
         .select(
@@ -748,7 +972,7 @@ def dsir_admit_stage(
         "ingest_ts",
         F.coalesce(F.col("r_micro"), F.lit(int(unseen_micro))).alias("r_micro"),
     )
-    agg = scored.groupBy(F.window("ingest_ts", watermark), "doc_id").agg(
+    agg = scored.groupBy(F.window("ingest_ts", window), "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams"),
         F.sum("r_micro").cast("bigint").alias("w_micro"),
     )

@@ -85,6 +85,7 @@ HEADLINE = [
     ("raster_topk_l1", "raster top-k: map-only grid decode, 8-row probe broadcast, WindowGroupLimit below the shuffle"),
     ("token_budget_select", "budget selection: histogram cumulative on tiny tables, boundary-only sharded prefix, no global sort"),
     ("dsir_select", "DSIR: one corpus gram pass cached, |buckets|-bounded ratio broadcast, persisted weight table feeds max + accept"),
+    ("distinct_rollup_users", "exact distinct rollup: one scan dedups to (day, user) pairs, both rollup levels aggregate the reduced persisted table"),
 ]
 
 KEEP = re.compile(

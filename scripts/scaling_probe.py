@@ -921,6 +921,158 @@ def mutated_documents_dir(spark, factor: int) -> str:
     return str(d)
 
 
+def mutated_embeddings_into(spark, factor: int, sf_dir: str) -> None:
+    """Companion embeddings fixture for the COMPOSED pipeline probe:
+    pretrain_pipeline_report's semantic stage reads {dir}/embeddings,
+    which the documents-only mutation fixture lacked. Construction
+    mirrors mutated_documents_dir: factor universes with vec_id shifted
+    like doc_id, plus a near-dup embedding for every twin doc.
+
+    Each universe's vectors get ONE shared per-(universe, dim) offset
+    (hash-derived, ±2): verbatim replication would stack `factor`
+    IDENTICAL points that no hyperplane can separate — the scaled
+    quantizer would see cells of size ≥ factor and the within-cell
+    pairwise pass would go quadratic as a FIXTURE artifact (the exact
+    cliff mutated_documents_dir exists to avoid on the text side).
+    A constant offset per universe preserves within-universe geometry
+    exactly, so the near-dup structure the probe measures is the base
+    corpus', repeated. Twin vectors jitter each dim by ±0.02 — inside
+    the min_cosine gate, so semantic load grows linearly like the
+    planted text twins."""
+    from chronobase_spark import catalog
+
+    dest = Path(sf_dir) / "embeddings.parquet"
+    if dest.exists():
+        return
+    base = catalog.table(spark, BASE_SF, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    shift = 10_000_000
+    uni = base.withColumn(
+        "_u", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    )
+
+    def _offset(i):
+        return (
+            F.pmod(F.xxhash64(F.col("_u"), i), F.lit(1000)).cast("double")
+            / 250.0
+            - 2.0
+        )
+
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: (x.cast("double") + _offset(i)).cast("float"),
+    )
+    orig = uni.select(
+        (F.col("vec_id") + F.col("_u") * shift).alias("vec_id"),
+        shifted.alias("embedding"),
+        "label",
+    )
+    jittered = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + _offset(i)
+            + (
+                F.pmod(F.xxhash64(F.col("vec_id"), F.col("_u"), i), F.lit(41))
+                .cast("double")
+                - 20.0
+            )
+            / 1000.0
+        ).cast("float"),
+    )
+    twins = uni.filter(F.col("vec_id") % _MUT_DUP_MOD == 0).select(
+        (F.col("vec_id") + F.col("_u") * shift + shift // 2).alias("vec_id"),
+        jittered.alias("embedding"),
+        "label",
+    )
+    orig.unionAll(twins).repartition(32).write.mode("overwrite").parquet(
+        str(dest)
+    )
+
+
+def run_r14_composed(spark, factor: int) -> dict:
+    """The composed pretrain_pipeline_report at one mutation factor,
+    WITH per-stage attribution (r13 verdict task #4): the query's four
+    stage subplans — exact canonical map, scaled semantic dedup, span
+    stats, token features — timed standalone next to the composition,
+    so a super-linear composed reading decomposes on the spot instead
+    of demanding a second probe run. Min-of-2 fresh passes, cache
+    cleared between (run_factor methodology)."""
+    from chronobase_spark import catalog
+    from chronobase_spark import queries as q
+    from chronobase_spark.dedup import embedding as emb_dedup
+    from chronobase_spark.dedup import exact as exact_dedup
+    from pyspark.sql import Window
+
+    sf_dir = mutated_documents_dir(spark, factor)
+    mutated_embeddings_into(spark, factor, sf_dir)
+    docs = catalog.table(spark, sf_dir, "documents")
+    embs = catalog.table(spark, sf_dir, "embeddings")
+    n_docs = docs.count()
+
+    def _span_stats():
+        sp = (
+            docs.select(
+                "doc_id", text.tokens(F.col("text")).alias("toks")
+            )
+            .select(
+                "doc_id",
+                F.explode(text.span_hashes("toks", q._SPAN_W)).alias(
+                    "span_hash"
+                ),
+            )
+            .distinct()
+        )
+        return (
+            sp.withColumn(
+                "canonical_doc",
+                F.min("doc_id").over(Window.partitionBy("span_hash")),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum(
+                    F.when(
+                        F.col("canonical_doc") < F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).alias("n_removable"),
+            )
+        )
+
+    stages = {
+        "composed": lambda: q._REGISTRY["pretrain_pipeline_report"][0](
+            spark, sf_dir
+        ),
+        "exact_stage": lambda: exact_dedup.canonical_map(docs),
+        "semantic_stage": lambda: emb_dedup.semantic_dedup_scaled(
+            embs,
+            target_cell_size=q._SEMDEDUP_CELL_SIZE,
+            max_planes=q._SEMDEDUP_MAX_PLANES,
+            min_cosine=q._SEMDEDUP_MIN_COSINE,
+        ),
+        "span_stage": _span_stats,
+        "feats_stage": lambda: docs.select(
+            "doc_id",
+            "lang",
+            F.size(text.tokens(F.col("text"))).alias("n_tokens"),
+        ),
+    }
+    merged: dict[str, float] = {}
+    for _rep in range(2):
+        for name, build in stages.items():
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            merged[name] = min(merged.get(name, dt), dt)
+        spark.catalog.clearCache()
+    return {
+        "factor": factor,
+        "n_docs": n_docs,
+        **{k: round(v, 2) for k, v in merged.items()},
+    }
+
+
 def run_mutated(spark, factor: int, stages=R11_STAGES) -> dict:
     """Min-of-2 fresh-session passes of the registered pair-join
     queries over the mutation fixture (run_factor methodology)."""
@@ -1319,6 +1471,27 @@ def main():
             )
             shutil.rmtree(tmp_root, ignore_errors=True)
             spark.stop()
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--r14"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"r14-composed-probe-x{factor}",
+                shuffle_partitions=32,
+            )
+            rows.append(run_r14_composed(spark, factor))
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        for k in base:
+            if k not in ("factor", "n_docs"):
+                print(
+                    f"{k}: {last['factor']}x data -> "
+                    f"{last[k] / max(base[k], 1e-9):.1f}x time"
+                )
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     if sys.argv[1:2] == ["--r10c"]:

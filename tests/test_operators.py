@@ -656,6 +656,17 @@ def test_sketch_rollup_estimates_within_bound(spark):
     for k, v in exact.items():
         assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
     assert est["total"] < sum(v for k, v in est.items() if k != "total")
+    # the registered EXACT twin (distinct_rollup_users) must agree with
+    # the inline exact computation bit-for-bit AND sit inside the same
+    # sketch bound — the family convention that pairs every rows-only
+    # sketch query with a hash-checkable exact counterpart
+    twin = {
+        r["bucket"]: r["n_users"]
+        for r in q._REGISTRY["distinct_rollup_users"][0](spark, sf).collect()
+    }
+    assert twin == exact
+    for k, v in twin.items():
+        assert abs(est[k] - v) / v <= 0.05, (k, est[k], v)
 
 
 def test_pattern_triple_contiguity_and_span(spark):

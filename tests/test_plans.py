@@ -189,6 +189,10 @@ _SCALE_FLAG_ALLOWLIST = {
     "orders_above_avg": {"single-partition"},  # scalar AVG subquery
     "profile_columns": {"single-partition"},
     "sketch_rollup_users": {"single-partition"},  # HLL union to one row
+    # the exact twin's grand-total leg: partial-agged distinct-user
+    # scalars cross the SinglePartition exchange (1 row out), after the
+    # corpus already collapsed to the (day, user) pair table
+    "distinct_rollup_users": {"single-partition"},
     "table_stats": {"single-partition"},
     # intended broadcasts of tiny sides (probes / centroids / totals)
     "topk_cosine": {"bnlj"},  # brute-force baseline over ~3 probe rows

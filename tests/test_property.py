@@ -647,3 +647,68 @@ def test_finalize_budget_admission_matches_bruteforce(spark, rows):
             key = (dt.datetime(2024, 1, 1 + w), s)
             assert got[key] == (full, boundary, rem), (w, s, got[key])
         assert n_boundary == (1 if budget < cum else 0)
+
+
+topq_hist_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),           # window day offset
+        st.sampled_from(["en", "fr", "de"]),
+        st.integers(0, 12),          # score class
+        st.integers(1, 40),          # docs in the class
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=topq_hist_strategy)
+@SETTINGS
+def test_finalize_topq_admission_matches_bruteforce(spark, rows):
+    """finalize_topq_admission (streaming/docs.py) must reproduce the
+    naive per-stratum rule on arbitrary histograms: walk the doc
+    scores in desc order until the kept count covers half the stratum,
+    extend to all ties of the boundary score, and admit exactly the
+    score classes at-or-above that boundary. Edge shapes hand tests
+    under-cover: single-class strata, all-one-score strata, duplicate
+    (window, lang, score) input rows (the accumulated-sink case —
+    fed UN-aggregated to exercise the defensive re-aggregate)."""
+    import collections
+
+    from chronobase_spark.streaming import docs as docstream
+
+    hist = collections.defaultdict(int)
+    for w, lang, s, n in rows:
+        hist[(w, lang, s)] += n
+    # feed raw duplicate rows (not pre-aggregated): the finalize must
+    # collapse them itself
+    counts = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + w), lang, s, n) for w, lang, s, n in rows],
+        ["window_start", "lang", "score", "n_docs"],
+    )
+    got = {
+        (r["window_start"], r["lang"], r["score"]): (
+            r["n_docs"],
+            r["thr"],
+            r["admitted"],
+        )
+        for r in docstream.finalize_topq_admission(counts).collect()
+    }
+    assert len(got) == len(hist)
+
+    for w, lang in {(k[0], k[1]) for k in hist}:
+        classes = sorted(
+            ((s, n) for (wi, li, s), n in hist.items()
+             if wi == w and li == lang),
+            key=lambda x: -x[0],
+        )
+        total = sum(n for _, n in classes)
+        # brute force: desc walk until count*2 >= total, ties included
+        cum, thr = 0, None
+        for s, n in classes:
+            cum += n
+            if cum * 2 >= total:
+                thr = s
+                break
+        for s, n in classes:
+            key = (dt.datetime(2024, 1, 1 + w), lang, s)
+            assert got[key] == (n, thr, s >= thr), (w, lang, s, got[key])

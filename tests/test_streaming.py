@@ -2015,3 +2015,159 @@ def test_streaming_dsir_admit_matches_batch_and_unseen_backoff(spark, tmp_path):
         for a, b in [("qqxx1", "qqxx2"), ("qqxx2", "qqxx3"), ("zzyy1", "zzyy2")]
     }
     assert any(b not in ratio_py for b in novel_bks)
+
+
+def test_streaming_minhash_admit_matches_batch_pairs(spark, tmp_path):
+    """Stream-static near-dup admission (minhash_admit_stage): drained
+    verdicts over a fresh×frozen split must equal the batch
+    minhash_md5_pairs list restricted to (new, old) pairs — dup iff the
+    arriving doc pairs with ANY frozen doc, canonical = the min such
+    partner — and every arrival gets a verdict (non-dups report false
+    with NULL canonical), the admission contract the batch pair list
+    does not provide."""
+    from chronobase_spark.dedup import minhash
+    from chronobase_spark.streaming import docs as docstream
+
+    base = catalog.table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.minhash_md5_pairs(base).collect()
+    ]
+    assert pairs, "fixture must contain near-dup pairs"
+    # fresh = the max side of every pair + a slice of unpaired docs, so
+    # the drained output must contain BOTH dup and non-dup verdicts;
+    # frozen = everything else (every pair then has a frozen partner
+    # unless both sides were pair-maxes — handled in the expectation)
+    fresh_ids = {b for _, b in pairs}
+    paired = fresh_ids | {a for a, _ in pairs}
+    fresh_ids |= {
+        r["doc_id"]
+        for r in base.filter(~F.col("doc_id").isin(*paired))
+        .orderBy("doc_id")
+        .limit(10)
+        .collect()
+    }
+    frozen = base.filter(~F.col("doc_id").isin(*fresh_ids))
+    corpus_bands, corpus_shingles = minhash.minhash_band_model(frozen)
+
+    expected: dict[int, set[int]] = {d: set() for d in fresh_ids}
+    for a, b in pairs:
+        if a in fresh_ids and b not in fresh_ids:
+            expected[a].add(b)
+        if b in fresh_ids and a not in fresh_ids:
+            expected[b].add(a)
+
+    flush = spark.createDataFrame(
+        [(999990, "flush row", "xx", "synthetic", 9, 10_000_000)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, off long",
+    ).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias(
+            "ingest_ts"
+        ),
+    )
+    arrivals = base.filter(F.col("doc_id").isin(*fresh_ids)).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+    )
+    src = str(tmp_path / "mh_src")
+    arrivals.unionByName(flush).repartition(3).write.parquet(src)
+    sink = str(tmp_path / "mh_sink")
+    q = (
+        docstream.minhash_admit_stage(
+            docstream.read_document_stream(spark, src),
+            corpus_bands,
+            corpus_shingles,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "mh_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["dup_of_corpus"], r["canonical_id"])
+        for r in spark.read.parquet(sink).collect()
+        if r["doc_id"] in fresh_ids
+    }
+    assert set(got) == set(fresh_ids)  # EVERY arrival has a verdict
+    n_dup = 0
+    for d in fresh_ids:
+        partners = expected[d]
+        if partners:
+            n_dup += 1
+            assert got[d] == (True, min(partners)), (d, got[d], partners)
+        else:
+            assert got[d] == (False, None), (d, got[d])
+    assert n_dup >= 1 and n_dup < len(fresh_ids)
+    corpus_bands.unpersist()
+    corpus_shingles.unpersist()
+
+
+def test_streaming_topq_admission_matches_batch(spark, tmp_path):
+    """Drained topq histograms + finalize must reproduce the batch
+    quality_topq_filter output on the same rows: aggregating the
+    admitted score classes per lang gives exactly the batch query's
+    (n_kept, kept_distinct_sum, kept_min_score) — the
+    budget_histogram_stage corpus-marginal split applied to the
+    per-stratum percentile cut."""
+    import chronobase_spark.queries as q
+    from chronobase_spark.streaming import docs as docstream
+
+    base = catalog.table(spark, SF_SMOKE, "documents").withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+    )
+    flush = spark.createDataFrame(
+        [(999990, "flush row", "xx", "synthetic", 9, 10_000_000)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, off long",
+    ).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias(
+            "ingest_ts"
+        ),
+    )
+    src = str(tmp_path / "tq_src")
+    base.unionByName(flush).repartition(3).write.parquet(src)
+    sink = str(tmp_path / "tq_sink")
+    sq = (
+        docstream.topq_histogram_stage(
+            docstream.read_document_stream(spark, src)
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "tq_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+    drained = spark.read.parquet(sink)
+    # restrict to the base docs' window (the flush row's own window is
+    # open-ended noise from the xx lang)
+    win = drained.filter(F.col("lang") != "xx")
+    fin = docstream.finalize_topq_admission(win)
+    got = {
+        r["lang"]: (r["n_kept"], r["kept_distinct_sum"], r["kept_min_score"])
+        for r in fin.filter("admitted")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_kept"),
+            F.sum(F.col("score") * F.col("n_docs"))
+            .cast("bigint")
+            .alias("kept_distinct_sum"),
+            F.min("score").alias("kept_min_score"),
+        )
+        .collect()
+    }
+    want = {
+        r["lang"]: (r["n_kept"], r["kept_distinct_sum"], r["kept_min_score"])
+        for r in q._REGISTRY["quality_topq_filter"][0](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert want and got == want
