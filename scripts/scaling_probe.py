@@ -928,17 +928,20 @@ def mutated_embeddings_into(spark, factor: int, sf_dir: str) -> None:
     mirrors mutated_documents_dir: factor universes with vec_id shifted
     like doc_id, plus a near-dup embedding for every twin doc.
 
-    Each universe's vectors get ONE shared per-(universe, dim) offset
-    (hash-derived, ±2): verbatim replication would stack `factor`
-    IDENTICAL points that no hyperplane can separate — the scaled
-    quantizer would see cells of size ≥ factor and the within-cell
-    pairwise pass would go quadratic as a FIXTURE artifact (the exact
-    cliff mutated_documents_dir exists to avoid on the text side).
-    A constant offset per universe preserves within-universe geometry
-    exactly, so the near-dup structure the probe measures is the base
-    corpus', repeated. Twin vectors jitter each dim by ±0.02 — inside
-    the min_cosine gate, so semantic load grows linearly like the
-    planted text twins."""
+    Each universe applies a per-universe dimension ROTATION (cyclic
+    shift by u·7 mod d — orthogonal, so all norms and pairwise dots
+    within a universe are preserved EXACTLY and the near-dup structure
+    the probe measures is the base corpus', repeated), while
+    cross-universe vectors decorrelate and spread across LSH cells.
+    Verbatim replication would stack `factor` IDENTICAL points that no
+    hyperplane can separate — cells of size ≥ factor and a quadratic
+    within-cell pass as a FIXTURE artifact; a shared additive offset
+    (the first draft) is worse: ±2/dim dominates the base geometry, so
+    a universe's vectors go near-parallel and pile into ONE cell
+    (measured 89 s at factor 1 vs ~3 s for the honest fixture). Twin
+    vectors jitter each rotated dim by ±0.02 — inside the min_cosine
+    gate, so semantic load grows linearly like the planted text
+    twins."""
     from chronobase_spark import catalog
 
     dest = Path(sf_dir) / "embeddings.parquet"
@@ -951,28 +954,22 @@ def mutated_embeddings_into(spark, factor: int, sf_dir: str) -> None:
     uni = base.withColumn(
         "_u", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
     )
-
-    def _offset(i):
-        return (
-            F.pmod(F.xxhash64(F.col("_u"), i), F.lit(1000)).cast("double")
-            / 250.0
-            - 2.0
-        )
-
-    shifted = F.transform(
+    d = F.size(F.col("embedding"))
+    rotated = F.transform(
         F.col("embedding"),
-        lambda x, i: (x.cast("double") + _offset(i)).cast("float"),
+        lambda x, i: F.get(
+            F.col("embedding"), F.pmod(i + F.col("_u") * 7, d)
+        ),
     )
     orig = uni.select(
         (F.col("vec_id") + F.col("_u") * shift).alias("vec_id"),
-        shifted.alias("embedding"),
+        rotated.alias("embedding"),
         "label",
     )
     jittered = F.transform(
-        F.col("embedding"),
+        rotated,
         lambda x, i: (
             x.cast("double")
-            + _offset(i)
             + (
                 F.pmod(F.xxhash64(F.col("vec_id"), F.col("_u"), i), F.lit(41))
                 .cast("double")
@@ -1244,6 +1241,11 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
       +dsir              ... + dsir_admit_stage (frozen ratio join +
                          windowed per-doc sums; model trained in batch
                          BEFORE the drain clock starts)
+      +minhash           ... + minhash_admit_stage (per-row md5 lane
+                         folds + stream-static band/shingle joins
+                         against the frozen corpus model + windowed
+                         verdicts; band model built in batch BEFORE the
+                         drain clock — the near-dup intake member)
 
     The marginal docs/s drop between consecutive rows names the
     binding stage; wall includes sink commit (ingest is a write's
@@ -1282,9 +1284,10 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
             .select("d.*", "ingest_ts")
         )
 
-    # frozen DSIR model trained in batch BEFORE any drain clock starts
-    # (the retrain cadence is a batch concern; intake only pays the join)
+    # frozen models trained in batch BEFORE any drain clock starts
+    # (the retrain cadence is a batch concern; intake only pays joins)
     _dsir_frozen = text.dsir_model(docs)
+    _mh_bands, _mh_shingles = minhash.minhash_band_model(docs)
     pipelines = [
         ("decode", lambda s: s),
         ("pii", docstream.pii_scrub_stage),
@@ -1314,6 +1317,18 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
                 _dsir_frozen[0],
                 _dsir_frozen[1],
                 _dsir_frozen[2],
+            ),
+        ),
+        (
+            "minhash",
+            lambda s: docstream.minhash_admit_stage(
+                docstream.content_dedup(
+                    docstream.datacard_stage(
+                        docstream.template_stage(docstream.pii_scrub_stage(s))
+                    )
+                ),
+                _mh_bands,
+                _mh_shingles,
             ),
         ),
     ]

@@ -1656,3 +1656,41 @@ def test_dsir_weights_match_reference_python(spark):
     en_rate = sum(acc_rate["en"]) / len(acc_rate["en"])
     xx_rate = sum(acc_rate["xx"]) / len(acc_rate["xx"])
     assert en_rate > xx_rate, (en_rate, xx_rate)
+
+
+def test_dsir_nondefault_config_matches_generated_oracle(spark):
+    """The r13 advice fix end-to-end: a NON-default DSIR configuration
+    (target_lang='fr', language column renamed 'language') must match
+    the oracle GENERATED from the same parameters (queries._dsir_sql),
+    proving the parameterization is threaded through the bucket pass
+    and the SQL template rather than silently diverging from the one
+    hardcoded-'en' oracle the driver checks."""
+    import duckdb
+
+    import chronobase_spark.queries as q
+    from chronobase_spark.functions import text as textf
+
+    docs = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .withColumnRenamed("lang", "language")
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["w_micro"], r["accepted"])
+        for r in textf.dsir_select(
+            docs, target_lang="fr", lang_col="language"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * EXCLUDE (lang), lang AS language"
+        f" FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    sql = q._dsir_sql(target_lang="fr", lang_col="language")
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), bool(r[3]))
+        for r in con.execute(sql).fetchall()
+    }
+    assert want and got == want
+    # the fixture actually has a 'fr' slice (else the target side is
+    # empty and the test proves nothing about the predicate)
+    assert docs.filter(F.col("language") == "fr").count() > 0

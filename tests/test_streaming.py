@@ -2171,3 +2171,42 @@ def test_streaming_topq_admission_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert want and got == want
+
+
+def test_dsir_admit_window_independent_of_watermark(spark, tmp_path):
+    """The r13 advice fix: dsir_admit_stage's aggregation window
+    duration must follow the `window` parameter, not the watermark —
+    tuning lateness tolerance alone must leave the output windows
+    unchanged (and the default must stay backward-compatible: window
+    falls back to the watermark)."""
+    from chronobase_spark.functions import text as textf
+    from chronobase_spark.streaming import docs as docstream
+
+    src = str(tmp_path / "wsrc")
+    base = catalog.table(spark, SF_SMOKE, "documents").limit(5).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+    )
+    base.write.parquet(src)
+    ratio, unseen, m = textf.dsir_model(base)
+
+    def plan_of(stage_df) -> str:
+        # the analyzer expands window() into the named_struct bucket
+        # arithmetic, where the slide duration appears as `% <µs>`
+        return stage_df._jdf.queryExecution().analyzed().toString()
+
+    stream = docstream.read_document_stream(spark, src)
+    p_5m = plan_of(
+        docstream.dsir_admit_stage(
+            stream, ratio, unseen, m, watermark="10 minutes",
+            window="5 minutes",
+        )
+    )
+    p_default = plan_of(
+        docstream.dsir_admit_stage(
+            stream, ratio, unseen, m, watermark="10 minutes"
+        )
+    )
+    assert "% 300000000" in p_5m              # 5 min in µs
+    assert "% 300000000" not in p_default
+    assert "% 600000000" in p_default         # falls back to watermark
