@@ -664,10 +664,19 @@ def minhash_admit_stage(
     stored content and reports dup (the crawl re-fetch case).
 
     State/scale: the static sides are |corpus| band rows and |corpus|
-    shingle arrays — persisted once by minhash_band_model, re-read per
-    micro-batch; per-band fan-out is bounded by the band-bucket
-    distribution the batch pair finder already relies on (hot buckets
-    probed adversarially in SCALING.md). ``corpus_bands`` must be
+    shingle arrays — persisted once by minhash_band_model and re-read
+    per micro-batch, which is the honest cost of stream-static against
+    a corpus-sized model: Catalyst broadcasts the static side only
+    while it fits, otherwise both sides shuffle per trigger, so the
+    levers at 100 TB are (1) the frozen store is DEDUPED — each
+    arrival matches ~1 stored canonical, not a clique (the probe
+    measures both shapes: SCALING.md r14 intake rows minhash vs
+    minhash_dd), (2) amortize the static scan with larger triggers
+    (maxFilesPerTrigger), (3) pre-bucket the band table by band_val on
+    disk so a storage-partitioned join prunes instead of reshuffling.
+    Per-band fan-out is bounded by the band-bucket distribution the
+    batch pair finder already relies on (hot buckets probed
+    adversarially in SCALING.md). ``corpus_bands`` must be
     built with the SAME (bands, rows_per_band, n) — a mismatch formats
     band_val differently and every arrival silently reports non-dup
     (the lsh_candidates lane-count contract; band_val carries no lane

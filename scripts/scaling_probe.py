@@ -1245,7 +1245,15 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
                          folds + stream-static band/shingle joins
                          against the frozen corpus model + windowed
                          verdicts; band model built in batch BEFORE the
-                         drain clock — the near-dup intake member)
+                         drain clock — the near-dup intake member).
+                         Model over the RAW replicated corpus: every
+                         arrival is a re-ingest dup matching a
+                         factor-wide stored clique — the worst-case
+                         match density a replication fixture creates
+      +minhash_dd        same stage, model over the text-DEDUPED
+                         corpus — the PRINCIPLED shape (a production
+                         frozen store is already deduped, so each
+                         arrival matches ~1 stored canonical)
 
     The marginal docs/s drop between consecutive rows names the
     binding stage; wall includes sink commit (ingest is a write's
@@ -1288,6 +1296,8 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
     # (the retrain cadence is a batch concern; intake only pays joins)
     _dsir_frozen = text.dsir_model(docs)
     _mh_bands, _mh_shingles = minhash.minhash_band_model(docs)
+    _dd = docs.dropDuplicates(["text"])
+    _mh_bands_dd, _mh_shingles_dd = minhash.minhash_band_model(_dd)
     pipelines = [
         ("decode", lambda s: s),
         ("pii", docstream.pii_scrub_stage),
@@ -1329,6 +1339,18 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
                 ),
                 _mh_bands,
                 _mh_shingles,
+            ),
+        ),
+        (
+            "minhash_dd",
+            lambda s: docstream.minhash_admit_stage(
+                docstream.content_dedup(
+                    docstream.datacard_stage(
+                        docstream.template_stage(docstream.pii_scrub_stage(s))
+                    )
+                ),
+                _mh_bands_dd,
+                _mh_shingles_dd,
             ),
         ),
     ]

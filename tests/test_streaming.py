@@ -2057,6 +2057,22 @@ def test_streaming_minhash_admit_matches_batch_pairs(spark, tmp_path):
         if b in fresh_ids and a not in fresh_ids:
             expected[b].add(a)
 
+    # re-ingest case (the crawl re-fetch): a frozen doc arriving AGAIN
+    # with its stored id must verify against its own stored content and
+    # report dup with itself as canonical — pick one with no batch
+    # partners so the verdict is unambiguous, and with enough tokens to
+    # actually carry shingles
+    reingest = next(
+        r["doc_id"]
+        for r in frozen.filter(
+            ~F.col("doc_id").isin(*paired)
+            & (F.size(F.split(F.col("text"), " +")) >= 10)
+        )
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()
+    )
+
     flush = spark.createDataFrame(
         [(999990, "flush row", "xx", "synthetic", 9, 10_000_000)],
         "doc_id long, text string, lang string, source string,"
@@ -2067,7 +2083,9 @@ def test_streaming_minhash_admit_matches_batch_pairs(spark, tmp_path):
             "ingest_ts"
         ),
     )
-    arrivals = base.filter(F.col("doc_id").isin(*fresh_ids)).withColumn(
+    arrivals = base.filter(
+        F.col("doc_id").isin(*(fresh_ids | {reingest}))
+    ).withColumn(
         "ingest_ts",
         F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
     )
@@ -2091,9 +2109,9 @@ def test_streaming_minhash_admit_matches_batch_pairs(spark, tmp_path):
     got = {
         r["doc_id"]: (r["dup_of_corpus"], r["canonical_id"])
         for r in spark.read.parquet(sink).collect()
-        if r["doc_id"] in fresh_ids
+        if r["doc_id"] in fresh_ids or r["doc_id"] == reingest
     }
-    assert set(got) == set(fresh_ids)  # EVERY arrival has a verdict
+    assert set(got) == fresh_ids | {reingest}  # EVERY arrival has a verdict
     n_dup = 0
     for d in fresh_ids:
         partners = expected[d]
@@ -2103,6 +2121,8 @@ def test_streaming_minhash_admit_matches_batch_pairs(spark, tmp_path):
         else:
             assert got[d] == (False, None), (d, got[d])
     assert n_dup >= 1 and n_dup < len(fresh_ids)
+    # the re-ingested frozen doc is a dup of its own stored copy
+    assert got[reingest] == (True, reingest), got[reingest]
     corpus_bands.unpersist()
     corpus_shingles.unpersist()
 
