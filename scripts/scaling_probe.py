@@ -1070,6 +1070,92 @@ def run_r14_composed(spark, factor: int) -> dict:
     }
 
 
+def minhash_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """Does near-dup admission hold as the FROZEN STORE grows? —
+    arrivals FIXED (the base sf0.1 documents), the frozen corpus the
+    mutation fixture at ``factor`` (near-dup structure, no verbatim
+    cliques), the stage's drain wall measured per store size. This
+    isolates the stream-static scaling axis the intake decomposition
+    (corpus == arrivals, one factor) cannot: the static band/shingle
+    tables are re-read per micro-batch, so the expected shape is a
+    linear-in-store floor from the static-side scan — the cost the
+    stage docstring's three levers (deduped store, larger triggers,
+    band-val pre-bucketing) exist to amortize. Model build runs in
+    batch BEFORE the drain clock (retrain cadence is a batch
+    concern)."""
+    from chronobase_spark import catalog
+    from chronobase_spark.streaming import docs as docstream
+
+    sf_dir = mutated_documents_dir(spark, factor)
+    frozen = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_frozen = frozen.count()
+    t0 = time.perf_counter()
+    bands, sh = minhash.minhash_band_model(frozen)
+    # materialize the model caches before the clock starts
+    n_bands, n_sh = bands.count(), sh.count()
+    model_s = time.perf_counter() - t0
+
+    # arrivals = the base docs RE-TAGGED into universe 0 (the fixture
+    # prefixes every token with u{u}x, so untagged text would match
+    # nothing and the probe would measure pure non-match traffic —
+    # caught on the first run: 0 dup verdicts at every factor). Tagged
+    # arrivals are re-fetches of universe 0's stored content: each one
+    # band-matches its stored copy and pays the exact-Jaccard verify,
+    # so BOTH the static-scan axis and the match path are measured.
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    arrivals = (
+        catalog.table(spark, BASE_SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(toks, lambda t: F.concat(F.lit("u0x"), t)), " "
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias(
+                "ingest_ts"
+            ),
+        )
+    )
+    n_arrivals = arrivals.count()
+    src = tmp_root / f"admit_src_x{factor}"
+    arrivals.repartition(8).write.mode("overwrite").parquet(str(src))
+    sink = tmp_root / f"admit_sink_x{factor}"
+    ckpt = tmp_root / f"admit_ckpt_x{factor}"
+    t0 = time.perf_counter()
+    qs = (
+        docstream.minhash_admit_stage(
+            docstream.read_document_stream(spark, str(src)), bands, sh
+        )
+        .writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs.awaitTermination(3600)
+    drain_s = time.perf_counter() - t0
+    n_dup = (
+        spark.read.parquet(str(sink)).filter("dup_of_corpus").count()
+    )
+    bands.unpersist()
+    sh.unpersist()
+    return {
+        "factor": factor,
+        "n_frozen": n_frozen,
+        "n_bands": n_bands,
+        "n_shingle_rows": n_sh,
+        "n_arrivals": n_arrivals,
+        "model_s": round(model_s, 2),
+        "drain_s": round(drain_s, 2),
+        "arrivals_per_s": int(n_arrivals / drain_s),
+        "n_dup_verdicts": n_dup,
+    }
+
+
 def run_mutated(spark, factor: int, stages=R11_STAGES) -> dict:
     """Min-of-2 fresh-session passes of the registered pair-join
     queries over the mutation fixture (run_factor methodology)."""
@@ -1508,6 +1594,29 @@ def main():
             )
             shutil.rmtree(tmp_root, ignore_errors=True)
             spark.stop()
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--minhash-admit"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"minhash-admit-probe-x{factor}",
+                shuffle_partitions=32,
+            )
+            tmp_root = SCRATCH / f"admit_x{factor}"
+            tmp_root.mkdir(parents=True, exist_ok=True)
+            rows.append(minhash_admit_probe(spark, factor, tmp_root))
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        print(
+            f"minhash_admit drain: {last['factor']}x store -> "
+            f"{last['drain_s'] / max(base['drain_s'], 1e-9):.1f}x wall "
+            f"({base['arrivals_per_s']} -> {last['arrivals_per_s']} docs/s)"
+        )
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     if sys.argv[1:2] == ["--r14"]:
