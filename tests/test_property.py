@@ -661,21 +661,27 @@ topq_hist_strategy = st.lists(
 )
 
 
-@given(rows=topq_hist_strategy)
+@given(
+    rows=topq_hist_strategy,
+    ratio=st.sampled_from([(1, 2), (3, 10), (1, 1), (1, 10)]),
+)
 @SETTINGS
-def test_finalize_topq_admission_matches_bruteforce(spark, rows):
+def test_finalize_topq_admission_matches_bruteforce(spark, rows, ratio):
     """finalize_topq_admission (streaming/docs.py) must reproduce the
-    naive per-stratum rule on arbitrary histograms: walk the doc
-    scores in desc order until the kept count covers half the stratum,
-    extend to all ties of the boundary score, and admit exactly the
-    score classes at-or-above that boundary. Edge shapes hand tests
-    under-cover: single-class strata, all-one-score strata, duplicate
-    (window, lang, score) input rows (the accumulated-sink case —
-    fed UN-aggregated to exercise the defensive re-aggregate)."""
+    naive per-stratum rule on arbitrary histograms AND arbitrary keep
+    ratios: walk the doc scores in desc order until the kept count
+    covers num/den of the stratum, extend to all ties of the boundary
+    score, and admit exactly the score classes at-or-above that
+    boundary. Edge shapes hand tests under-cover: single-class strata,
+    all-one-score strata, duplicate (window, lang, score) input rows
+    (the accumulated-sink case — fed UN-aggregated to exercise the
+    defensive re-aggregate), keep-everything (1/1) and thin (1/10)
+    ratios."""
     import collections
 
     from chronobase_spark.streaming import docs as docstream
 
+    num, den = ratio
     hist = collections.defaultdict(int)
     for w, lang, s, n in rows:
         hist[(w, lang, s)] += n
@@ -691,7 +697,9 @@ def test_finalize_topq_admission_matches_bruteforce(spark, rows):
             r["thr"],
             r["admitted"],
         )
-        for r in docstream.finalize_topq_admission(counts).collect()
+        for r in docstream.finalize_topq_admission(
+            counts, ratio_num=num, ratio_den=den
+        ).collect()
     }
     assert len(got) == len(hist)
 
@@ -702,11 +710,12 @@ def test_finalize_topq_admission_matches_bruteforce(spark, rows):
             key=lambda x: -x[0],
         )
         total = sum(n for _, n in classes)
-        # brute force: desc walk until count*2 >= total, ties included
+        # brute force: desc walk until count·den >= total·num, ties
+        # included
         cum, thr = 0, None
         for s, n in classes:
             cum += n
-            if cum * 2 >= total:
+            if cum * den >= total * num:
                 thr = s
                 break
         for s, n in classes:
