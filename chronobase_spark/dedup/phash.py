@@ -46,18 +46,21 @@ MIN_RASTER_ROWS = 8
 MIN_PAYLOAD_BYTES = (MIN_RASTER_ROWS - 1) * multimodal.PPM_WIDTH * 3 + 1
 
 
-def phash_near_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
+def dhash_chunk_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) for every image pair whose dHash Hamming
-    distance is ≤ ``max_hamming`` (≤ CHUNKS-1 keeps the pigeonhole
-    guarantee exact). Input rows must already pass the minimum-raster
-    gate (see MIN_PAYLOAD_BYTES)."""
-    sigs = multimodal.dhash_chunks(multimodal.to_ppm_payload(docs, text_col, id_col))
-    chunked = sigs.select(
+    """(doc, c0..c3, chunk_id, chunk_val): each image's full dHash
+    chunks plus one exploded pigeonhole-band row per 16-bit chunk —
+    the table BOTH the batch pair self-join and the frozen-corpus
+    admission model are built from (one definition, so the two
+    surfaces band on exactly the same keys). Rows whose payload fails
+    the raster gate carry NULL chunks upstream and are dropped by the
+    explode's struct equality never matching NULL — callers must
+    pre-gate (phash_near_pairs contract)."""
+    sigs = multimodal.dhash_chunks(
+        multimodal.to_ppm_payload(docs, text_col, id_col)
+    )
+    return sigs.select(
         F.col("doc_id").alias("doc"),
         *[f"c{j}" for j in range(CHUNKS)],
         F.explode(
@@ -71,7 +74,34 @@ def phash_near_pairs(
                 ]
             )
         ).alias("k"),
-    ).select("doc", *[f"c{j}" for j in range(CHUNKS)], "k.chunk_id", "k.chunk_val")
+    ).select(
+        "doc", *[f"c{j}" for j in range(CHUNKS)], "k.chunk_id", "k.chunk_val"
+    )
+
+
+def phash_band_model(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Freeze the corpus-side model for streaming image-dedup admission
+    (streaming/docs.phash_admit_stage): the persisted chunk table —
+    dhash_chunk_table verbatim, so admission bands on the LITERAL keys
+    the batch pair finder self-joins. Input must already pass the
+    raster gate (MIN_PAYLOAD_BYTES); callers own the cache's lifetime
+    (unpersist on retrain — the minhash_band_model convention)."""
+    return dhash_chunk_table(docs, text_col, id_col).persist()
+
+
+def phash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every image pair whose dHash Hamming
+    distance is ≤ ``max_hamming`` (≤ CHUNKS-1 keeps the pigeonhole
+    guarantee exact). Input rows must already pass the minimum-raster
+    gate (see MIN_PAYLOAD_BYTES)."""
+    chunked = dhash_chunk_table(docs, text_col, id_col)
     # shuffle-hash: both self-join sides are corpus-sized (simhash.py).
     a, b = chunked.alias("a"), chunked.hint("shuffle_hash").alias("b")
     hamming = sum(

@@ -744,6 +744,110 @@ def minhash_admit_stage(
     )
 
 
+def phash_admit_stage(
+    stream: DataFrame,
+    corpus_chunks: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    watermark: str = "10 minutes",
+    window: str | None = None,
+) -> DataFrame:
+    """Is this ARRIVING image a near-dup of the FROZEN corpus? — the
+    multimodal member of the admission family, completing the intake
+    pair for every signature family that has a batch pair finder
+    (text: minhash_admit_stage; image: here). ``phash_stage`` only
+    ANNOTATES arriving rows with their dHash chunks; this stage turns
+    those chunks into a per-arrival verdict against stored content —
+    the minhash_admit_stage shape applied to ``phash_near_pairs``'
+    chunk-LSH pigeonhole.
+
+    Mechanics: the arriving payload is decoded per row by the SAME
+    real PPM parser + pooling the batch path uses (phash_stage /
+    multimodal.dhash_annotate — one definition), the four 16-bit
+    chunk keys LEFT-join stream-static against the frozen
+    dhash_chunk_table from phash_band_model (stateless, no state
+    store), and the verify is the batch query's exact popcount
+    Hamming ≤ max_hamming over the full 64-bit signatures — the
+    pigeonhole guarantee (any pair within distance CHUNKS-1 shares a
+    chunk) makes the banded verdict EQUAL to brute force, so LSH only
+    tunes candidate traffic. The per-doc verdict is a windowed
+    streaming aggregation (dup iff ANY verified candidate, canonical =
+    min matched corpus id; three scalars of state per in-flight doc,
+    watermark-evicted).
+
+    Drained output over a fresh×frozen split equals the batch
+    ``phash_near_pairs`` list restricted to (new, old) pairs (pinned
+    in tests/test_streaming.py). Sub-gate arrivals (thumbnails, NULL
+    payloads) carry NULL chunks → no band row → verdict
+    dup_of_corpus=false with NULL canonical, exactly the rows the
+    batch finder excludes; every arrival still gets a verdict (the
+    admission contract). Static-side scale levers are
+    minhash_admit_stage's (deduped store, larger triggers,
+    pre-bucketing); ``watermark``/``window`` are independent knobs."""
+    from chronobase_spark.dedup.phash import CHUNKS, MIN_PAYLOAD_BYTES
+    from chronobase_spark.functions import multimodal
+
+    if window is None:
+        window = watermark
+    eligible = F.col(text_col).isNotNull() & (
+        F.length(F.encode(text_col, "UTF-8")) >= MIN_PAYLOAD_BYTES
+    )
+    with_payload = stream.withWatermark("ingest_ts", watermark).withColumn(
+        "_payload",
+        F.when(eligible, multimodal.ppm_payload_col(F.col(text_col))),
+    )
+    annotated = multimodal.dhash_annotate(
+        with_payload.select("doc_id", "ingest_ts", "_payload"), "_payload"
+    )
+    banded = annotated.select(
+        "doc_id",
+        "ingest_ts",
+        *[f"c{j}" for j in range(CHUNKS)],
+        F.explode_outer(
+            F.when(
+                F.col("c0").isNotNull(),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("chunk_id"),
+                            F.col(f"c{j}").alias("chunk_val"),
+                        )
+                        for j in range(CHUNKS)
+                    ]
+                ),
+            )
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        "ingest_ts",
+        *[f"c{j}" for j in range(CHUNKS)],
+        F.col("k.chunk_id").alias("chunk_id"),
+        F.col("k.chunk_val").alias("chunk_val"),
+    )
+    corpus = corpus_chunks.select(
+        F.col("doc").alias("cand"),
+        *[F.col(f"c{j}").alias(f"cc{j}") for j in range(CHUNKS)],
+        "chunk_id",
+        "chunk_val",
+    )
+    cand = banded.join(corpus, ["chunk_id", "chunk_val"], "left")
+    hamming = sum(
+        F.bit_count(F.col(f"c{j}").bitwiseXOR(F.col(f"cc{j}")))
+        for j in range(CHUNKS)
+    ).cast("bigint")
+    ok = F.col("cand").isNotNull() & (hamming <= max_hamming)
+    agg = cand.groupBy(F.window("ingest_ts", window), "doc_id").agg(
+        F.max(F.when(ok, 1).otherwise(0)).alias("_dup"),
+        F.min(F.when(ok, F.col("cand"))).alias("canonical_id"),
+    )
+    return agg.select(
+        "window",
+        "doc_id",
+        (F.col("_dup") == 1).alias("dup_of_corpus"),
+        "canonical_id",
+    )
+
+
 def budget_histogram_stage(
     stream: DataFrame,
     text_col: str = "text",

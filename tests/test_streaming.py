@@ -2230,3 +2230,98 @@ def test_dsir_admit_window_independent_of_watermark(spark, tmp_path):
     assert "% 300000000" in p_5m              # 5 min in µs
     assert "% 300000000" not in p_default
     assert "% 600000000" in p_default         # falls back to watermark
+
+
+def test_streaming_phash_admit_matches_batch_pairs(spark, tmp_path):
+    """Stream-static image near-dup admission (phash_admit_stage):
+    drained verdicts over a fresh×frozen split must equal the batch
+    phash_near_pairs list restricted to (new, old) pairs — dup iff the
+    arriving image pairs with ANY frozen one within Hamming ≤ 3,
+    canonical = the min such partner — with every arrival getting a
+    verdict, including sub-gate thumbnails (NULL chunks → non-dup),
+    which the batch pair list excludes entirely."""
+    from chronobase_spark.dedup import phash
+    from chronobase_spark.streaming import docs as docstream
+
+    base = catalog.table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
+    )
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in phash.phash_near_pairs(base).collect()
+    ]
+    assert pairs, "fixture must contain phash near-dup pairs"
+    fresh_ids = {b for _, b in pairs}
+    paired = fresh_ids | {a for a, _ in pairs}
+    fresh_ids |= {
+        r["doc_id"]
+        for r in base.filter(~F.col("doc_id").isin(*paired))
+        .orderBy("doc_id")
+        .limit(8)
+        .collect()
+    }
+    frozen = base.filter(~F.col("doc_id").isin(*fresh_ids))
+    corpus_chunks = phash.phash_band_model(frozen)
+
+    expected: dict[int, set[int]] = {d: set() for d in fresh_ids}
+    for a, b in pairs:
+        if a in fresh_ids and b not in fresh_ids:
+            expected[a].add(b)
+        if b in fresh_ids and a not in fresh_ids:
+            expected[b].add(a)
+
+    # a sub-gate thumbnail arrival: must still get a (False, None)
+    # verdict even though the batch finder would never see it
+    thumb = spark.createDataFrame(
+        [(999991, "tiny", "xx", "synthetic", 4, 50)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, off long",
+    )
+    flush = spark.createDataFrame(
+        [(999990, "flush row", "xx", "synthetic", 9, 10_000_000)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long, off long",
+    )
+    extra = thumb.unionByName(flush).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias(
+            "ingest_ts"
+        ),
+    )
+    arrivals = base.filter(F.col("doc_id").isin(*fresh_ids)).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+    )
+    src = str(tmp_path / "ph_src")
+    arrivals.unionByName(extra).repartition(3).write.parquet(src)
+    sink = str(tmp_path / "ph_sink")
+    q = (
+        docstream.phash_admit_stage(
+            docstream.read_document_stream(spark, src), corpus_chunks
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ph_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["dup_of_corpus"], r["canonical_id"])
+        for r in spark.read.parquet(sink).collect()
+        if r["doc_id"] in fresh_ids or r["doc_id"] == 999991
+    }
+    assert set(got) == fresh_ids | {999991}  # every arrival has a verdict
+    n_dup = 0
+    for d in fresh_ids:
+        partners = expected[d]
+        if partners:
+            n_dup += 1
+            assert got[d] == (True, min(partners)), (d, got[d], partners)
+        else:
+            assert got[d] == (False, None), (d, got[d])
+    assert n_dup >= 1 and n_dup < len(fresh_ids)
+    assert got[999991] == (False, None)  # thumbnail: verdict, no match
+    corpus_chunks.unpersist()
