@@ -201,6 +201,32 @@ def ivf_pq_topk(
     )
 
 
+def semantic_cell_model(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Freeze the corpus-side model for streaming semantic admission
+    (streaming/docs.semantic_admit_stage): the persisted (vid, vec,
+    cell) table under the SAME literal hyperplanes the batch pair
+    finder buckets on (bucketed_near_pairs / semantic_dedup — one
+    quantizer definition, so admission joins hit exactly the batch
+    cells). NULL embeddings are excluded (they cannot be near
+    anything); callers own the cache's lifetime (unpersist on retrain
+    — the minhash_band_model convention)."""
+    planes = hyperplanes(num_planes)
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            lsh_signature(F.col(vec_col), planes).alias("cell"),
+        )
+        .persist()
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -43,6 +43,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -739,6 +742,98 @@ def minhash_admit_stage(
     return agg.select(
         "window",
         "doc_id",
+        (F.col("_dup") == 1).alias("dup_of_corpus"),
+        "canonical_id",
+    )
+
+
+EMB_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+        StructField("ingest_ts", TimestampType()),
+    ]
+)
+
+
+def read_embedding_stream(
+    spark: SparkSession, src_dir: str, max_files: int = 4
+) -> DataFrame:
+    """File-source embedding stream (parquet drops into ``src_dir``) —
+    the vector-side arrival feed next to read_document_stream."""
+    return (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+
+
+def semantic_admit_stage(
+    stream: DataFrame,
+    corpus_cells: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    min_cosine: float = 0.9,
+    round_digits: int = 6,
+    watermark: str = "10 minutes",
+    window: str | None = None,
+) -> DataFrame:
+    """Is this ARRIVING embedding semantically near a FROZEN stored
+    one? — the embedding-space member of the admission family,
+    completing the trio alongside the text (minhash_admit_stage) and
+    image (phash_admit_stage) members: every modality with a batch
+    near-dup pair finder now has an intake verdict.
+
+    Mechanics: the arriving vector's LSH cell is a pure per-row
+    hyperplane-sign fold under the SAME literal planes the batch
+    finder buckets on (dedup.embedding.lsh_signature — one quantizer
+    definition); the cell LEFT-joins stream-static against the frozen
+    (vid, vec, cell) table from semantic_cell_model (stateless, no
+    state store) and the verify is the batch query's exact rounded
+    cosine ≥ min_cosine. The per-doc verdict is a windowed streaming
+    aggregation (dup iff ANY verified neighbor, canonical = min
+    matched stored vid; three scalars of state per in-flight vector,
+    watermark-evicted).
+
+    Drained output over a fresh×frozen split equals the batch
+    ``bucketed_near_pairs`` list (same planes/threshold) restricted to
+    (new, old) pairs — pinned in tests/test_streaming.py. NULL
+    arriving embeddings fold to cell 0 but every cosine against stored
+    vectors is NULL, so they report dup_of_corpus=false with NULL
+    canonical (a verdict for every arrival, like the other members).
+    Static-side scale levers are minhash_admit_stage's; at 100 TB the
+    corpus-scaled quantizer (semantic_dedup_scaled's plane masking)
+    bounds cell fan-out the same way it bounds batch pair work.
+    ``watermark``/``window`` are independent knobs."""
+    from chronobase_spark.dedup.embedding import hyperplanes, lsh_signature
+    from chronobase_spark.functions.similarity import cosine
+
+    if window is None:
+        window = watermark
+    planes = hyperplanes(num_planes)
+    prepped = stream.withWatermark("ingest_ts", watermark).select(
+        "vec_id",
+        "ingest_ts",
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("cell"),
+    )
+    cand = prepped.join(
+        corpus_cells.select(
+            F.col("vid").alias("cand"), F.col("vec").alias("vec_c"), "cell"
+        ),
+        "cell",
+        "left",
+    )
+    sim = F.round(cosine(F.col("vec"), F.col("vec_c")), round_digits)
+    ok = F.col("cand").isNotNull() & (sim >= min_cosine)
+    agg = cand.groupBy(F.window("ingest_ts", window), "vec_id").agg(
+        F.max(F.when(ok, 1).otherwise(0)).alias("_dup"),
+        F.min(F.when(ok, F.col("cand"))).alias("canonical_id"),
+    )
+    return agg.select(
+        "window",
+        "vec_id",
         (F.col("_dup") == 1).alias("dup_of_corpus"),
         "canonical_id",
     )

@@ -2325,3 +2325,90 @@ def test_streaming_phash_admit_matches_batch_pairs(spark, tmp_path):
     assert n_dup >= 1 and n_dup < len(fresh_ids)
     assert got[999991] == (False, None)  # thumbnail: verdict, no match
     corpus_chunks.unpersist()
+
+
+def test_streaming_semantic_admit_matches_batch_pairs(spark, tmp_path):
+    """Stream-static semantic admission (semantic_admit_stage): drained
+    verdicts over a fresh×frozen embedding split must equal the batch
+    bucketed_near_pairs list (same planes/threshold) restricted to
+    (new, old) pairs — dup iff the arriving vector has ANY stored
+    cell-mate with rounded cosine ≥ threshold, canonical = the min
+    such partner — and every arrival gets a verdict, including a NULL
+    embedding (no cosine is defined for it)."""
+    from chronobase_spark.dedup import embedding as emb
+    from chronobase_spark.streaming import docs as docstream
+
+    threshold = 0.2  # sf0.001 has 97 pairs here (0 at 0.5, 3 at 0.35)
+    base = catalog.table(spark, SF_SMOKE, "embeddings")
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in emb.bucketed_near_pairs(base, min_cosine=threshold).collect()
+    ]
+    assert pairs, "fixture must contain semantic near-dup pairs"
+    fresh_ids = {b for _, b in pairs}
+    paired = fresh_ids | {a for a, _ in pairs}
+    fresh_ids |= {
+        r["vec_id"]
+        for r in base.filter(~F.col("vec_id").isin(*paired))
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    }
+    frozen = base.filter(~F.col("vec_id").isin(*fresh_ids))
+    corpus_cells = emb.semantic_cell_model(frozen)
+
+    expected: dict[int, set[int]] = {d: set() for d in fresh_ids}
+    for a, b in pairs:
+        if a in fresh_ids and b not in fresh_ids:
+            expected[a].add(b)
+        if b in fresh_ids and a not in fresh_ids:
+            expected[b].add(a)
+
+    # a NULL-embedding arrival and a far-future flush row
+    extra = spark.createDataFrame(
+        [(999991, None, 0, 50), (999990, None, 0, 10_000_000)],
+        "vec_id long, embedding array<float>, label int, off long",
+    ).select(
+        "vec_id", "embedding", "label",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias(
+            "ingest_ts"
+        ),
+    )
+    arrivals = base.filter(F.col("vec_id").isin(*fresh_ids)).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("vec_id")),
+    )
+    src = str(tmp_path / "se_src")
+    arrivals.unionByName(extra).repartition(3).write.parquet(src)
+    sink = str(tmp_path / "se_sink")
+    q = (
+        docstream.semantic_admit_stage(
+            docstream.read_embedding_stream(spark, src),
+            corpus_cells,
+            min_cosine=threshold,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "se_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["vec_id"]: (r["dup_of_corpus"], r["canonical_id"])
+        for r in spark.read.parquet(sink).collect()
+        if r["vec_id"] in fresh_ids or r["vec_id"] == 999991
+    }
+    assert set(got) == fresh_ids | {999991}  # every arrival has a verdict
+    n_dup = 0
+    for d in fresh_ids:
+        partners = expected[d]
+        if partners:
+            n_dup += 1
+            assert got[d] == (True, min(partners)), (d, got[d], partners)
+        else:
+            assert got[d] == (False, None), (d, got[d])
+    assert n_dup >= 1 and n_dup < len(fresh_ids)
+    assert got[999991] == (False, None)  # NULL embedding: verdict, no match
+    corpus_cells.unpersist()
