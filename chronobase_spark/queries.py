@@ -1306,6 +1306,146 @@ def q_minhash_md5_pairs(spark, sf_dir):
     )
 
 
+def _admission_sql(bands: int = 4, rows: int = 4) -> str:
+    """Oracle for near_dup_admission_report: the _minhash_md5_sql
+    pipeline with the content-free md5 arriving/stored split applied
+    at the band join and a per-ARRIVAL left-joined verdict instead of
+    a pair list — generated from the same (bands, rows) parameters as
+    the Spark operator (the _dsir_sql convention)."""
+    lane = (
+        lambda i: f"MIN(('0x' || substr(md5(g || '#{i}'), 1, 8))::BIGINT) AS m{i}"
+    )
+    lanes = ",\n         ".join(lane(i) for i in range(bands * rows))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc, {bi} AS band_id, concat_ws(','"
+        + "".join(f", m{bi * rows + r}" for r in range(rows))
+        + ") AS band_val FROM sigs"
+        for bi in range(bands)
+    )
+    arr = (
+        "(('0x' || substr(md5(CAST({d} AS VARCHAR)), 1, 4))::BIGINT % 5 = 0)"
+    )
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+  FROM toks
+), sigs AS MATERIALIZED (
+  SELECT doc,
+         {lanes}
+  FROM sh GROUP BY doc
+), bands AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS cand
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+  WHERE {arr.format(d="a.doc")} AND NOT {arr.format(d="b.doc")}
+), shl AS MATERIALIZED (
+  SELECT doc, list(DISTINCT g) AS gl FROM sh GROUP BY doc
+), ver AS (
+  SELECT doc_a, cand
+  FROM (
+    SELECT doc_a, cand,
+           CAST(len(list_intersect(la.gl, lb.gl)) AS BIGINT) AS c,
+           CAST(len(la.gl) + len(lb.gl)
+                - len(list_intersect(la.gl, lb.gl)) AS BIGINT) AS u
+    FROM cand JOIN shl la ON la.doc = doc_a JOIN shl lb ON lb.doc = cand
+  )
+  WHERE c * 1000000 >= 500000 * u
+), agg AS (
+  SELECT doc_a, MIN(cand) AS canonical_id FROM ver GROUP BY doc_a
+)
+SELECT d.doc_id,
+       agg.canonical_id IS NOT NULL AS dup_of_corpus,
+       agg.canonical_id
+FROM documents d LEFT JOIN agg ON agg.doc_a = d.doc_id
+WHERE {arr.format(d="d.doc_id")}
+"""
+
+
+@register("near_dup_admission_report", _admission_sql())
+def q_near_dup_admission_report(spark, sf_dir):
+    """Batch near-dup ADMISSION report — the driver-hash-checked twin
+    of the streaming admission family (streaming/docs.minhash_admit_
+    stage): split the corpus by the content-free md5 doc_id bucket
+    (20% "arriving", 80% "stored" — the md5 split-governance idiom),
+    and emit for EVERY arriving doc whether it near-duplicates any
+    stored doc under the md5-MinHash banding + exact-Jaccard ≥ 0.5
+    verify, with the min stored partner as canonical — (doc_id,
+    dup_of_corpus, canonical_id), the incremental crawl-ingest
+    question as one batch query. The pair machinery is the LITERAL
+    minhash_md5_pairs pipeline (dedup.minhash.md5_band_table /
+    shingle_table — one definition), so this also gives the admission
+    semantics cross-engine driver evidence the streaming surface
+    cannot carry (its pytest pin covers drain equality; this covers
+    the verdict math).
+
+    Scale: one signature pass over the whole corpus (the band table is
+    built once and split by a map-side flag predicate — no second
+    tokenization), the band join touches only band-equal (arriving,
+    stored) rows, the verify only candidates, and the verdict is one
+    doc-keyed left join — the measured sub-quadratic minhash posture
+    plus two linear joins. Docs with no shingles report non-dup, like
+    the streaming stage."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def arriving(c):
+        u = F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        return u % 5 == 0
+
+    banded = minhash.md5_band_table(docs)
+    a = banded.filter(arriving(F.col("doc"))).alias("a")
+    b = (
+        banded.filter(~arriving(F.col("doc")))
+        .hint("shuffle_hash")
+        .alias("b")
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(F.col("a.doc").alias("doc_id"), F.col("b.doc").alias("cand"))
+        .distinct()
+    )
+    sh = minhash.shingle_table(docs)
+    sa = sh.select(F.col("doc").alias("doc_id"), F.col("sh").alias("sh_a")).hint(
+        "shuffle_hash"
+    )
+    sb = sh.select(F.col("doc").alias("cand"), F.col("sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    verdicts = (
+        cands.join(sa, "doc_id")
+        .join(sb, "cand")
+        .filter(common * 1_000_000 >= F.lit(500_000) * union)
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("canonical_id"))
+    )
+    return (
+        docs.filter(arriving(F.col("doc_id")))
+        .select("doc_id")
+        .join(verdicts.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("canonical_id").isNotNull().alias("dup_of_corpus"),
+            "canonical_id",
+        )
+    )
+
+
 _DOT = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))"

@@ -36,6 +36,18 @@ to reference a marginal that is only defined once the window closes.
 The same boundary holds for any future corpus-marginal score (e.g.,
 IDF-weighted signals): freeze the marginal and broadcast it (the LM
 pattern), or aggregate per window — never compute it per row.
+
+**Admission members are one per MODALITY, not one per signature
+family.** The stream-static dup-of-corpus stages (minhash_admit_stage
+for text, phash_admit_stage for images, semantic_admit_stage for
+embeddings) each answer "is this arrival a near-dup of the frozen
+store" for one content modality. SimHash and winnowing are
+alternative SIGNATURES over the same text stream minhash already
+admits on — a simhash_admit_stage would re-answer the text question
+with a different recall curve, not cover new content; their in-stream
+role stays annotation (simhash_stage / winnow_stage), feeding batch
+pipelines that prefer those signatures. Don't "complete" the family
+by duplicating a modality.
 """
 
 from __future__ import annotations

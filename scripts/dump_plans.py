@@ -86,6 +86,7 @@ HEADLINE = [
     ("token_budget_select", "budget selection: histogram cumulative on tiny tables, boundary-only sharded prefix, no global sort"),
     ("dsir_select", "DSIR: one corpus gram pass cached, |buckets|-bounded ratio broadcast, persisted weight table feeds max + accept"),
     ("distinct_rollup_users", "exact distinct rollup: one scan dedups to (day, user) pairs, both rollup levels aggregate the reduced persisted table"),
+    ("near_dup_admission_report", "admission report: one signature pass split by map-side flags, band join only across the split, verdict via doc-keyed left join"),
 ]
 
 KEEP = re.compile(
