@@ -227,6 +227,36 @@ def semantic_cell_model(
     )
 
 
+def semantic_cell_model_scaled(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cell_size: int = 32,
+    max_planes: int = 16,
+) -> tuple[DataFrame, int]:
+    """``semantic_cell_model`` with the CORPUS-SCALED quantizer — the
+    admission model a growing store needs: a fixed plane count makes
+    cells ≈ 2^planes constant, so expected cell size (and therefore
+    per-ARRIVAL candidate fan-out in semantic_admit_stage) grows
+    linearly with the frozen corpus — the same quadratic time bomb
+    semantic_dedup_scaled defuses in batch, surfacing at intake as
+    per-arrival latency instead. k = smallest plane count with
+    2^k · target_cell_size ≥ n (clamped to max_planes), resolved to a
+    Python int at train time (one count — a frozen-model constant, the
+    dsir_model pattern), and the signature over the FIRST k planes is
+    identical to semantic_dedup_scaled's low-k-bit masking by
+    construction (plane i is bit i). Returns ``(cells, k)``; pass
+    ``num_planes=k`` to semantic_admit_stage so arriving rows fold the
+    SAME masked cell."""
+    n = df.filter(F.col(vec_col).isNotNull()).count()
+    k = next(
+        (k for k in range(1, max_planes + 1)
+         if (1 << k) * target_cell_size >= n),
+        max_planes,
+    )
+    return semantic_cell_model(df, vec_col, id_col, num_planes=k), k
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -814,9 +814,12 @@ def semantic_admit_stage(
     arriving embeddings fold to cell 0 but every cosine against stored
     vectors is NULL, so they report dup_of_corpus=false with NULL
     canonical (a verdict for every arrival, like the other members).
-    Static-side scale levers are minhash_admit_stage's; at 100 TB the
-    corpus-scaled quantizer (semantic_dedup_scaled's plane masking)
-    bounds cell fan-out the same way it bounds batch pair work.
+    Static-side scale levers are minhash_admit_stage's — PLUS one of
+    its own: a fixed plane count means cells grow linearly with the
+    store and so does per-arrival verify fan-out, so a growing store
+    should freeze its model with semantic_cell_model_scaled (returns
+    (cells, k); pass ``num_planes=k`` here) — the batch scaled
+    quantizer's constant-cell-size guarantee applied to intake.
     ``watermark``/``window`` are independent knobs."""
     from chronobase_spark.dedup.embedding import hyperplanes, lsh_signature
     from chronobase_spark.functions.similarity import cosine

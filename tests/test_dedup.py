@@ -763,3 +763,34 @@ def test_phash_banded_pairs_equal_brute_force(spark, docs):
     assert found == truth, (
         f"missed={truth - found} spurious={found - truth}"
     )
+
+
+def test_semantic_cell_model_scaled_k_rule_and_masking(spark):
+    """The scaled admission model must pick the SAME k the batch
+    scaled quantizer derives (smallest k with 2^k·target ≥ n, clamped)
+    and its cells must equal the full-width signature masked to the
+    low k bits — plane i is bit i, so 'first k planes' ≡ masking, the
+    equivalence semantic_admit_stage relies on to fold the same cell
+    per arriving row."""
+    from chronobase_spark.dedup import embedding as emb
+
+    base = catalog.table(spark, SF_SMOKE, "embeddings")
+    n = base.filter(F.col("embedding").isNotNull()).count()
+    for target, max_planes in ((32, 16), (4, 16), (100000, 16), (1, 3)):
+        cells, k = emb.semantic_cell_model_scaled(
+            base, target_cell_size=target, max_planes=max_planes
+        )
+        want_k = next(
+            (kk for kk in range(1, max_planes + 1)
+             if (1 << kk) * target >= n),
+            max_planes,
+        )
+        assert k == want_k, (target, max_planes, k, want_k)
+        full = emb.semantic_cell_model(base, num_planes=max_planes)
+        got = {r["vid"]: r["cell"] for r in cells.collect()}
+        masked = {
+            r["vid"]: r["cell"] & ((1 << k) - 1) for r in full.collect()
+        }
+        assert got == masked
+        cells.unpersist()
+        full.unpersist()
