@@ -1120,8 +1120,34 @@ def minhash_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
         )
     )
     n_arrivals = arrivals.count()
+    # far-future flush row (semantic_admit_probe note): without it the
+    # trailing ~watermark of arrivals never drains in append mode
+    flush = spark.createDataFrame(
+        [
+            (
+                999_999_999,
+                "flush row",
+                "xx",
+                "synthetic",
+                9,
+            )
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.timestamp_seconds(F.lit(1_700_000_000 + 10_000_000_000)).alias(
+            "ingest_ts"
+        ),
+    )
     src = tmp_root / f"admit_src_x{factor}"
-    arrivals.repartition(8).write.mode("overwrite").parquet(str(src))
+    arrivals.unionByName(flush).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(str(src))
     sink = tmp_root / f"admit_sink_x{factor}"
     ckpt = tmp_root / f"admit_ckpt_x{factor}"
     t0 = time.perf_counter()
@@ -1154,6 +1180,97 @@ def minhash_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
         "arrivals_per_s": int(n_arrivals / drain_s),
         "n_dup_verdicts": n_dup,
     }
+
+
+def semantic_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """Measure the semantic-admission scale lever: arrivals FIXED (the
+    base embeddings, which universe 0 of the rotated fixture stores
+    verbatim, so every arrival is a true re-fetch match), the frozen
+    store grown by the rotation fixture, and the SAME drain run under
+    BOTH models — the fixed 8-plane quantizer (cells constant, cell
+    size grows with the store → per-arrival verify fan-out grows
+    linearly) and the corpus-scaled one (plane count k derived from
+    the store, cell size ≈ target constant). The wall gap between the
+    two columns IS the measured case for semantic_cell_model_scaled."""
+    from chronobase_spark import catalog
+    from chronobase_spark.dedup import embedding as emb
+    from chronobase_spark.streaming import docs as docstream
+
+    sf_dir = mutated_documents_dir(spark, factor)
+    mutated_embeddings_into(spark, factor, sf_dir)
+    frozen = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_frozen = frozen.count()
+
+    arrivals = (
+        catalog.table(spark, BASE_SF, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            (F.col("vec_id") + 900_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("vec_id")
+            ).alias("ingest_ts"),
+        )
+    )
+    n_arrivals = arrivals.count()
+    # far-future flush row: append-mode windows only emit once the
+    # watermark passes them, so without this the trailing ~watermark
+    # of arrivals never drains (first run: exactly the tail half of
+    # the verdicts missing at every factor)
+    flush = spark.createDataFrame(
+        [(999_999_999,)], "vec_id long"
+    ).select(
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(0).alias("label"),
+        F.timestamp_seconds(F.lit(1_700_000_000 + 10_000_000_000)).alias(
+            "ingest_ts"
+        ),
+    )
+    src = tmp_root / f"sem_src_x{factor}"
+    arrivals.unionByName(flush).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    out: dict = {
+        "factor": factor,
+        "n_frozen": n_frozen,
+        "n_arrivals": n_arrivals,
+    }
+    for mode in ("fixed", "scaled"):
+        if mode == "fixed":
+            cells, k = emb.semantic_cell_model(frozen, num_planes=8), 8
+        else:
+            cells, k = emb.semantic_cell_model_scaled(frozen)
+        cells.count()  # materialize the model cache off the clock
+        sink = tmp_root / f"sem_sink_{mode}_x{factor}"
+        ckpt = tmp_root / f"sem_ckpt_{mode}_x{factor}"
+        t0 = time.perf_counter()
+        qs = (
+            docstream.semantic_admit_stage(
+                docstream.read_embedding_stream(spark, str(src)),
+                cells,
+                num_planes=k,
+                min_cosine=0.9,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qs.awaitTermination(3600)
+        dt = time.perf_counter() - t0
+        n_dup = (
+            spark.read.parquet(str(sink)).filter("dup_of_corpus").count()
+        )
+        cells.unpersist()
+        out[f"{mode}_k"] = k
+        out[f"{mode}_drain_s"] = round(dt, 2)
+        out[f"{mode}_dups"] = n_dup
+    return out
 
 
 def run_mutated(spark, factor: int, stages=R11_STAGES) -> dict:
@@ -1594,6 +1711,29 @@ def main():
             )
             shutil.rmtree(tmp_root, ignore_errors=True)
             spark.stop()
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--semantic-admit"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"semantic-admit-probe-x{factor}",
+                shuffle_partitions=32,
+            )
+            tmp_root = SCRATCH / f"sem_admit_x{factor}"
+            tmp_root.mkdir(parents=True, exist_ok=True)
+            rows.append(semantic_admit_probe(spark, factor, tmp_root))
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        for mode in ("fixed", "scaled"):
+            print(
+                f"semantic_admit {mode}: {last['factor']}x store -> "
+                f"{last[f'{mode}_drain_s'] / max(base[f'{mode}_drain_s'], 1e-9):.1f}x wall"
+            )
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     if sys.argv[1:2] == ["--minhash-admit"]:
