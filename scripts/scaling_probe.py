@@ -1457,6 +1457,10 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
                          corpus — the PRINCIPLED shape (a production
                          frozen store is already deduped, so each
                          arrival matches ~1 stored canonical)
+      +topq              ... + topq_histogram_stage (windowed
+                         per-(lang, score) histogram — the quantile
+                         admission's stream half; the finalize is a
+                         drain-time batch concern)
 
     The marginal docs/s drop between consecutive rows names the
     binding stage; wall includes sink commit (ingest is a write's
@@ -1554,6 +1558,16 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
                 ),
                 _mh_bands_dd,
                 _mh_shingles_dd,
+            ),
+        ),
+        (
+            "topq",
+            lambda s: docstream.topq_histogram_stage(
+                docstream.content_dedup(
+                    docstream.datacard_stage(
+                        docstream.template_stage(docstream.pii_scrub_stage(s))
+                    )
+                )
             ),
         ),
     ]

@@ -2073,8 +2073,14 @@ def test_streaming_minhash_admit_matches_batch_pairs(spark, tmp_path):
         .collect()
     )
 
+    # a NULL-text arrival (no shingles possible) and the far-future
+    # flush row — the NULL arrival must still get a (False, None)
+    # verdict via the explode_outer path
     flush = spark.createDataFrame(
-        [(999990, "flush row", "xx", "synthetic", 9, 10_000_000)],
+        [
+            (999992, None, "xx", "synthetic", 0, 60),
+            (999990, "flush row", "xx", "synthetic", 9, 10_000_000),
+        ],
         "doc_id long, text string, lang string, source string,"
         " n_chars long, off long",
     ).select(
@@ -2109,9 +2115,11 @@ def test_streaming_minhash_admit_matches_batch_pairs(spark, tmp_path):
     got = {
         r["doc_id"]: (r["dup_of_corpus"], r["canonical_id"])
         for r in spark.read.parquet(sink).collect()
-        if r["doc_id"] in fresh_ids or r["doc_id"] == reingest
+        if r["doc_id"] in fresh_ids or r["doc_id"] in (reingest, 999992)
     }
-    assert set(got) == fresh_ids | {reingest}  # EVERY arrival has a verdict
+    # EVERY arrival has a verdict, incl. the NULL-text one
+    assert set(got) == fresh_ids | {reingest, 999992}
+    assert got[999992] == (False, None)
     n_dup = 0
     for d in fresh_ids:
         partners = expected[d]
