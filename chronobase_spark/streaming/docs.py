@@ -820,7 +820,13 @@ def semantic_admit_stage(
     should freeze its model with semantic_cell_model_scaled (returns
     (cells, k); pass ``num_planes=k`` here) — the batch scaled
     quantizer's constant-cell-size guarantee applied to intake.
-    ``watermark``/``window`` are independent knobs."""
+    ``watermark``/``window`` are independent knobs.
+
+    A driver-hash-checked batch report twin (the
+    near_dup_admission_report shape with the cosine verify) is the
+    natural next registration; deferred from r14 only to keep that
+    round's new-query count at the verdict-mandated ≤2 so the driver
+    window could clear the full r9/r10 evidence tail."""
     from chronobase_spark.dedup.embedding import hyperplanes, lsh_signature
     from chronobase_spark.functions.similarity import cosine
 
