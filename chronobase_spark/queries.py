@@ -6974,6 +6974,120 @@ def q_semantic_dedup_scaled(spark, sf_dir):
     )
 
 
+def _semantic_admission_sql() -> str:
+    """Oracle for semantic_admission_report: the corpus-scaled
+    quantizer (16-plane signature masked to k, with k derived from the
+    STORED count — frozen-model semantics) plus the content-free md5
+    arriving/stored split applied at the cell join and a per-ARRIVAL
+    left-joined verdict — the _admission_sql convention transplanted to
+    the embedding member. Shares the plane literals and the integer k
+    rule with _semdedup_scaled_ctes (one quantizer definition)."""
+    planes = emb_dedup.hyperplanes(_SEMDEDUP_MAX_PLANES)
+    sig = emb_dedup.sql_signature_expr("e.embedding", planes)
+    arr = "(('0x' || substr(md5(CAST({d} AS VARCHAR)), 1, 4))::BIGINT % 5 = 0)"
+    return f"""
+WITH sigs0 AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, CAST(({sig}) AS BIGINT) AS sig,
+         {arr.format(d="e.vec_id")} AS is_arr
+  FROM embeddings e WHERE e.embedding IS NOT NULL
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sigs0 WHERE NOT is_arr
+), kk AS (
+  SELECT COALESCE(list_min(list_filter(range(1, {_SEMDEDUP_MAX_PLANES + 1}),
+           k -> (CAST(1 AS BIGINT) << k) * {_SEMDEDUP_CELL_SIZE} >= n)),
+         CAST({_SEMDEDUP_MAX_PLANES} AS BIGINT)) AS k
+  FROM nn
+), sigs AS (
+  SELECT s.vec_id, s.embedding, s.is_arr,
+         s.sig & ((CAST(1 AS BIGINT) << k) - 1) AS cell
+  FROM sigs0 s, kk
+), ver AS (
+  SELECT a.vec_id AS vid, MIN(b.vec_id) AS canonical_id
+  FROM sigs a JOIN sigs b ON a.cell = b.cell
+  WHERE a.is_arr AND NOT b.is_arr
+    AND {_cos_sql('a', 'b')} >= {_SEMDEDUP_MIN_COSINE}
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id,
+       v.canonical_id IS NOT NULL AS dup_of_corpus,
+       v.canonical_id
+FROM embeddings e LEFT JOIN ver v ON v.vid = e.vec_id
+WHERE {arr.format(d="e.vec_id")}
+"""
+
+
+@register("semantic_admission_report", _semantic_admission_sql())
+def q_semantic_admission_report(spark, sf_dir):
+    """Batch semantic ADMISSION report — the driver-hash-checked twin
+    of the embedding admission stage (streaming/docs.
+    semantic_admit_stage), completing the cross-engine evidence the
+    r14 round deferred: split the corpus by the content-free md5
+    vec_id bucket (20% "arriving", 80% "stored" — the
+    near_dup_admission_report split idiom), freeze the stored side
+    with the LITERAL streaming model builder
+    (dedup.embedding.semantic_cell_model_scaled — the corpus-scaled
+    quantizer that is the admission default for growing stores), fold
+    each arriving vector's cell under the same k planes exactly as the
+    streaming stage does per row, and emit for EVERY arriving vector
+    whether any stored vector in its cell passes the exact rounded
+    cosine ≥ 0.35 verify, with the min stored partner as canonical —
+    (vec_id, dup_of_corpus, canonical_id). The verdict math is the
+    streaming stage's (dup iff ANY verified neighbor, canonical = min
+    matched vid); its drained-equal pytest pin covers stream/batch
+    equality, this covers the math against an independent engine.
+
+    Scale: the stored model is one signature pass persisted once
+    (frozen-model posture — re-read, never recomputed); the arriving
+    fold is map-only per row; the cell join touches only cell-equal
+    (arriving, stored) rows with expected cell size ≈ 32 BY
+    CONSTRUCTION (the scaled-k rule), so per-arrival verify fan-out
+    stays constant as the store grows; the verdict is one vec_id-keyed
+    left join. NULL arriving embeddings join nothing and report
+    (false, NULL) — every arrival gets a verdict, the admission
+    contract."""
+
+    def arriving(c):
+        u = F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        return u % 5 == 0
+
+    embt = _t(spark, sf_dir, "embeddings")
+    stored = embt.filter(~arriving(F.col("vec_id")))
+    cells, k = emb_dedup.semantic_cell_model_scaled(
+        stored,
+        target_cell_size=_SEMDEDUP_CELL_SIZE,
+        max_planes=_SEMDEDUP_MAX_PLANES,
+    )
+    planes = emb_dedup.hyperplanes(k)
+    arr = embt.filter(
+        arriving(F.col("vec_id")) & F.col("embedding").isNotNull()
+    ).select(
+        "vec_id",
+        F.col("embedding").alias("vec_a"),
+        emb_dedup.lsh_signature(F.col("embedding"), planes).alias("cell"),
+    )
+    sim = F.round(similarity.cosine(F.col("vec_a"), F.col("vec")), 6)
+    # shuffle_hash: the stored cell table is corpus-sized (the
+    # LSH-pipeline rule — never broadcast the store)
+    ver = (
+        arr.join(cells.hint("shuffle_hash"), "cell")
+        .filter(sim >= _SEMDEDUP_MIN_COSINE)
+        .groupBy("vec_id")
+        .agg(F.min("vid").alias("canonical_id"))
+    )
+    return (
+        embt.filter(arriving(F.col("vec_id")))
+        .select("vec_id")
+        .join(ver.hint("shuffle_hash"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("canonical_id").isNotNull().alias("dup_of_corpus"),
+            "canonical_id",
+        )
+    )
+
+
 def _pipeline_sql() -> str:
     return f"""
 WITH {_semdedup_scaled_ctes()}, sem AS (
@@ -9938,6 +10052,129 @@ def q_phash_near_pairs(spark, sf_dir):
         & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
     )
     return phash.phash_near_pairs(docs)
+
+
+def _phash_admission_sql(max_hamming: int = 3) -> str:
+    """Oracle for phash_admission_report: the _phash_sql raster/dHash
+    CTEs (shared _raster_grid_cte — one decode definition) with the
+    content-free md5 arriving/stored split applied at the chunk join
+    and a per-ARRIVAL left-joined verdict over ALL arriving documents
+    including sub-gate ones — the _admission_sql convention
+    transplanted to the image member."""
+    _w, g, _min_bytes = _raster_constants()
+    chunk_exprs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN gr // 2 = {j} THEN bit * (1 << ((gr % 2) * {g} + gc))"
+        f" ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(4)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, c0, c1, c2, c3, {j} AS chunk_id, c{j} AS chunk_val"
+        " FROM sig"
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{j}, b.c{j}))" for j in range(4))
+    arr = "(('0x' || substr(md5(CAST({d} AS VARCHAR)), 1, 4))::BIGINT % 5 = 0)"
+    return f"""
+{_raster_grid_cte()}, bits AS MATERIALIZED (
+  SELECT l.doc_id, l.gr, l.gc,
+         CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+  FROM grid l JOIN grid r
+    ON r.doc_id = l.doc_id AND r.gr = l.gr AND r.gc = (l.gc + 1) % {g}
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+         {chunk_exprs}
+  FROM bits GROUP BY doc_id
+), chunks AS (
+{band_rows}
+), ver AS (
+  SELECT a.doc_id AS doc, MIN(b.doc_id) AS canonical_id
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+  WHERE {arr.format(d="a.doc_id")} AND NOT {arr.format(d="b.doc_id")}
+    AND {ham} <= {max_hamming}
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id,
+       v.canonical_id IS NOT NULL AS dup_of_corpus,
+       v.canonical_id
+FROM documents d LEFT JOIN ver v ON v.doc = d.doc_id
+WHERE {arr.format(d="d.doc_id")}
+"""
+
+
+@register("phash_admission_report", _phash_admission_sql())
+def q_phash_admission_report(spark, sf_dir):
+    """Batch image ADMISSION report — the driver-hash-checked twin of
+    the image admission stage (streaming/docs.phash_admit_stage),
+    completing cross-engine evidence for all three admission members
+    (text: near_dup_admission_report; embedding:
+    semantic_admission_report; image: here): split the corpus by the
+    content-free md5 doc_id bucket (20% "arriving", 80% "stored"),
+    build the chunk table ONCE with the LITERAL streaming model
+    builder's table (dedup.phash.dhash_chunk_table — one decode +
+    banding definition), split it by the map-side arriving flag, band
+    arriving × stored on any shared 16-bit chunk, verify exact
+    popcount Hamming ≤ 3 over the full 64-bit dHash (the pigeonhole
+    guarantee makes the banded verdict EQUAL brute force), and emit
+    for EVERY arriving document — including sub-gate thumbnails and
+    NULL payloads, which carry no chunks and report (false, NULL) —
+    the (doc_id, dup_of_corpus, canonical_id) verdict. The verdict
+    math is the streaming stage's (dup iff ANY verified candidate,
+    canonical = min matched corpus id); its drained-equal pytest pin
+    covers stream/batch equality, this covers the math against an
+    independent engine.
+
+    Scale: ONE map-only decode pass persisted and split by flag
+    (payload bytes never shuffle — doc_id + 4 ints do), the chunk join
+    touches only chunk-equal (arriving, stored) rows, and the verdict
+    is one doc-keyed left join — phash_near_pairs' measured posture
+    plus two linear joins."""
+    from chronobase_spark.dedup import phash
+
+    def arriving(c):
+        u = F.conv(
+            F.substring(F.md5(c.cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        return u % 5 == 0
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(
+        F.col("text").isNotNull()
+        & (F.length(F.encode("text", "UTF-8")) >= phash.MIN_PAYLOAD_BYTES)
+    )
+    # persist: the decode feeds both sides of the arriving/stored
+    # split — one raster pass (the md5_band_table convention)
+    chunked = phash.dhash_chunk_table(gated).persist()
+    a = chunked.filter(arriving(F.col("doc"))).alias("a")
+    b = (
+        chunked.filter(~arriving(F.col("doc")))
+        .hint("shuffle_hash")
+        .alias("b")
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{j}").bitwiseXOR(F.col(f"b.c{j}")))
+        for j in range(phash.CHUNKS)
+    ).cast("bigint")
+    ver = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val")),
+        )
+        .filter(hamming <= 3)
+        .groupBy(F.col("a.doc").alias("doc_id"))
+        .agg(F.min(F.col("b.doc")).alias("canonical_id"))
+    )
+    return (
+        docs.filter(arriving(F.col("doc_id")))
+        .select("doc_id")
+        .join(ver.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("canonical_id").isNotNull().alias("dup_of_corpus"),
+            "canonical_id",
+        )
+    )
 
 
 _JM_LM_SQL = """

@@ -77,25 +77,45 @@ def _round_number(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def main(cur_path: str | None = None) -> int:
+def main(cur_path: str | None = None, max_round: int | None = None) -> int:
     # cur_path is an explicit parameter (bench.py passes BENCH_FULL.json)
     # — only the __main__ block consults sys.argv, so an in-process call
     # can never misread the parent's CLI args as an artifact path.
     if cur_path is None:
         cur_path = os.path.join(ROOT, "BENCH_FULL.json")
+    try:
+        cur = _load(cur_path)
+    except (OSError, ValueError) as exc:
+        print(f"bench_trend: cannot load artifacts: {exc}")
+        return 1
     rounds = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
-    base_path = next(
-        (p for p in reversed(rounds) if _load(p).get("queries")), None
-    )
+
+    def _usable(path: str) -> bool:
+        if max_round is not None and _round_number(path) > max_round:
+            return False
+        data = _load(path)
+        if not data.get("queries"):
+            return False
+        # The driver records its own bench run as BOTH BENCH_FULL.json
+        # and BENCH_r{N}.json, so right after a driver drop the newest
+        # round artifact IS the current run — comparing it to itself is
+        # vacuously green (r14 verdict: "210 queries vs BENCH_r14 ...
+        # 162.672 -> 162.672 s"). A baseline whose parsed bench line is
+        # identical to the current artifact is the same run, not a
+        # baseline — fall through to the previous round.
+        if (
+            data.get("value") == cur.get("value")
+            and data.get("queries") == cur.get("queries")
+        ):
+            return False
+        return True
+
+    base_path = next((p for p in reversed(rounds) if _usable(p)), None)
     if base_path is None:
         print("bench_trend: no parseable BENCH_r*.json baseline — nothing to compare")
         return 0
     base_round = _round_number(base_path)
-    try:
-        cur, base = _load(cur_path), _load(base_path)
-    except (OSError, ValueError) as exc:
-        print(f"bench_trend: cannot load artifacts: {exc}")
-        return 1
+    base = _load(base_path)
 
     cur_q = cur.get("queries") or {}
     base_q = base.get("queries") or {}
@@ -145,4 +165,13 @@ def main(cur_path: str | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else None))
+    # usage: bench_trend.py [CUR_ARTIFACT] [--max-round N]
+    # --max-round caps the baseline round explicitly (e.g. the judge
+    # diffing round 15 against 14 even when BENCH_FULL has drifted).
+    argv = sys.argv[1:]
+    mr = None
+    if "--max-round" in argv:
+        i = argv.index("--max-round")
+        mr = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0] if argv else None, max_round=mr))
