@@ -247,6 +247,68 @@ def minhash_band_model(
     return band_t.persist(), shingle_table(docs, text_col, id_col, n).persist()
 
 
+def minhash_band_model_bucketed(
+    docs: DataFrame,
+    table_prefix: str = "chrono_admit_model",
+    buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """``minhash_band_model`` persisted as BUCKETED TABLES — the
+    admission stage's scale lever 3 turned into code: the band table
+    is written ``bucketBy(buckets, band_id, band_val)`` and the
+    shingle table ``bucketBy(buckets, doc)`` — each bucketed on
+    EXACTLY its admission join keys, because Spark's v1 bucketing only
+    feeds the join when bucket columns equal the equi-keys (measured:
+    a band_val-only bucket layout is "disabled by query planner" under
+    the two-key join and the static side re-shuffles anyway). With the
+    exact layout the per-trigger EXCHANGE of the corpus-sized model
+    disappears — only the micro-batch side shuffles, and it shuffles
+    to |buckets| partitions keyed by the model's layout, not the
+    trigger's. This is the on-disk counterpart of the persisted-DF
+    model: a 100 TB store can't live in executor memory, but a
+    storage-partitioned layout makes re-reading it per trigger
+    shuffle-free. Measured against the persisted form in
+    scripts/scaling_probe.py --admit-bucketed (SCALING.md r15).
+    Tables are overwritten in the session catalog's warehouse (the
+    default in-memory catalog scopes them to the session — rebuild on
+    restart, same as re-persisting); same (bands, rows_per_band, n)
+    contract as minhash_band_model."""
+    spark = docs.sparkSession
+    band_name = f"{table_prefix}_bands"
+    sh_name = f"{table_prefix}_shingles"
+    for name in (band_name, sh_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # the default in-memory catalog forgets tables at session end
+        # but their managed locations persist — a stale location fails
+        # saveAsTable with LOCATION_ALREADY_EXISTS, so clear it
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        p = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{name}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+    (
+        md5_band_table(docs, text_col, id_col, bands, rows_per_band, n)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(band_name)
+    )
+    (
+        shingle_table(docs, text_col, id_col, n)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "doc")
+        .sortBy("doc")
+        .saveAsTable(sh_name)
+    )
+    return spark.table(band_name), spark.table(sh_name)
+
+
 def minhash_md5_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -687,8 +687,13 @@ def minhash_admit_stage(
     arrival matches ~1 stored canonical, not a clique (the probe
     measures both shapes: SCALING.md r14 intake rows minhash vs
     minhash_dd), (2) amortize the static scan with larger triggers
-    (maxFilesPerTrigger), (3) pre-bucket the band table by band_val on
-    disk so a storage-partitioned join prunes instead of reshuffling.
+    (maxFilesPerTrigger), (3) pre-bucket the model on the exact join
+    keys on disk (dedup.minhash.minhash_band_model_bucketed) so the
+    static side's scan already satisfies the join's distribution and
+    the per-trigger store EXCHANGE disappears — measured r15
+    (SCALING.md): identical verdicts, drain ~13% faster than the
+    persisted model at every store size 1×/16×/64×, and it is the
+    only form that works when the store outgrows executor memory.
     Per-band fan-out is bounded by the band-bucket distribution the
     batch pair finder already relies on (hot buckets probed
     adversarially in SCALING.md). ``corpus_bands`` must be

@@ -87,6 +87,8 @@ HEADLINE = [
     ("dsir_select", "DSIR: one corpus gram pass cached, |buckets|-bounded ratio broadcast, persisted weight table feeds max + accept"),
     ("distinct_rollup_users", "exact distinct rollup: one scan dedups to (day, user) pairs, both rollup levels aggregate the reduced persisted table"),
     ("near_dup_admission_report", "admission report: one signature pass split by map-side flags, band join only across the split, verdict via doc-keyed left join"),
+    ("semantic_admission_report", "semantic admission: stored-count-scaled cell model, cosine verify only inside cells, vec-keyed verdict left join"),
+    ("phash_admission_report", "image admission: ONE persisted decode pass split by flags, chunk join across the split, Hamming cut before the doc-keyed verdict join"),
 ]
 
 KEEP = re.compile(

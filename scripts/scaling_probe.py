@@ -1070,38 +1070,13 @@ def run_r14_composed(spark, factor: int) -> dict:
     }
 
 
-def minhash_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
-    """Does near-dup admission hold as the FROZEN STORE grows? —
-    arrivals FIXED (the base sf0.1 documents), the frozen corpus the
-    mutation fixture at ``factor`` (near-dup structure, no verbatim
-    cliques), the stage's drain wall measured per store size. This
-    isolates the stream-static scaling axis the intake decomposition
-    (corpus == arrivals, one factor) cannot: the static band/shingle
-    tables are re-read per micro-batch, so the expected shape is a
-    linear-in-store floor from the static-side scan — the cost the
-    stage docstring's three levers (deduped store, larger triggers,
-    band-val pre-bucketing) exist to amortize. Model build runs in
-    batch BEFORE the drain clock (retrain cadence is a batch
-    concern)."""
+def _tagged_admit_src(spark, tmp_root: Path, tag: str) -> tuple[str, int]:
+    """Write the minhash-admission arrival feed (base docs re-tagged
+    into universe 0 + the far-future flush row) and return (src_dir,
+    n_arrivals) — shared by the store-growth and bucketed-model
+    probes so both drain the IDENTICAL arrivals."""
     from chronobase_spark import catalog
-    from chronobase_spark.streaming import docs as docstream
 
-    sf_dir = mutated_documents_dir(spark, factor)
-    frozen = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_frozen = frozen.count()
-    t0 = time.perf_counter()
-    bands, sh = minhash.minhash_band_model(frozen)
-    # materialize the model caches before the clock starts
-    n_bands, n_sh = bands.count(), sh.count()
-    model_s = time.perf_counter() - t0
-
-    # arrivals = the base docs RE-TAGGED into universe 0 (the fixture
-    # prefixes every token with u{u}x, so untagged text would match
-    # nothing and the probe would measure pure non-match traffic —
-    # caught on the first run: 0 dup verdicts at every factor). Tagged
-    # arrivals are re-fetches of universe 0's stored content: each one
-    # band-matches its stored copy and pays the exact-Jaccard verify,
-    # so BOTH the static-scan axis and the match path are measured.
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
     arrivals = (
         catalog.table(spark, BASE_SF, "documents")
@@ -1123,15 +1098,7 @@ def minhash_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
     # far-future flush row (semantic_admit_probe note): without it the
     # trailing ~watermark of arrivals never drains in append mode
     flush = spark.createDataFrame(
-        [
-            (
-                999_999_999,
-                "flush row",
-                "xx",
-                "synthetic",
-                9,
-            )
-        ],
+        [(999_999_999, "flush row", "xx", "synthetic", 9)],
         "doc_id long, text string, lang string, source string,"
         " n_chars long",
     ).select(
@@ -1144,16 +1111,26 @@ def minhash_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
             "ingest_ts"
         ),
     )
-    src = tmp_root / f"admit_src_x{factor}"
+    src = tmp_root / f"admit_src_{tag}"
     arrivals.unionByName(flush).repartition(8).write.mode(
         "overwrite"
     ).parquet(str(src))
-    sink = tmp_root / f"admit_sink_x{factor}"
-    ckpt = tmp_root / f"admit_ckpt_x{factor}"
+    return str(src), n_arrivals
+
+
+def _drain_minhash_admit(
+    spark, bands, sh, src: str, tmp_root: Path, tag: str
+) -> tuple[float, int]:
+    """availableNow drain of minhash_admit_stage against the given
+    frozen model tables; returns (drain_s, n_dup_verdicts)."""
+    from chronobase_spark.streaming import docs as docstream
+
+    sink = tmp_root / f"admit_sink_{tag}"
+    ckpt = tmp_root / f"admit_ckpt_{tag}"
     t0 = time.perf_counter()
     qs = (
         docstream.minhash_admit_stage(
-            docstream.read_document_stream(spark, str(src)), bands, sh
+            docstream.read_document_stream(spark, src), bands, sh
         )
         .writeStream.format("parquet")
         .option("path", str(sink))
@@ -1164,8 +1141,96 @@ def minhash_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
     )
     qs.awaitTermination(3600)
     drain_s = time.perf_counter() - t0
-    n_dup = (
-        spark.read.parquet(str(sink)).filter("dup_of_corpus").count()
+    n_dup = spark.read.parquet(str(sink)).filter("dup_of_corpus").count()
+    return drain_s, n_dup
+
+
+def minhash_admit_bucketed_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """The pre-bucketed frozen-model lever (minhash_admit_stage
+    docstring, lever 3), measured: the SAME arrival drain against the
+    store at ``factor``, under (a) the persisted in-memory model
+    (minhash_band_model — the production default while the model fits
+    executor memory) and (b) the BUCKETED on-disk model
+    (minhash_band_model_bucketed — band table bucketed on the exact
+    [band_id, band_val] join keys, shingles on [doc]), which removes
+    the per-trigger EXCHANGE of the corpus-sized static side: only the
+    micro-batch shuffles. At 100 TB (a) is impossible — the question
+    this probe answers is what the storage-partitioned layout costs or
+    saves relative to it at stores that still fit, and whether its
+    wall stays flat as the store grows (the shuffle it removes is the
+    store-proportional term). Model build times are reported
+    separately (retrain cadence is a batch concern)."""
+    sf_dir = mutated_documents_dir(spark, factor)
+    frozen = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_frozen = frozen.count()
+    src, n_arrivals = _tagged_admit_src(spark, tmp_root, f"bk_x{factor}")
+
+    t0 = time.perf_counter()
+    bands_m, sh_m = minhash.minhash_band_model(frozen)
+    n_bands = bands_m.count()
+    sh_m.count()
+    mem_model_s = time.perf_counter() - t0
+    mem_drain_s, mem_dup = _drain_minhash_admit(
+        spark, bands_m, sh_m, src, tmp_root, f"mem_x{factor}"
+    )
+    bands_m.unpersist()
+    sh_m.unpersist()
+
+    t0 = time.perf_counter()
+    bands_b, sh_b = minhash.minhash_band_model_bucketed(
+        frozen, table_prefix=f"admit_model_x{factor}"
+    )
+    bucket_model_s = time.perf_counter() - t0
+    bucket_drain_s, bucket_dup = _drain_minhash_admit(
+        spark, bands_b, sh_b, src, tmp_root, f"bkt_x{factor}"
+    )
+
+    return {
+        "factor": factor,
+        "n_frozen": n_frozen,
+        "n_bands": n_bands,
+        "n_arrivals": n_arrivals,
+        "mem_model_s": round(mem_model_s, 2),
+        "mem_drain_s": round(mem_drain_s, 2),
+        "bucket_model_s": round(bucket_model_s, 2),
+        "bucket_drain_s": round(bucket_drain_s, 2),
+        "mem_dup": mem_dup,
+        "bucket_dup": bucket_dup,
+    }
+
+
+def minhash_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """Does near-dup admission hold as the FROZEN STORE grows? —
+    arrivals FIXED (the base sf0.1 documents), the frozen corpus the
+    mutation fixture at ``factor`` (near-dup structure, no verbatim
+    cliques), the stage's drain wall measured per store size. This
+    isolates the stream-static scaling axis the intake decomposition
+    (corpus == arrivals, one factor) cannot: the static band/shingle
+    tables are re-read per micro-batch, so the expected shape is a
+    linear-in-store floor from the static-side scan — the cost the
+    stage docstring's three levers (deduped store, larger triggers,
+    band-val pre-bucketing) exist to amortize. Model build runs in
+    batch BEFORE the drain clock (retrain cadence is a batch
+    concern)."""
+    sf_dir = mutated_documents_dir(spark, factor)
+    frozen = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_frozen = frozen.count()
+    t0 = time.perf_counter()
+    bands, sh = minhash.minhash_band_model(frozen)
+    # materialize the model caches before the clock starts
+    n_bands, n_sh = bands.count(), sh.count()
+    model_s = time.perf_counter() - t0
+
+    # arrivals = the base docs RE-TAGGED into universe 0 (the fixture
+    # prefixes every token with u{u}x, so untagged text would match
+    # nothing and the probe would measure pure non-match traffic —
+    # caught on the first run: 0 dup verdicts at every factor). Tagged
+    # arrivals are re-fetches of universe 0's stored content: each one
+    # band-matches its stored copy and pays the exact-Jaccard verify,
+    # so BOTH the static-scan axis and the match path are measured.
+    src, n_arrivals = _tagged_admit_src(spark, tmp_root, f"x{factor}")
+    drain_s, n_dup = _drain_minhash_admit(
+        spark, bands, sh, src, tmp_root, f"x{factor}"
     )
     bands.unpersist()
     sh.unpersist()
@@ -1747,6 +1812,30 @@ def main():
             print(
                 f"semantic_admit {mode}: {last['factor']}x store -> "
                 f"{last[f'{mode}_drain_s'] / max(base[f'{mode}_drain_s'], 1e-9):.1f}x wall"
+            )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--admit-bucketed"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"admit-bucketed-probe-x{factor}",
+                shuffle_partitions=32,
+            )
+            tmp_root = SCRATCH / f"admit_bk_x{factor}"
+            tmp_root.mkdir(parents=True, exist_ok=True)
+            rows.append(minhash_admit_bucketed_probe(spark, factor, tmp_root))
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        for mode in ("mem", "bucket"):
+            print(
+                f"minhash_admit {mode}: {last['factor']}x store -> "
+                f"{last[f'{mode}_drain_s'] / max(base[f'{mode}_drain_s'], 1e-9):.1f}x wall "
+                f"({base[f'{mode}_drain_s']} -> {last[f'{mode}_drain_s']} s)"
             )
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return

@@ -794,3 +794,48 @@ def test_semantic_cell_model_scaled_k_rule_and_masking(spark):
         assert got == masked
         cells.unpersist()
         full.unpersist()
+
+
+def test_bucketed_band_model_matches_persisted(spark, docs):
+    """The bucketed on-disk admission model (lever 3) must carry
+    EXACTLY the persisted model's rows — same band keys, same shingle
+    arrays — and the admission-shaped batch join against it must
+    produce identical verdicts. A layout change is only a layout
+    change if the content and the join output are bit-identical."""
+    frozen = docs.filter(F.col("text").isNotNull()).limit(120)
+    bands_m, sh_m = minhash.minhash_band_model(frozen)
+    try:
+        bands_b, sh_b = minhash.minhash_band_model_bucketed(
+            frozen, table_prefix="t_bkt_model", buckets=4
+        )
+        assert {tuple(r) for r in bands_b.collect()} == {
+            tuple(r) for r in bands_m.collect()
+        }
+        assert {
+            (r["doc"], tuple(sorted(r["sh"]))) for r in sh_b.collect()
+        } == {(r["doc"], tuple(sorted(r["sh"]))) for r in sh_m.collect()}
+
+        # admission-shaped batch verdict join under both layouts
+        arr = minhash.md5_band_table(frozen.limit(30)).select(
+            "doc", "band_id", "band_val"
+        )
+
+        def verdicts(bands_t):
+            j = arr.join(
+                bands_t.select(
+                    F.col("doc").alias("cand"), "band_id", "band_val"
+                ),
+                ["band_id", "band_val"],
+                "left",
+            )
+            return {
+                (r["doc"], r["cand"])
+                for r in j.select("doc", "cand").distinct().collect()
+            }
+
+        assert verdicts(bands_b) == verdicts(bands_m)
+    finally:
+        bands_m.unpersist()
+        sh_m.unpersist()
+        spark.sql("DROP TABLE IF EXISTS t_bkt_model_bands")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_model_shingles")

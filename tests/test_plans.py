@@ -340,3 +340,60 @@ def test_registry_sweep_no_unreviewed_scale_flags(spark):
         if f:
             flagged[name] = f
     assert flagged == _SCALE_FLAG_ALLOWLIST
+
+
+def test_admission_bucketed_model_static_side_never_shuffles(spark):
+    """The pre-bucketed frozen-model lever (minhash_band_model_bucketed):
+    under the admission join's exact keys, the bucketed band table's
+    scan must feed the join with NO Exchange above it — only the
+    arriving (micro-batch) side shuffles, so the per-trigger cost is
+    trigger-sized, not store-sized. Broadcast is disabled so the tiny
+    test corpus exercises the layout SMJ path the real store would use."""
+    from pyspark.sql import functions as F
+
+    from chronobase_spark import catalog
+    from chronobase_spark.dedup import minhash
+
+    docs = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .filter("text IS NOT NULL")
+        .limit(150)
+    )
+    bands_b, _sh_b = minhash.minhash_band_model_bucketed(
+        docs, table_prefix="t_bkt_plan", buckets=4
+    )
+    arr = minhash.md5_band_table(docs.limit(25)).select(
+        "doc", "band_id", "band_val"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = arr.join(
+            bands_b.select(F.col("doc").alias("cand"), "band_id", "band_val"),
+            ["band_id", "band_val"],
+            "left",
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            ln for ln in plan.splitlines() if "t_bkt_plan_bands" in ln
+        ]
+        assert scan_lines and all(
+            "Bucketed: true" in ln for ln in scan_lines
+        ), plan
+        # exactly one exchange on the BAND keys in the whole join — the
+        # arriving side's (the arriving subtree also exchanges on doc
+        # while building its own signature, which is fine: it is
+        # trigger-sized). A second band-key exchange would mean the
+        # store re-shuffles per trigger, the exact cost the layout
+        # removes.
+        hash_ex = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "band_val" in ln
+        ]
+        assert len(hash_ex) == 1, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_plan_bands")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_plan_shingles")
