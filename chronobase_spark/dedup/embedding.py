@@ -227,6 +227,37 @@ def semantic_cell_model(
     )
 
 
+def semantic_cell_model_bucketed(
+    df: DataFrame,
+    table_prefix: str = "chrono_semantic_model",
+    buckets: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cell_size: int = 32,
+    max_planes: int = 16,
+) -> tuple[DataFrame, int]:
+    """``semantic_cell_model_scaled`` persisted as a BUCKETED TABLE on
+    the admission join's exact key (``cell``) — the embedding member
+    of the pre-bucketed frozen-model lever (see dedup.minhash.
+    minhash_band_model_bucketed for the measurement: identical
+    verdicts, no per-trigger store exchange, the only form that works
+    when the store outgrows executor memory). Returns ``(cells, k)``
+    like the scaled builder; pass ``num_planes=k`` to
+    semantic_admit_stage. The scaled quantizer stays the default here
+    for the same reason it is in memory: a growing store must keep
+    per-arrival verify fan-out constant."""
+    from chronobase_spark.sources.writers import write_bucketed
+
+    spark = df.sparkSession
+    cells, k = semantic_cell_model_scaled(
+        df, vec_col, id_col, target_cell_size, max_planes
+    )
+    name = f"{table_prefix}_cells"
+    write_bucketed(cells, name, "cell", buckets, sort_col="cell")
+    cells.unpersist()
+    return spark.table(name), k
+
+
 def semantic_cell_model_scaled(
     df: DataFrame,
     vec_col: str = "embedding",

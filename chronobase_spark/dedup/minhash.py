@@ -277,34 +277,24 @@ def minhash_band_model_bucketed(
     default in-memory catalog scopes them to the session — rebuild on
     restart, same as re-persisting); same (bands, rows_per_band, n)
     contract as minhash_band_model."""
+    from chronobase_spark.sources.writers import write_bucketed
+
     spark = docs.sparkSession
     band_name = f"{table_prefix}_bands"
     sh_name = f"{table_prefix}_shingles"
-    for name in (band_name, sh_name):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        # the default in-memory catalog forgets tables at session end
-        # but their managed locations persist — a stale location fails
-        # saveAsTable with LOCATION_ALREADY_EXISTS, so clear it
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        p = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{name}")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(p):
-            fs.delete(p, True)
-    (
-        md5_band_table(docs, text_col, id_col, bands, rows_per_band, n)
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(buckets, "band_id", "band_val")
-        .sortBy("band_id", "band_val")
-        .saveAsTable(band_name)
+    write_bucketed(
+        md5_band_table(docs, text_col, id_col, bands, rows_per_band, n),
+        band_name,
+        ["band_id", "band_val"],
+        buckets,
+        sort_col=["band_id", "band_val"],
     )
-    (
-        shingle_table(docs, text_col, id_col, n)
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(buckets, "doc")
-        .sortBy("doc")
-        .saveAsTable(sh_name)
+    write_bucketed(
+        shingle_table(docs, text_col, id_col, n),
+        sh_name,
+        "doc",
+        buckets,
+        sort_col="doc",
     )
     return spark.table(band_name), spark.table(sh_name)
 

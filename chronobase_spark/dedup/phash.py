@@ -91,6 +91,34 @@ def phash_band_model(
     return dhash_chunk_table(docs, text_col, id_col).persist()
 
 
+def phash_band_model_bucketed(
+    docs: DataFrame,
+    table_prefix: str = "chrono_phash_model",
+    buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``phash_band_model`` persisted as a BUCKETED TABLE on the
+    admission join's exact keys (``chunk_id, chunk_val``) — the image
+    member of the pre-bucketed frozen-model lever (see dedup.minhash.
+    minhash_band_model_bucketed for the measurement: identical
+    verdicts, no per-trigger store exchange, the only form that works
+    when the store outgrows executor memory). Decode runs ONCE at
+    write time; per trigger only the arriving payloads decode."""
+    from chronobase_spark.sources.writers import write_bucketed
+
+    spark = docs.sparkSession
+    name = f"{table_prefix}_chunks"
+    write_bucketed(
+        dhash_chunk_table(docs, text_col, id_col),
+        name,
+        ["chunk_id", "chunk_val"],
+        buckets,
+        sort_col=["chunk_id", "chunk_val"],
+    )
+    return spark.table(name)
+
+
 def phash_near_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -50,19 +50,34 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int = 8,
-    sort_col: str | None = None,
+    sort_col: str | list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Bucketed catalog table: pre-shuffled on ``bucket_col`` at write
     time so joins/aggregations on that key read co-located buckets and
     skip the runtime Exchange entirely — the 100 TB answer for a fact
     table joined on the same key every day (pay the shuffle once, at
-    ingest). Bucket counts must match across co-joined tables."""
-    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    ingest). Bucket counts must match across co-joined tables, and the
+    bucket columns must EQUAL the join's equi-keys (Spark v1 bucketing
+    ignores a subset layout — measured in dedup.minhash's bucketed
+    admission model). A stale managed location from a previous session
+    (the default in-memory catalog forgets tables; their files
+    persist) is cleared first so overwrite never dies with
+    LOCATION_ALREADY_EXISTS."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    p = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+    writer = df.write.mode(mode).bucketBy(n_buckets, cols[0], *cols[1:])
     if sort_col is not None:
-        writer = writer.sortBy(sort_col)
+        s = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        writer = writer.sortBy(s[0], *s[1:])
     writer.saveAsTable(table_name)
 
 

@@ -838,6 +838,22 @@ def run_phash_mutated(spark, factor: int) -> dict:
         wall = dt if wall is None else min(wall, dt)
         spark.catalog.clearCache()
     n_pairs = q._REGISTRY["phash_near_pairs"][0](spark, sf_dir).count()
+    # the image admission twin on the same raster fixture: same decode
+    # and chunk-join axes, plus the md5 arriving/stored split and the
+    # per-arrival verdict join (r15)
+    adm_wall = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        q._REGISTRY["phash_admission_report"][0](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        adm_wall = dt if adm_wall is None else min(adm_wall, dt)
+        spark.catalog.clearCache()
+    adm = q._REGISTRY["phash_admission_report"][0](spark, sf_dir)
+    n_admitted = adm.count()
+    n_dup = adm.filter("dup_of_corpus").count()
+    spark.catalog.clearCache()
     return {
         "factor": factor,
         "n_docs": n_docs,
@@ -847,6 +863,9 @@ def run_phash_mutated(spark, factor: int) -> dict:
         "mean_bucket": round(float(bstats["mean_bucket"]), 2),
         "p99_bucket": bstats["p99_bucket"],
         "phash_near_pairs": round(wall, 2),
+        "phash_admission_report": round(adm_wall, 2),
+        "n_arrivals": n_admitted,
+        "n_dup_verdicts": n_dup,
     }
 
 
@@ -1338,12 +1357,19 @@ def semantic_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
     return out
 
 
-def run_mutated(spark, factor: int, stages=R11_STAGES) -> dict:
+def run_mutated(
+    spark, factor: int, stages=R11_STAGES, with_embeddings: bool = False
+) -> dict:
     """Min-of-2 fresh-session passes of the registered pair-join
-    queries over the mutation fixture (run_factor methodology)."""
+    queries over the mutation fixture (run_factor methodology).
+    ``with_embeddings`` adds the rotated-universe embeddings fixture
+    (mutated_embeddings_into) for stages that read the embeddings
+    table — pass ``emb=1`` on the --r11 CLI."""
     from chronobase_spark import queries as q
 
     sf_dir = mutated_documents_dir(spark, factor)
+    if with_embeddings:
+        mutated_embeddings_into(spark, factor, sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     merged: dict[str, float] = {}
     for _rep in range(2):
@@ -1742,6 +1768,10 @@ def main():
         if args and args[0].startswith("stages="):
             stages = tuple(args[0][len("stages="):].split(","))
             args = args[1:]
+        with_emb = False
+        if args and args[0] == "emb=1":
+            with_emb = True
+            args = args[1:]
         factors = [int(a) for a in args] or [1, 16, 64]
         SCRATCH.mkdir(parents=True, exist_ok=True)
         rows = []
@@ -1749,7 +1779,7 @@ def main():
             spark = get_spark(
                 app_name=f"r11-mutation-probe-x{factor}", shuffle_partitions=32
             )
-            rows.append(run_mutated(spark, factor, stages))
+            rows.append(run_mutated(spark, factor, stages, with_emb))
             print(f"factor {factor}: {rows[-1]}", flush=True)
             spark.stop()
         base, last = rows[0], rows[-1]

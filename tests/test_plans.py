@@ -397,3 +397,91 @@ def test_admission_bucketed_model_static_side_never_shuffles(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bkt_plan_bands")
         spark.sql("DROP TABLE IF EXISTS t_bkt_plan_shingles")
+
+
+def test_bucketed_model_semantic_and_phash_members(spark):
+    """The embedding and image members of the pre-bucketed lever:
+    each bucketed model must (a) carry exactly the in-memory model's
+    rows and (b) feed the admission-shaped join with a single
+    join-key Exchange — the arriving side's — while its own scan
+    stays exchange-free."""
+    from pyspark.sql import functions as F
+
+    from chronobase_spark import catalog
+    from chronobase_spark.dedup import embedding as emb
+    from chronobase_spark.dedup import phash
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # --- semantic member ---
+        vecs = catalog.table(spark, SF_SMOKE, "embeddings")
+        cells_m, k_m = emb.semantic_cell_model_scaled(vecs)
+        cells_b, k_b = emb.semantic_cell_model_bucketed(
+            vecs, table_prefix="t_bkt_sem", buckets=4
+        )
+        assert k_b == k_m
+        assert {(r["vid"], r["cell"]) for r in cells_b.collect()} == {
+            (r["vid"], r["cell"]) for r in cells_m.collect()
+        }
+        arr = vecs.limit(20).select(
+            "vec_id",
+            emb.lsh_signature(
+                F.col("embedding"), emb.hyperplanes(k_b)
+            ).alias("cell"),
+        )
+        j = arr.join(cells_b.select("vid", "cell"), "cell")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert all(
+            "Bucketed: true" in ln
+            for ln in plan.splitlines()
+            if "t_bkt_sem_cells" in ln
+        ), plan
+        cell_ex = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning(cell" in ln
+        ]
+        assert len(cell_ex) == 1, plan
+        cells_m.unpersist()
+
+        # --- image member ---
+        docs = (
+            catalog.table(spark, SF_SMOKE, "documents")
+            .filter(
+                "text IS NOT NULL AND "
+                f"octet_length(encode(text, 'UTF-8')) >= {phash.MIN_PAYLOAD_BYTES}"
+            )
+            .limit(80)
+        )
+        chunks_m = phash.phash_band_model(docs)
+        chunks_b = phash.phash_band_model_bucketed(
+            docs, table_prefix="t_bkt_ph", buckets=4
+        )
+        assert {tuple(r) for r in chunks_b.collect()} == {
+            tuple(r) for r in chunks_m.collect()
+        }
+        arr2 = chunks_m.limit(30).select("doc", "chunk_id", "chunk_val")
+        j2 = arr2.join(
+            chunks_b.select(
+                F.col("doc").alias("cand"), "chunk_id", "chunk_val"
+            ),
+            ["chunk_id", "chunk_val"],
+        )
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert all(
+            "Bucketed: true" in ln
+            for ln in plan2.splitlines()
+            if "t_bkt_ph_chunks" in ln
+        ), plan2
+        chunk_ex = [
+            ln
+            for ln in plan2.splitlines()
+            if "Exchange hashpartitioning" in ln and "chunk_val" in ln
+        ]
+        assert len(chunk_ex) == 1, plan2
+        chunks_m.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_sem_cells")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_ph_chunks")
