@@ -2420,3 +2420,69 @@ def test_streaming_semantic_admit_matches_batch_pairs(spark, tmp_path):
     assert n_dup >= 1 and n_dup < len(fresh_ids)
     assert got[999991] == (False, None)  # NULL embedding: verdict, no match
     corpus_cells.unpersist()
+
+
+def test_minhash_admit_bucketed_model_drains_identically(spark, tmp_path):
+    """The pre-bucketed on-disk frozen model (minhash_band_model_
+    bucketed) must be a pure LAYOUT change: the same arrivals drained
+    against the persisted model and against the bucketed tables must
+    produce byte-identical verdict sets — dup flags, canonicals, and
+    window bounds. (The plan-level property — no static-side exchange
+    — is pinned in test_plans; the scale measurement in SCALING.md
+    r15.)"""
+    from chronobase_spark.dedup import minhash
+    from chronobase_spark.streaming import docs as docstream
+
+    base = catalog.table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    frozen = base.filter(F.col("doc_id") % 5 != 0)
+    arrivals = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .limit(15)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        )
+    )
+    flush = spark.createDataFrame(
+        [(999990, "flush row", "xx", "synthetic", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000 + 10_000_000))
+    )
+    src = str(tmp_path / "src")
+    arrivals.unionByName(flush).repartition(2).write.parquet(src)
+
+    def drain(bands, shingles, tag):
+        sink = str(tmp_path / f"sink_{tag}")
+        q = (
+            docstream.minhash_admit_stage(
+                docstream.read_document_stream(spark, src), bands, shingles
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    bands_m, sh_m = minhash.minhash_band_model(frozen)
+    try:
+        got_mem = drain(bands_m, sh_m, "mem")
+    finally:
+        bands_m.unpersist()
+        sh_m.unpersist()
+    bands_b, sh_b = minhash.minhash_band_model_bucketed(
+        frozen, table_prefix="t_bkt_drain", buckets=4
+    )
+    try:
+        got_bkt = drain(bands_b, sh_b, "bkt")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_drain_bands")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_drain_shingles")
+    assert got_mem, "drain must produce verdicts"
+    assert got_bkt == got_mem
