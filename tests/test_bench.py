@@ -185,3 +185,57 @@ def test_fit_line_survives_large_error_dict():
     parsed = json.loads(s)
     assert len([k for k in parsed["errors"] if k != "..."]) == 3
     assert "57 more" in parsed["errors"]["..."]
+
+
+def test_trend_skips_baseline_identical_to_current(tmp_path, monkeypatch):
+    """Right after a driver drop, the newest BENCH_r{N} IS the current
+    run (the driver records its own bench as both) — the guard must
+    fall through to the previous round instead of vacuously comparing
+    the run to itself (r14 verdict defect). Here r6 == current with a
+    3x regression vs r5: a self-compare would pass; the fixed guard
+    must reach r5 and fail."""
+    bt, cur = _trend_fixture(
+        tmp_path, monkeypatch, base_round=5,
+        cur_queries={"q_slow": 3.0}, base_queries={"q_slow": 1.0},
+        intentional={},
+    )
+    import json as _json
+
+    (tmp_path / "BENCH_r06.json").write_text(
+        _json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": 3.0,
+                "unit": "sec",
+                "queries": {"q_slow": 3.0},
+                "sf": 0.1,
+            }
+        )
+    )
+    assert bt.main(cur) == 1  # compared against r5, not itself
+
+
+def test_trend_max_round_caps_baseline(tmp_path, monkeypatch):
+    """--max-round pins the baseline to an explicit round even when
+    newer artifacts exist (judge-side round-over-round diffing)."""
+    bt, cur = _trend_fixture(
+        tmp_path, monkeypatch, base_round=5,
+        cur_queries={"q_slow": 3.0}, base_queries={"q_slow": 1.0},
+        intentional={},
+    )
+    import json as _json
+
+    (tmp_path / "BENCH_r06.json").write_text(
+        _json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": 3.5,
+                "unit": "sec",
+                "queries": {"q_slow": 3.5},
+                "sf": 0.1,
+            }
+        )
+    )
+    # vs r6 (3.5 -> 3.0) fine; capped at r5 (1.0 -> 3.0) must fail
+    assert bt.main(cur) == 0
+    assert bt.main(cur, max_round=5) == 1
