@@ -686,8 +686,11 @@ def minhash_admit_stage(
     levers at 100 TB are (1) the frozen store is DEDUPED — each
     arrival matches ~1 stored canonical, not a clique (the probe
     measures both shapes: SCALING.md r14 intake rows minhash vs
-    minhash_dd), (2) amortize the static scan with larger triggers
-    (maxFilesPerTrigger), (3) pre-bucket the model on the exact join
+    minhash_dd), (2) amortize per-trigger costs with larger triggers
+    (maxFilesPerTrigger) — measured r15: ~10× drain wall from batching
+    32 triggers into 1 at a fixed ~1.7 s/trigger (SCALING.md
+    trigger-amortization table; same verdicts at every trigger size),
+    (3) pre-bucket the model on the exact join
     keys on disk (dedup.minhash.minhash_band_model_bucketed) so the
     static side's scan already satisfies the join's distribution and
     the per-trigger store EXCHANGE disappears — measured r15

@@ -1164,6 +1164,83 @@ def _drain_minhash_admit(
     return drain_s, n_dup
 
 
+def minhash_admit_trigger_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """Lever 2 of the admission stage (larger triggers amortize the
+    per-trigger static-side scan), measured: the SAME arrivals written
+    as 32 source files, drained against the SAME frozen store with
+    maxFilesPerTrigger 1 / 8 / 32 — i.e. 32, 4, and 1 micro-batches.
+    Every micro-batch re-reads the corpus-sized static model, so the
+    expected shape is drain wall ≈ n_triggers × static-scan cost +
+    arrival work; the ratio between the columns IS the lever. Store
+    fixed at ``factor`` (use 16/64 to make the static scan visible)."""
+    from chronobase_spark.streaming import docs as docstream
+
+    sf_dir = mutated_documents_dir(spark, factor)
+    frozen = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_frozen = frozen.count()
+    bands, sh = minhash.minhash_band_model(frozen)
+    bands.count(), sh.count()
+    src, n_arrivals = _tagged_admit_src(spark, tmp_root, f"tr_x{factor}")
+    # re-write the feed as 32 files so maxFilesPerTrigger controls the
+    # trigger count exactly — and flatten every non-flush arrival onto
+    # ONE event-time instant. The first cut kept the fixture's spread
+    # timestamps (1.7e9 + doc_id, a 5000 s span) with randomly
+    # partitioned files: under small triggers the watermark advanced
+    # past unordered later files and DROPPED their rows as late data
+    # (measured: 916/3007/5000 dup verdicts at mf 1/8/32 on the same
+    # feed) — correct watermark semantics, but a replay-order confound
+    # in a probe that must compare EQUAL work per column. (Operational
+    # note this run pins: replaying history through small triggers
+    # needs event-time-ordered files or a widened watermark.)
+    src32 = tmp_root / f"admit_src32_x{factor}"
+    feed = spark.read.parquet(src).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000))
+    )
+    feed.filter(F.col("doc_id") != 999_999_999).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(str(src32))
+    # the flush row goes in as its OWN later-mtime file so the file
+    # source (oldest-first) processes it in the FINAL trigger — placed
+    # mid-feed it would fast-forward the watermark and lateness-drop
+    # every arrival after it
+    time.sleep(1.1)
+    spark.read.parquet(src).filter(
+        F.col("doc_id") == 999_999_999
+    ).coalesce(1).write.mode("append").parquet(str(src32))
+    out: dict = {
+        "factor": factor,
+        "n_frozen": n_frozen,
+        "n_arrivals": n_arrivals,
+    }
+    for max_files in (1, 8, 32):
+        sink = tmp_root / f"tr_sink_{max_files}_x{factor}"
+        ckpt = tmp_root / f"tr_ckpt_{max_files}_x{factor}"
+        t0 = time.perf_counter()
+        q = (
+            docstream.minhash_admit_stage(
+                docstream.read_document_stream(
+                    spark, str(src32), max_files=max_files
+                ),
+                bands,
+                sh,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(3600)
+        dt = time.perf_counter() - t0
+        n_dup = spark.read.parquet(str(sink)).filter("dup_of_corpus").count()
+        out[f"drain_s_mf{max_files}"] = round(dt, 2)
+        out[f"dup_mf{max_files}"] = n_dup
+    bands.unpersist()
+    sh.unpersist()
+    return out
+
+
 def minhash_admit_bucketed_probe(spark, factor: int, tmp_root: Path) -> dict:
     """The pre-bucketed frozen-model lever (minhash_admit_stage
     docstring, lever 3), measured: the SAME arrival drain against the
@@ -1203,6 +1280,10 @@ def minhash_admit_bucketed_probe(spark, factor: int, tmp_root: Path) -> dict:
     bucket_drain_s, bucket_dup = _drain_minhash_admit(
         spark, bands_b, sh_b, src, tmp_root, f"bkt_x{factor}"
     )
+    # drop the bucketed tables so the (gitignored) warehouse dir does
+    # not accumulate orphan model files across probe sessions
+    for t in (f"admit_model_x{factor}_bands", f"admit_model_x{factor}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
     return {
         "factor": factor,
@@ -1843,6 +1924,25 @@ def main():
                 f"semantic_admit {mode}: {last['factor']}x store -> "
                 f"{last[f'{mode}_drain_s'] / max(base[f'{mode}_drain_s'], 1e-9):.1f}x wall"
             )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--admit-triggers"]:
+        factors = [int(a) for a in sys.argv[2:]] or [16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"admit-trigger-probe-x{factor}",
+                shuffle_partitions=32,
+            )
+            tmp_root = SCRATCH / f"admit_tr_x{factor}"
+            tmp_root.mkdir(parents=True, exist_ok=True)
+            print(
+                f"factor {factor}: "
+                f"{minhash_admit_trigger_probe(spark, factor, tmp_root)}",
+                flush=True,
+            )
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            spark.stop()
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     if sys.argv[1:2] == ["--admit-bucketed"]:
