@@ -1677,6 +1677,13 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
     _mh_bands, _mh_shingles = minhash.minhash_band_model(docs)
     _dd = docs.dropDuplicates(["text"])
     _mh_bands_dd, _mh_shingles_dd = minhash.minhash_band_model(_dd)
+    # the production 100 TB shape: deduped store AND the bucketed
+    # on-disk model (no per-trigger static exchange, nothing pinned in
+    # executor memory) — the layout SCALING.md r15 measures standalone,
+    # here composed under the full intake stack
+    _mh_bands_bkt, _mh_shingles_bkt = minhash.minhash_band_model_bucketed(
+        _dd, table_prefix=f"intake_bkt_x{factor}"
+    )
     pipelines = [
         ("decode", lambda s: s),
         ("pii", docstream.pii_scrub_stage),
@@ -1733,6 +1740,18 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
             ),
         ),
         (
+            "minhash_dd_bkt",
+            lambda s: docstream.minhash_admit_stage(
+                docstream.content_dedup(
+                    docstream.datacard_stage(
+                        docstream.template_stage(docstream.pii_scrub_stage(s))
+                    )
+                ),
+                _mh_bands_bkt,
+                _mh_shingles_bkt,
+            ),
+        ),
+        (
             "topq",
             lambda s: docstream.topq_histogram_stage(
                 docstream.content_dedup(
@@ -1763,6 +1782,8 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
         out[f"{name}_rows_s"] = int(n_docs / dt)
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+    for t in (f"intake_bkt_x{factor}_bands", f"intake_bkt_x{factor}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     return out
 
 
