@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -1224,4 +1225,186 @@ def dsir_admit_stage(
             F.col("n_grams"),
             F.lit(float(m)),
         ).alias("accepted"),
+    )
+
+
+def weighted_sample_stage(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """In-stream importance-weighted thinning — the streaming twin of
+    the batch ``quality_weighted_sample`` accept test, completing the
+    Bernoulli member of the selection family's admission surface
+    (rate-controlled soft quality filtering at intake; the fixed-k
+    member is reservoir_admit_stage). The keep probability is
+    proportional to the arriving doc's OWN lexical diversity
+    (p = min(distinct_tokens, 64)/64), decided by the batch query's
+    LITERAL pure-BIGINT cross-multiplication on the content-free md5
+    doc_id bucket — a pure function of the row, so this is a map-only
+    SELECT: no state, no watermark, no shuffle, and a drained stream's
+    flags equal the batch flags row-for-row (pinned in
+    tests/test_streaming.py). NULL text keeps n_distinct = 0 ⇒
+    keep = false (p = 0 — nothing to sample), the admission
+    contract's explicit NULL arm."""
+    n_distinct = text.space_distinct_tokens(
+        F.coalesce(F.col(text_col), F.lit(""))
+    ).cast("bigint")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    keep = bucket * 64 < F.least(n_distinct, F.lit(64)) * 65536
+    return stream.select(
+        "doc_id",
+        "ingest_ts",
+        F.col("source"),
+        n_distinct.alias("n_distinct"),
+        keep.alias("keep"),
+    )
+
+
+RESERVOIR_K = 100
+
+
+def reservoir_admit_stage(
+    stream: DataFrame,
+    k: int = RESERVOIR_K,
+    window_seconds: int = 86_400,
+) -> DataFrame:
+    """Fixed-budget weighted selection AT INTAKE — the streaming twin
+    of the batch ``weighted_reservoir_sample`` (Efraimidis-Spirakis
+    A-ES: rank by round(ln(u)/w, 6) with the md5-deterministic u, top
+    k ARE a weighted sample without replacement), completing the
+    selection family's last admission member: a custom BOUNDED-STATE
+    stateful operator (applyInPandasWithState), state = at most k
+    (doc_id, source, wt, wrs_key) rows per window — the reservoir
+    itself, nothing corpus-sized.
+
+    Emission contract: every micro-batch that improves a window's
+    reservoir re-emits the CURRENT top-k (append output — file sinks
+    reject update mode — so the sink accumulates candidate rows). Because reservoir
+    membership is MONOTONE — a row in the window's final top-k beats
+    all but < k rows of the whole window, so it entered the state in
+    its arrival batch and was emitted — the drain-time
+    ``finalize_reservoir`` (dedup + top-k over the sink) recovers
+    EXACTLY the batch query's answer over the window's rows (pinned
+    drained-equal in tests/test_streaming.py). The deterministic md5 u
+    makes stream and batch rank identical rows identically.
+
+    Scale: state is k rows per ACTIVE window; each batch does one
+    vectorized pandas merge per window group. Windows here are
+    processing-independent id-derived buckets of ``ingest_ts``
+    (a plain group key — the stateful API needs a flat column);
+    watermarking is the sink reader's concern since state is bounded
+    by construction."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("window_start", TimestampType()),
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("wt", LongType()),
+            StructField("wrs_key", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("doc_ids", ArrayType(LongType())),
+            StructField("sources", ArrayType(StringType())),
+            StructField("wts", ArrayType(LongType())),
+            StructField("keys", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        win = key[0]
+        if state.exists:
+            doc_ids, sources, wts, keys = state.get
+            cur = pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "source": sources,
+                    "wt": wts,
+                    "wrs_key": keys,
+                }
+            )
+        else:
+            cur = pd.DataFrame(
+                columns=["doc_id", "source", "wt", "wrs_key"]
+            )
+        batches = [cur] + [
+            pdf[["doc_id", "source", "wt", "wrs_key"]] for pdf in pdfs
+        ]
+        merged = pd.concat(batches, ignore_index=True)
+        # the batch query's exact cut: key desc, doc_id asc tie-break
+        merged = (
+            merged.sort_values(
+                ["wrs_key", "doc_id"], ascending=[False, True]
+            )
+            .drop_duplicates("doc_id")
+            .head(k)
+        )
+        state.update(
+            (
+                [int(x) for x in merged["doc_id"]],
+                [str(x) for x in merged["source"]],
+                [int(x) for x in merged["wt"]],
+                [float(x) for x in merged["wrs_key"]],
+            )
+        )
+        out = merged.copy()
+        out.insert(0, "window_start", win)
+        yield out
+
+    wt = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#wrs"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    keyed = stream.select(
+        F.timestamp_seconds(
+            (F.unix_timestamp("ingest_ts") / window_seconds).cast("bigint")
+            * window_seconds
+        ).alias("window_start"),
+        "doc_id",
+        "source",
+        wt.alias("wt"),
+        F.round(F.log(u) / wt, 6).alias("wrs_key"),
+    )
+    return keyed.groupBy("window_start").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_reservoir(
+    sink: DataFrame, k: int = RESERVOIR_K
+) -> DataFrame:
+    """The exact per-window reservoir from drained
+    ``reservoir_admit_stage`` emissions: dedup the accumulated
+    candidate rows (update-mode re-emissions repeat survivors) and
+    take the final top-k by (wrs_key desc, doc_id) per window — by
+    the monotone-membership argument in the stage docstring this
+    EQUALS the batch A-ES top-k over the window's rows. A bounded
+    batch projection: |windows|·k·re-emissions input rows, one
+    window-keyed ranking."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("wrs_key").desc(), F.col("doc_id")
+    )
+    return (
+        sink.dropDuplicates(["window_start", "doc_id"])
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
     )

@@ -2486,3 +2486,128 @@ def test_minhash_admit_bucketed_model_drains_identically(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_bkt_drain_shingles")
     assert got_mem, "drain must produce verdicts"
     assert got_bkt == got_mem
+
+
+def test_weighted_sample_stage_matches_batch_flags(spark, tmp_path):
+    """In-stream importance-weighted thinning: a drained stream's keep
+    flags must equal the batch quality_weighted_sample accept test
+    row-for-row (same literal BIGINT cross-multiplication), including
+    the NULL-text arrival (n_distinct 0 => keep false)."""
+    from chronobase_spark.streaming import docs as docstream
+
+    base = catalog.table(spark, SF_SMOKE, "documents").limit(80)
+    feed = base.withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+    )
+    null_row = spark.createDataFrame(
+        [(999993, None, "xx", "synthetic", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("ingest_ts", F.timestamp_seconds(F.lit(1700000000)))
+    src = str(tmp_path / "ws_src")
+    feed.unionByName(null_row).repartition(2).write.parquet(src)
+    sink = str(tmp_path / "ws_sink")
+    q = (
+        docstream.weighted_sample_stage(
+            docstream.read_document_stream(spark, src)
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ws_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_distinct"], r["keep"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    from chronobase_spark.functions import text as _text
+
+    nd = _text.space_distinct_tokens(
+        F.coalesce(F.col("text"), F.lit(""))
+    ).cast("bigint")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    expected = {
+        r["doc_id"]: (r["nd"], r["keep"])
+        for r in base.unionByName(null_row.drop("ingest_ts"))
+        .select(
+            "doc_id",
+            nd.alias("nd"),
+            (bucket * 64 < F.least(nd, F.lit(64)) * 65536).alias("keep"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert got[999993] == (0, False)
+    kept = {d for d, (_, k) in got.items() if k}
+    assert kept and len(kept) < len(got)  # both arms exercised
+
+
+def test_reservoir_admit_finalize_equals_batch_topk(spark, tmp_path):
+    """Fixed-budget weighted selection at intake: drain the corpus
+    through reservoir_admit_stage in MULTIPLE micro-batches (state
+    must merge across triggers), finalize the sink, and the result
+    must equal the batch Efraimidis-Spirakis top-k over the same rows
+    — the monotone-membership argument made executable."""
+    from chronobase_spark.streaming import docs as docstream
+
+    k = 25
+    base = catalog.table(spark, SF_SMOKE, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    feed = base.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000))
+    )
+    src = str(tmp_path / "rv_src")
+    feed.repartition(4).write.parquet(src)
+    sink = str(tmp_path / "rv_sink")
+    q = (
+        docstream.reservoir_admit_stage(
+            docstream.read_document_stream(spark, src, max_files=1), k=k
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "rv_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = docstream.finalize_reservoir(spark.read.parquet(sink), k=k)
+    got = {
+        (r["doc_id"], r["source"], r["wt"], r["wrs_key"])
+        for r in final.collect()
+    }
+    wt = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("#wrs"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    expected = {
+        (r["doc_id"], r["source"], r["wt"], r["wrs_key"])
+        for r in base.select(
+            "doc_id",
+            "source",
+            wt.alias("wt"),
+            F.round(F.log(u) / wt, 6).alias("wrs_key"),
+        )
+        .orderBy(F.col("wrs_key").desc(), "doc_id")
+        .limit(k)
+        .collect()
+    }
+    assert len(got) == k
+    assert got == expected
