@@ -44,6 +44,25 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.get(F.transform(F.array(tokens(text)), grams_of), 0)
 
 
+def decontam_model(
+    benchmark: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Freeze the BENCHMARK shingle set for streaming decontamination
+    admission (streaming/docs.decontam_admit_stage): the distinct
+    n-gram shingles of the eval suite, persisted — re-read every
+    micro-batch as the static side of a stream-static join, and small
+    by nature (eval suites, not corpora), so Catalyst broadcasts it.
+    The shingle expression is contamination_overlap's LITERAL one
+    (one definition, so intake collides on exactly the grams the
+    batch sweep counts). Callers own the cache's lifetime (unpersist
+    on benchmark refresh — the minhash_band_model convention)."""
+    return (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+        .persist()
+    )
+
+
 def contamination_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

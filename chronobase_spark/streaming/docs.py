@@ -1408,3 +1408,67 @@ def finalize_reservoir(
         .filter(F.col("_r") <= k)
         .drop("_r")
     )
+
+
+def decontam_admit_stage(
+    stream: DataFrame,
+    bench_shingles: DataFrame,
+    text_col: str = "text",
+    min_overlap: int = 3,
+    watermark: str = "10 minutes",
+    window: str | None = None,
+) -> DataFrame:
+    """Is this ARRIVING document contaminated by the FROZEN eval
+    benchmark? — test-set decontamination AT INTAKE, the admission
+    form of the batch ``decontam_overlap`` sweep (the GPT-3/PaLM-style
+    n-gram collision rule, applied before a doc ever enters the
+    store instead of as a pre-training batch pass). Not a near-dup
+    modality duplicate (this module's boundary note): the question is
+    benchmark LEAKAGE against a frozen reference set, not similarity
+    within the corpus.
+
+    Mechanics: the arriving doc's distinct 3-gram shingles (the batch
+    sweep's LITERAL dedup.ngram.shingles expression) explode_outer and
+    LEFT-join stream-static against the frozen benchmark shingle set
+    from dedup.ngram.decontam_model — stateless, no state store, and
+    the static side is an EVAL SUITE: small by nature, so unlike the
+    near-dup admission models Catalyst broadcasts it and the arriving
+    rows never shuffle for the join. The per-doc verdict is a windowed
+    streaming aggregation: n_overlap = count of matched distinct
+    shingles, contaminated = n_overlap ≥ min_overlap. Two scalars of
+    state per in-flight doc, watermark-evicted.
+
+    Drained verdicts over a fresh×frozen-benchmark split equal the
+    batch ``contamination_overlap`` rows (contaminated docs carry the
+    same n_overlap; clean and shingle-less arrivals report (0, false)
+    — every arrival gets a verdict, the admission contract the batch
+    HAVING-filtered list does not provide). Pinned in
+    tests/test_streaming.py."""
+    from chronobase_spark.dedup.ngram import shingles as _shingles
+
+    if window is None:
+        window = watermark
+    exploded = (
+        stream.withWatermark("ingest_ts", watermark)
+        .select(
+            "doc_id",
+            "ingest_ts",
+            F.explode_outer(_shingles(F.col(text_col))).alias("sh"),
+        )
+    )
+    matched = exploded.join(
+        bench_shingles.select(F.col("sh"), F.lit(1).alias("_hit")),
+        "sh",
+        "left",
+    )
+    agg = matched.groupBy(F.window("ingest_ts", window), "doc_id").agg(
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overlap")
+    )
+    return agg.select(
+        "window",
+        "doc_id",
+        "n_overlap",
+        (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+    )

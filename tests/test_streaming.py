@@ -2611,3 +2611,65 @@ def test_reservoir_admit_finalize_equals_batch_topk(spark, tmp_path):
     }
     assert len(got) == k
     assert got == expected
+
+
+def test_decontam_admit_matches_batch_overlap(spark, tmp_path):
+    """Intake decontamination: drained verdicts must carry the batch
+    contamination_overlap counts for contaminated arrivals, and a
+    (0, false) verdict for clean and shingle-less arrivals — every
+    arrival verdicts, unlike the batch HAVING-filtered list."""
+    from chronobase_spark.dedup import ngram
+    from chronobase_spark.streaming import docs as docstream
+
+    base = catalog.table(spark, SF_SMOKE, "documents")
+    benchmark = base.filter(F.col("source") == "src0")
+    arrivals_base = base.filter(
+        (F.col("source") != "src0") & F.col("text").isNotNull()
+    ).limit(60)
+    bench_sh = ngram.decontam_model(benchmark)
+    expected_rows = {
+        r["doc_id"]: r["n_overlap"]
+        for r in ngram.contamination_overlap(
+            arrivals_base, benchmark, min_overlap=3
+        ).collect()
+    }
+    null_row = spark.createDataFrame(
+        [(999994, None, "xx", "synthetic", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feed = arrivals_base.unionByName(null_row).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000))
+    )
+    flush = spark.createDataFrame(
+        [(999995, "flush row", "xx", "synthetic", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000 + 10_000_000))
+    )
+    src = str(tmp_path / "dc_src")
+    feed.unionByName(flush).repartition(2).write.parquet(src)
+    sink = str(tmp_path / "dc_sink")
+    q = (
+        docstream.decontam_admit_stage(
+            docstream.read_document_stream(spark, src), bench_sh
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "dc_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in spark.read.parquet(sink).collect()
+        if r["doc_id"] != 999995
+    }
+    bench_sh.unpersist()
+    arrival_ids = {r["doc_id"] for r in arrivals_base.select("doc_id").collect()}
+    assert set(got) == arrival_ids | {999994}  # every arrival verdicts
+    assert got[999994] == (0, False)  # NULL text: no shingles, clean
+    contaminated = {d: n for d, (n, c) in got.items() if c}
+    assert contaminated == expected_rows  # counts match batch exactly
+    assert contaminated and len(contaminated) < len(got)  # both arms
