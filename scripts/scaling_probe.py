@@ -1684,6 +1684,12 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
     _mh_bands_bkt, _mh_shingles_bkt = minhash.minhash_band_model_bucketed(
         _dd, table_prefix=f"intake_bkt_x{factor}"
     )
+    # benchmark decontamination model: universe-0 src0 docs stand in
+    # for the eval suite (fixture-tagged, so collisions are real)
+    from chronobase_spark.dedup import ngram as _ngram
+
+    _bench_sh = _ngram.decontam_model(docs.filter(F.col("source") == "src0"))
+    _bench_sh.count()
     pipelines = [
         ("decode", lambda s: s),
         ("pii", docstream.pii_scrub_stage),
@@ -1761,6 +1767,17 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
                 )
             ),
         ),
+        (
+            "decontam",
+            lambda s: docstream.decontam_admit_stage(
+                docstream.content_dedup(
+                    docstream.datacard_stage(
+                        docstream.template_stage(docstream.pii_scrub_stage(s))
+                    )
+                ),
+                _bench_sh,
+            ),
+        ),
     ]
     out: dict = {"factor": factor, "n_docs": n_docs}
     for name, build in pipelines:
@@ -1784,6 +1801,7 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
     for t in (f"intake_bkt_x{factor}_bands", f"intake_bkt_x{factor}_shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _bench_sh.unpersist()
     return out
 
 
