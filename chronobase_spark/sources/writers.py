@@ -47,6 +47,29 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+#: Manifest file written beside a bucketed table's data files. The
+#: leading underscore makes Spark's file index skip it as a data file
+#: (same convention as _SUCCESS), so it rides along with the parquet
+#: and survives exactly as long as the data does.
+BUCKET_MANIFEST = "_chronobase_bucket_ddl.json"
+
+
+def _normalize_table_name(table_name: str) -> str:
+    """The session catalog lower-cases table identifiers, and a
+    qualified name (db.tbl) maps to a different on-disk layout than
+    ``{warehouse}/{name}`` — so a mixed-case or qualified name would
+    compute a stale-location path that deletes the wrong (or no)
+    directory (r15 advisor note). Normalize the former, reject the
+    latter."""
+    if "." in table_name:
+        raise ValueError(
+            f"write_bucketed takes an unqualified table name, got {table_name!r} "
+            "(qualified names resolve to a database-scoped location that the "
+            "stale-location cleanup and manifest path logic do not model)"
+        )
+    return table_name.lower()
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -62,23 +85,124 @@ def write_bucketed(
     ingest). Bucket counts must match across co-joined tables, and the
     bucket columns must EQUAL the join's equi-keys (Spark v1 bucketing
     ignores a subset layout — measured in dedup.minhash's bucketed
-    admission model). A stale managed location from a previous session
-    (the default in-memory catalog forgets tables; their files
-    persist) is cleared first so overwrite never dies with
-    LOCATION_ALREADY_EXISTS."""
+    admission model).
+
+    Restart story: the default in-memory catalog forgets the table
+    between sessions while its files persist, so every write drops a
+    ``_chronobase_bucket_ddl.json`` manifest beside the data recording
+    the exact CREATE contract (schema DDL, bucket/sort columns, bucket
+    count). A later session calls :func:`reattach_bucketed` to
+    re-register the files with one DDL statement — no rewrite, and the
+    re-attached table still plans ``Bucketed: true`` with zero
+    static-side Exchange (pinned in tests/test_plans.py; measured in
+    SCALING.md r16: re-attach is O(1) DDL vs the store-sized rebuild).
+
+    Only ``mode='overwrite'`` drops the existing table and clears a
+    stale managed location (so overwrite never dies with
+    LOCATION_ALREADY_EXISTS); append/error modes leave existing state
+    alone — cleanup under append was silent data loss (r15 advisor
+    note)."""
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    table_name = _normalize_table_name(table_name)
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    p = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name}")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p):
-        fs.delete(p, True)
+    location = f"{wh}/{table_name}"
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        p = spark._jvm.org.apache.hadoop.fs.Path(location)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     writer = df.write.mode(mode).bucketBy(n_buckets, cols[0], *cols[1:])
+    s: list[str] = []
     if sort_col is not None:
         s = [sort_col] if isinstance(sort_col, str) else list(sort_col)
         writer = writer.sortBy(s[0], *s[1:])
     writer.saveAsTable(table_name)
+    _write_bucket_manifest(spark, table_name, cols, n_buckets, s)
+
+
+def _write_bucket_manifest(
+    spark, table_name: str, bucket_cols: list[str], n_buckets: int, sort_cols: list[str]
+) -> None:
+    """Persist the re-attach contract beside the table's data files.
+
+    Schema is read back from the catalog (post-write, so it reflects
+    what the files actually contain) and serialized as DDL — the one
+    form CREATE TABLE accepts verbatim."""
+    import json
+
+    schema_ddl = spark.table(table_name).schema.toDDL()
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    manifest = {
+        "table": table_name,
+        "schema_ddl": schema_ddl,
+        "bucket_cols": bucket_cols,
+        "n_buckets": n_buckets,
+        "sort_cols": sort_cols,
+    }
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name}/{BUCKET_MANIFEST}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def reattach_bucketed(spark, table_name: str, location: str | None = None) -> DataFrame:
+    """Re-register a bucketed table written by :func:`write_bucketed`
+    in an EARLIER session, without rewriting any data.
+
+    The production recovery path for the streaming admission models
+    (dedup.minhash_band_model_bucketed et al.): a restarted job's
+    in-memory catalog has forgotten the table, but the bucketed files
+    (and the manifest recording their layout) survive in the warehouse
+    directory. One ``CREATE TABLE ... USING PARQUET CLUSTERED BY ...
+    INTO n BUCKETS LOCATION ...`` re-attaches them with the bucketing
+    metadata intact, so the first trigger after restart plans exactly
+    like the pre-restart ones — ``Bucketed: true``, zero static-side
+    Exchange — instead of re-paying a store-sized model build.
+
+    ``location`` defaults to ``{warehouse.dir}/{table_name}`` (where
+    write_bucketed put it); pass it explicitly when the warehouse moved
+    or the files were relocated. The created table is EXTERNAL (DROP
+    forgets it without deleting data). Raises FileNotFoundError when no
+    manifest exists at the location — an unmanifested directory has no
+    trustworthy bucket metadata, and attaching it unbucketed would
+    silently reintroduce the per-trigger Exchange."""
+    import json
+
+    table_name = _normalize_table_name(table_name)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = location or f"{wh}/{table_name}"
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{BUCKET_MANIFEST}")
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(mpath):
+        raise FileNotFoundError(
+            f"no {BUCKET_MANIFEST} under {loc} — not a write_bucketed table"
+        )
+    stream = fs.open(mpath)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    m = json.loads(raw.decode("utf-8"))
+    bucket_cols = ", ".join(m["bucket_cols"])
+    sorted_clause = (
+        f"SORTED BY ({', '.join(m['sort_cols'])}) " if m["sort_cols"] else ""
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(
+        f"CREATE TABLE {table_name} ({m['schema_ddl']}) USING PARQUET "
+        f"CLUSTERED BY ({bucket_cols}) {sorted_clause}"
+        f"INTO {m['n_buckets']} BUCKETS LOCATION '{loc}'"
+    )
+    return spark.table(table_name)
 
 
 def overwrite_time_partitions(

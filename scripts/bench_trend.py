@@ -90,32 +90,50 @@ def main(cur_path: str | None = None, max_round: int | None = None) -> int:
         return 1
     rounds = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
 
-    def _usable(path: str) -> bool:
+    def _usable(path: str) -> dict | None:
+        """Return the parsed baseline dict, or None if unusable.
+
+        Returning the dict (not a bool) lets the caller reuse it — each
+        usable baseline was previously loaded twice, and a corrupt
+        BENCH_r*.json raised out of main() instead of being skipped
+        (r15 advisor note).
+        """
         if max_round is not None and _round_number(path) > max_round:
-            return False
-        data = _load(path)
-        if not data.get("queries"):
-            return False
+            return None
+        try:
+            data = _load(path)
+        except (OSError, ValueError):
+            return None  # corrupt round artifact — skip, don't crash
+        base_q = data.get("queries")
+        if not base_q:
+            return None
         # The driver records its own bench run as BOTH BENCH_FULL.json
         # and BENCH_r{N}.json, so right after a driver drop the newest
         # round artifact IS the current run — comparing it to itself is
         # vacuously green (r14 verdict: "210 queries vs BENCH_r14 ...
-        # 162.672 -> 162.672 s"). A baseline whose parsed bench line is
-        # identical to the current artifact is the same run, not a
-        # baseline — fall through to the previous round.
-        if (
-            data.get("value") == cur.get("value")
-            and data.get("queries") == cur.get("queries")
+        # 162.672 -> 162.672 s"). The round artifact stores a TRUNCATED
+        # slowest-N subset (marked `queries_truncated`) while
+        # BENCH_FULL stores every query, so dict equality alone misses
+        # the production shape (r15 verdict defect #1): same-run means
+        # equal totals AND the baseline's queries are a subset of the
+        # current run's with identical per-query times.
+        cur_q = cur.get("queries") or {}
+        if data.get("value") == cur.get("value") and all(
+            cur_q.get(k) == v for k, v in base_q.items()
         ):
-            return False
-        return True
+            return None
+        return data
 
-    base_path = next((p for p in reversed(rounds) if _usable(p)), None)
+    base_path, base = None, None
+    for p in reversed(rounds):
+        base = _usable(p)
+        if base is not None:
+            base_path = p
+            break
     if base_path is None:
         print("bench_trend: no parseable BENCH_r*.json baseline — nothing to compare")
         return 0
     base_round = _round_number(base_path)
-    base = _load(base_path)
 
     cur_q = cur.get("queries") or {}
     base_q = base.get("queries") or {}

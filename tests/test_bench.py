@@ -215,6 +215,52 @@ def test_trend_skips_baseline_identical_to_current(tmp_path, monkeypatch):
     assert bt.main(cur) == 1  # compared against r5, not itself
 
 
+def test_trend_skips_truncated_driver_artifact_of_same_run(tmp_path, monkeypatch):
+    """The PRODUCTION same-run shape (r15 verdict defect #1): the driver
+    round artifact stores a TRUNCATED slowest-N queries dict (with a
+    `queries_truncated` marker) while BENCH_FULL stores every query, so
+    dict equality never fires and the old guard self-compared. Same-run
+    now means equal totals + the baseline's queries are a subset with
+    identical times. Here current has {q_slow: 3.0, q_fast: 0.1}; r6 is
+    the driver's truncated view of the SAME run ({q_slow: 3.0} only,
+    matching total); r5 is the real prior round with q_slow at 1.0 — the
+    guard must skip r6, reach r5, and fail the 3x regression."""
+    bt, cur = _trend_fixture(
+        tmp_path, monkeypatch, base_round=5,
+        cur_queries={"q_slow": 3.0, "q_fast": 0.1},
+        base_queries={"q_slow": 1.0, "q_fast": 0.1},
+        intentional={},
+    )
+    import json as _json
+
+    (tmp_path / "BENCH_r06.json").write_text(
+        _json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": 3.1,
+                "unit": "sec",
+                "queries": {"q_slow": 3.0},
+                "queries_truncated": "slowest-first subset of 2",
+                "sf": 0.1,
+            }
+        )
+    )
+    assert bt.main(cur) == 1  # compared against r5, not the truncated self
+
+
+def test_trend_corrupt_baseline_round_is_skipped_not_fatal(tmp_path, monkeypatch):
+    """One corrupt BENCH_r*.json must be treated as unusable (fall
+    through to the previous round), not raise out of main() (r15
+    advisor note)."""
+    bt, cur = _trend_fixture(
+        tmp_path, monkeypatch, base_round=5,
+        cur_queries={"q_slow": 3.0}, base_queries={"q_slow": 1.0},
+        intentional={},
+    )
+    (tmp_path / "BENCH_r06.json").write_text("{not json")
+    assert bt.main(cur) == 1  # r6 skipped, r5 reached, regression fails
+
+
 def test_trend_max_round_caps_baseline(tmp_path, monkeypatch):
     """--max-round pins the baseline to an explicit round even when
     newer artifacts exist (judge-side round-over-round diffing)."""

@@ -485,3 +485,132 @@ def test_bucketed_model_semantic_and_phash_members(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bkt_sem_cells")
         spark.sql("DROP TABLE IF EXISTS t_bkt_ph_chunks")
+
+
+def test_write_bucketed_append_preserves_existing_rows(spark):
+    """mode='append' must ADD to an existing bucketed table — the r15
+    advisor found the unconditional DROP+location-delete turned append
+    into destroy-then-recreate (silent data loss for any future
+    caller). Overwrite then append: the count must double and the
+    table must still be bucketed."""
+    from chronobase_spark.sources import writers
+
+    df = spark.range(100).selectExpr("id AS user_id", "id * 2 AS v")
+    try:
+        writers.write_bucketed(df, "t_app_pin", "user_id", 4, sort_col="user_id")
+        assert spark.table("t_app_pin").count() == 100
+        writers.write_bucketed(
+            df, "t_app_pin", "user_id", 4, sort_col="user_id", mode="append"
+        )
+        assert spark.table("t_app_pin").count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_app_pin")
+
+
+def test_write_bucketed_name_normalization(spark):
+    """Mixed-case names are lower-cased to match the catalog's identifier
+    folding (so the stale-location path and manifest land where the
+    table actually lives); qualified names are rejected outright —
+    both r15 advisor notes."""
+    from chronobase_spark.sources import writers
+
+    df = spark.range(10).selectExpr("id AS user_id")
+    try:
+        writers.write_bucketed(df, "T_MiXeD_Pin", "user_id", 2)
+        assert spark.catalog.tableExists("t_mixed_pin")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        # manifest written beside the data, at the normalized location
+        p = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{wh}/t_mixed_pin/{writers.BUCKET_MANIFEST}"
+        )
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        assert fs.exists(p)
+        with pytest.raises(ValueError, match="unqualified"):
+            writers.write_bucketed(df, "somedb.tbl", "user_id", 2)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mixed_pin")
+
+
+def test_reattach_bucketed_requires_manifest(spark, tmp_path):
+    """A directory without the write_bucketed manifest must be refused:
+    attaching unknown files with guessed bucket metadata would either
+    fail subtly or silently reintroduce the per-trigger Exchange."""
+    from chronobase_spark.sources import writers
+
+    spark.range(5).write.parquet(str(tmp_path / "plain"))
+    with pytest.raises(FileNotFoundError, match="bucket"):
+        writers.reattach_bucketed(spark, "t_no_manifest", str(tmp_path / "plain"))
+
+
+def test_reattach_bucketed_same_session_external_location(spark, tmp_path):
+    """reattach_bucketed over a COPY of a bucketed table's files (no
+    catalog entry for the copy — the restart scenario's essence: files
+    exist, metadata doesn't) must yield an external table that (1)
+    matches the original's content and (2) still plans Bucketed: true
+    under the bucket-key join with no static-side Exchange."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chronobase_spark.sources import writers
+
+    df = spark.range(200).selectExpr("id AS user_id", "id % 7 AS v")
+    try:
+        writers.write_bucketed(df, "t_ra_src", "user_id", 4, sort_col="user_id")
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        copied = str(tmp_path / "relocated")
+        shutil.copytree(f"{wh}/t_ra_src", copied)
+        ra = writers.reattach_bucketed(spark, "t_ra_copy", copied)
+        assert sorted(map(tuple, ra.collect())) == sorted(
+            map(tuple, spark.table("t_ra_src").collect())
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.range(30).selectExpr("id AS user_id")
+            j = probe.join(ra.select("user_id", F.col("v")), "user_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            scan = [ln for ln in plan.splitlines() if "t_ra_copy" in ln]
+            assert scan and all("Bucketed: true" in ln for ln in scan), plan
+            assert j.count() == 30
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # external: dropping the re-attached table must NOT delete data
+        spark.sql("DROP TABLE t_ra_copy")
+        assert os.path.exists(copied) and os.listdir(copied)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ra_src")
+        spark.sql("DROP TABLE IF EXISTS t_ra_copy")
+
+
+def test_restart_reattach_two_session_probe():
+    """THE two-session pin (r15 verdict next-round #3): run the restart
+    probe as a subprocess — session A builds the bucketed minhash
+    admission model, stop() kills the in-memory catalog, session B
+    re-attaches from the on-disk manifest and must see identical
+    counts, an identical admission-join result, a Bucketed: true scan
+    and exactly one (arriving-side) band-key Exchange. Subprocess
+    because a genuinely fresh external catalog needs a new
+    SparkContext — newSession() shares SharedState."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "restart_reattach_probe.py"),
+            "--rows", "80", "--buckets", "4", "--cpus", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["counts_equal"] and out["join_equal"]
+    assert out["reattached_scan_bucketed"] is True
+    assert out["band_key_exchanges"] == 1
+    # the whole point: recovery is DDL-priced, not store-sized
+    assert out["reattach_s"] < out["build_s"]
