@@ -209,6 +209,12 @@ _FORCE_REGRADE = {
     # next driver window just like touching its Spark plan.
     "phash_near_pairs": 13,
     "raster_topk_l1": 13,
+    # r16: NULL text coalesced to '' in BOTH the Spark expression and
+    # the oracle SQL so the keep flag is literally the streaming twin's
+    # (r15 advisor note) — aggregates provably unchanged (NULL keep
+    # contributed 0 to every sum on both engines), but the rule is that
+    # driver evidence must postdate any query/oracle text change.
+    "quality_weighted_sample": 15,
 }
 
 # Families whose driver evidence matters most while slots are scarce
@@ -5854,8 +5860,9 @@ def q_kn_bigram_logprob(spark, sf_dir):
 _QW_SAMPLE_SQL = """
 WITH scored AS (
   SELECT source,
-         len(list_distinct(list_filter(string_split(trim(lower(text)), ' '),
-                                       x -> x <> ''))) AS n_distinct,
+         len(list_distinct(list_filter(
+             string_split(trim(lower(coalesce(text, ''))), ' '),
+             x -> x <> ''))) AS n_distinct,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
            AS bucket
   FROM documents
@@ -5888,9 +5895,16 @@ def q_quality_weighted_sample(spark, sf_dir):
     FIXTURES cross-multiplication — ``bucket·64 < min(d,64)·65536`` in
     pure BIGINT, no float threshold anywhere. Map-only predicate + one
     partial-agged groupBy(source); nothing shuffles before the
-    |sources|-sized aggregate."""
+    |sources|-sized aggregate. NULL text coalesces to '' (n_distinct
+    0 ⇒ keep false) so the keep flag is the LITERAL expression the
+    streaming twin (streaming/docs.weighted_sample_stage) evaluates —
+    the aggregates are unchanged (a NULL keep already contributed 0 to
+    every sum on both engines) but the per-row flags are now identical
+    too, making the drained-equal pin exact (r15 advisor note)."""
     docs = _t(spark, sf_dir, "documents")
-    n_distinct = text.space_distinct_tokens(F.col("text")).cast("bigint")
+    n_distinct = text.space_distinct_tokens(
+        F.coalesce(F.col("text"), F.lit(""))
+    ).cast("bigint")
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("bigint")

@@ -1276,9 +1276,11 @@ def reservoir_admit_stage(
     (doc_id, source, wt, wrs_key) rows per window — the reservoir
     itself, nothing corpus-sized.
 
-    Emission contract: every micro-batch that improves a window's
-    reservoir re-emits the CURRENT top-k (append output — file sinks
-    reject update mode — so the sink accumulates candidate rows). Because reservoir
+    Emission contract: every micro-batch that delivers rows to a
+    window's group re-emits that window's CURRENT top-k (append output
+    — file sinks reject update mode — so the sink accumulates
+    candidate rows, repeated across batches even when the top-k did
+    not change). Because reservoir
     membership is MONOTONE — a row in the window's final top-k beats
     all but < k rows of the whole window, so it entered the state in
     its arrival batch and was emitted — the drain-time
@@ -1391,7 +1393,7 @@ def finalize_reservoir(
 ) -> DataFrame:
     """The exact per-window reservoir from drained
     ``reservoir_admit_stage`` emissions: dedup the accumulated
-    candidate rows (update-mode re-emissions repeat survivors) and
+    candidate rows (append-mode re-emissions repeat survivors) and
     take the final top-k by (wrs_key desc, doc_id) per window — by
     the monotone-membership argument in the stage docstring this
     EQUALS the batch A-ES top-k over the window's rows. A bounded
