@@ -642,7 +642,7 @@ def minhash_admit_stage(
     rows_per_band: int = 4,
     n: int = 3,
     threshold: float = 0.5,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     window: str | None = None,
 ) -> DataFrame:
     """Is this ARRIVING document a near-dup of the FROZEN corpus? —
@@ -706,11 +706,21 @@ def minhash_admit_stage(
     (the lsh_candidates lane-count contract; band_val carries no lane
     count to check against, so the tuple is the caller's contract).
     ``watermark``/``window`` are independent knobs
-    (budget_histogram_stage convention)."""
+    (budget_histogram_stage convention). ``watermark=None`` means the
+    UPSTREAM already defined one (e.g. this stage composed after
+    content_dedup in one query graph): Spark disallows redefining the
+    watermark between chained stateful operators, so a composed
+    pipeline sets it once at the first stateful stage and passes None
+    (with an explicit ``window``) here — pinned in
+    tests/test_streaming.py's composed-intake test."""
     from chronobase_spark.dedup.minhash import md5_band_key, md5_lane
     from chronobase_spark.dedup.ngram import shingles as _shingles
 
     if window is None:
+        if watermark is None:
+            raise ValueError(
+                "watermark=None (upstream-defined) requires an explicit window"
+            )
         window = watermark
     num_perm = bands * rows_per_band
 
@@ -728,9 +738,10 @@ def minhash_admit_stage(
         return md5_band_key(lanes, bands, rows_per_band)
 
     sh = _shingles(F.col(text_col), n)
-    prepped = stream.withWatermark("ingest_ts", watermark).select(
-        "doc_id", "ingest_ts", sh.alias("_sh")
+    marked = (
+        stream if watermark is None else stream.withWatermark("ingest_ts", watermark)
     )
+    prepped = marked.select("doc_id", "ingest_ts", sh.alias("_sh"))
     banded = prepped.select(
         "doc_id",
         "ingest_ts",
@@ -1417,7 +1428,7 @@ def decontam_admit_stage(
     bench_shingles: DataFrame,
     text_col: str = "text",
     min_overlap: int = 3,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     window: str | None = None,
 ) -> DataFrame:
     """Is this ARRIVING document contaminated by the FROZEN eval
@@ -1445,13 +1456,22 @@ def decontam_admit_stage(
     same n_overlap; clean and shingle-less arrivals report (0, false)
     — every arrival gets a verdict, the admission contract the batch
     HAVING-filtered list does not provide). Pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py. ``watermark=None`` means the upstream
+    already defined one (composed-pipeline contract, see
+    minhash_admit_stage) and requires an explicit ``window``."""
     from chronobase_spark.dedup.ngram import shingles as _shingles
 
     if window is None:
+        if watermark is None:
+            raise ValueError(
+                "watermark=None (upstream-defined) requires an explicit window"
+            )
         window = watermark
+    marked = (
+        stream if watermark is None else stream.withWatermark("ingest_ts", watermark)
+    )
     exploded = (
-        stream.withWatermark("ingest_ts", watermark)
+        marked
         .select(
             "doc_id",
             "ingest_ts",

@@ -2673,3 +2673,242 @@ def test_decontam_admit_matches_batch_overlap(spark, tmp_path):
     contaminated = {d: n for d, (n, c) in got.items() if c}
     assert contaminated == expected_rows  # counts match batch exactly
     assert contaminated and len(contaminated) < len(got)  # both arms
+
+
+def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
+    """The composed streaming-intake correctness pin (r15 verdict #4):
+    every stage is drained-equal pinned in ISOLATION, but no test
+    drained one pipeline graph with multiple stages composed — stage
+    interaction (shared watermark column re-definition across chained
+    stateful operators, column collisions between annotation stages,
+    state-store coexistence across concurrent branch queries) had no
+    correctness guard.
+
+    One source directory, drained availableNow by three coexisting
+    queries in the same session:
+
+      main chain (ONE query, TWO state stores): pii_scrub → signature
+        → quality_gate → content_dedup (dropDuplicatesWithinWatermark
+        state) → minhash_admit (BUCKETED frozen model, windowed-agg
+        state) → sink A — all downstream stages consume the SCRUBBED
+        text (text_col='redacted'), so the composition is real, not
+        column-parallel;
+      branch 1: pii_scrub → decontam_admit → sink B;
+      branch 2: pii_scrub → weighted_sample → sink C.
+
+    Each sink must equal its batch twin computed on the same
+    (scrubbed) rows: admission verdicts on the gate+dedup survivors,
+    contamination counts, keep flags."""
+    from chronobase_spark.dedup import minhash, ngram
+    from chronobase_spark.dedup.exact import normalize
+    from chronobase_spark.functions import text as _text
+    from chronobase_spark.streaming import docs as docstream
+
+    MIN_TOKENS, MAX_STOP = 8, 1.0
+
+    base = catalog.table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scrub = lambda df: df.withColumn("redacted", _text.redact_pii(F.col("text")))  # noqa: E731
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.minhash_md5_pairs(scrub(base), text_col="redacted").collect()
+    ]
+    assert pairs, "fixture must contain near-dup pairs"
+    fresh_ids = {b for _, b in pairs}
+    paired = fresh_ids | {a for a, _ in pairs}
+    fresh_ids |= {
+        r["doc_id"]
+        for r in base.filter(~F.col("doc_id").isin(*paired))
+        .orderBy("doc_id")
+        .limit(12)
+        .collect()
+    }
+    frozen = base.filter(~F.col("doc_id").isin(*fresh_ids))
+    arrivals_base = base.filter(F.col("doc_id").isin(*fresh_ids))
+
+    # injected rows: a content-duplicate of a no-partner arrival (the
+    # content_dedup state must admit exactly one of the two), and a
+    # too-short doc the quality gate must reject
+    partnered = {a for a, _ in pairs} | {b for _, b in pairs}
+    dup_src = next(
+        r
+        for r in arrivals_base.orderBy("doc_id").collect()
+        if r["doc_id"] not in partnered
+        and len([t for t in (r["text"] or "").split() if t]) >= MIN_TOKENS
+    )
+    DUP_ID, SHORT_ID = 999980, 999981
+    injected = spark.createDataFrame(
+        [
+            (DUP_ID, dup_src["text"], dup_src["lang"], dup_src["source"],
+             len(dup_src["text"])),
+            (SHORT_ID, "too short", "xx", "synthetic", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feed = arrivals_base.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(injected).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000))
+    )
+    # flush row: long enough to pass the gate (a gate-rejected flush
+    # row never reaches the watermark operator and the windowed aggs
+    # would never finalize), newest-mtime file (streaming probe trap)
+    flush = spark.createDataFrame(
+        [(999982, " ".join(f"flushtok{i}" for i in range(MIN_TOKENS + 2)),
+          "xx", "synthetic", 99)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000 + 10_000_000))
+    )
+    src = str(tmp_path / "comp_src")
+    feed.coalesce(1).write.parquet(src)
+    flush.coalesce(1).write.mode("append").parquet(src)
+
+    # ---- frozen models over the SCRUBBED frozen corpus ----
+    frozen_scrubbed = scrub(frozen).select(
+        "doc_id", F.col("redacted").alias("rtext")
+    )
+    bands_b, sh_b = minhash.minhash_band_model_bucketed(
+        frozen_scrubbed,
+        table_prefix="t_comp_intake",
+        buckets=4,
+        text_col="rtext",
+    )
+    bench_sh = ngram.decontam_model(frozen_scrubbed, text_col="rtext")
+
+    try:
+        raw = docstream.read_document_stream(spark, src, max_files=16)
+        scrubbed = docstream.pii_scrub_stage(raw)
+        chain = docstream.minhash_admit_stage(
+            docstream.content_dedup(
+                docstream.quality_gate(
+                    docstream.signature_stage(scrubbed, text_col="redacted"),
+                    text_col="redacted",
+                    min_tokens=MIN_TOKENS,
+                    max_stop_ratio=MAX_STOP,
+                ),
+                text_col="redacted",
+            ),
+            bands_b,
+            sh_b,
+            text_col="redacted",
+            # content_dedup upstream already defined the watermark;
+            # Spark disallows redefining it between chained stateful
+            # operators — the composed-pipeline contract under test
+            watermark=None,
+            window="10 minutes",
+        )
+        branch_dc = docstream.decontam_admit_stage(
+            scrubbed, bench_sh, text_col="redacted"
+        )
+        branch_ws = docstream.weighted_sample_stage(scrubbed, text_col="redacted")
+
+        queries = []
+        for name, staged in (("a", chain), ("b", branch_dc), ("c", branch_ws)):
+            queries.append(
+                staged.writeStream.format("parquet")
+                .option("path", str(tmp_path / f"sink_{name}"))
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in queries:
+            q.awaitTermination(300)
+
+        # ---- batch twins on the same scrubbed rows ----
+        all_arrivals = scrub(
+            feed.unionByName(flush).drop("ingest_ts")
+        )
+        feats = _text.token_features(F.col("redacted"))
+        gated = all_arrivals.withColumn("_f", feats).filter(
+            (F.col("_f.n_tokens") >= MIN_TOKENS)
+            & (F.col("_f.stop_ratio") <= MAX_STOP)
+        ).drop("_f")
+        gated_rows = gated.withColumn(
+            "fp", F.xxhash64(normalize(F.col("redacted")))
+        ).collect()
+        gate_kept = {r["doc_id"] for r in gated_rows}
+        assert SHORT_ID not in gate_kept and DUP_ID in gate_kept
+        assert gate_kept and len(gate_kept) < len(fresh_ids) + 3
+
+        # expected admission verdict per CONTENT fingerprint group:
+        # same content ⇒ same verdict; exactly one group member
+        # survives the dedup state
+        exp_partner: dict[int, set[int]] = {d: set() for d in fresh_ids | {DUP_ID}}
+        for a, b in pairs:
+            if a in fresh_ids and b not in fresh_ids:
+                exp_partner[a].add(b)
+            if b in fresh_ids and a not in fresh_ids:
+                exp_partner[b].add(a)
+        groups: dict[int, set[int]] = {}
+        for r in gated_rows:
+            if r["doc_id"] == 999982:
+                continue  # the flush row's own far-future window never
+                # closes — it exists to advance the watermark, not to
+                # be verdicted (isolated-test convention)
+            groups.setdefault(r["fp"], set()).add(r["doc_id"])
+        got_a = {
+            r["doc_id"]: (r["dup_of_corpus"], r["canonical_id"])
+            for r in spark.read.parquet(str(tmp_path / "sink_a")).collect()
+        }
+        assert {DUP_ID, dup_src["doc_id"]} in groups.values()
+        seen: set[int] = set()
+        for members in groups.values():
+            survivors = members & set(got_a)
+            assert len(survivors) == 1, (members, survivors)
+            d = survivors.pop()
+            seen.add(d)
+            partners = exp_partner.get(
+                d if d != DUP_ID else dup_src["doc_id"], set()
+            )
+            want = (True, min(partners)) if partners else (False, None)
+            assert got_a[d] == want, (d, got_a[d], want)
+        assert set(got_a) == seen  # nothing extra leaked through dedup
+        assert any(v[0] for v in got_a.values())  # dup arm exercised
+        assert any(not v[0] for v in got_a.values())  # clean arm too
+
+        # branch 1: decontamination counts equal the batch sweep
+        expected_dc = {
+            r["doc_id"]: r["n_overlap"]
+            for r in ngram.contamination_overlap(
+                all_arrivals,
+                frozen_scrubbed.withColumnRenamed("rtext", "redacted"),
+                text_col="redacted",
+                min_overlap=3,
+            ).collect()
+        }
+        got_b = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in spark.read.parquet(str(tmp_path / "sink_b")).collect()
+            if r["doc_id"] != 999982  # flush row: window never closes
+        }
+        all_ids = fresh_ids | {DUP_ID, SHORT_ID}
+        assert set(got_b) == all_ids  # every arrival verdicts, no gate here
+        assert {d: n for d, (n, c) in got_b.items() if c} == expected_dc
+
+        # branch 2: keep flags equal the batch accept test
+        nd = _text.space_distinct_tokens(
+            F.coalesce(F.col("redacted"), F.lit(""))
+        ).cast("bigint")
+        bucket = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        expected_ws = {
+            r["doc_id"]: (r["nd"], r["keep"])
+            for r in all_arrivals.select(
+                "doc_id",
+                nd.alias("nd"),
+                (bucket * 64 < F.least(nd, F.lit(64)) * 65536).alias("keep"),
+            ).collect()
+        }
+        got_c = {
+            r["doc_id"]: (r["n_distinct"], r["keep"])
+            for r in spark.read.parquet(str(tmp_path / "sink_c")).collect()
+        }
+        assert got_c == expected_ws
+    finally:
+        bench_sh.unpersist()
+        spark.sql("DROP TABLE IF EXISTS t_comp_intake_bands")
+        spark.sql("DROP TABLE IF EXISTS t_comp_intake_shingles")
