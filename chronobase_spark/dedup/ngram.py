@@ -158,3 +158,70 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT near-dup pairs (Broder's resemblance
+    companion): C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| — the measure that
+    catches a document QUOTED or EMBEDDED inside a larger one, which
+    symmetric Jaccard misses entirely (a 100-shingle doc fully
+    contained in a 10k-shingle doc has Jaccard ≈ 0.01 but containment
+    1.0 — the partial-copy / boilerplate-inclusion case a dedup pass
+    built on Jaccard silently admits).
+
+    Emits (doc_a, doc_b, common, cont_a_in_b, cont_b_in_a) for pairs
+    (a < b) where EITHER direction reaches ``threshold``; both rounded
+    containments ship so the caller sees which side is the fragment.
+
+    Scale shape: identical to :func:`jaccard_pairs` — one persisted
+    shingle table feeding sizes + posting lists, hot shingles pruned at
+    ``max_df`` (the f² candidate bound), every corpus-derived join side
+    shuffle_hash-hinted. The asymmetric MEASURE changes only the final
+    projection, not the candidate generation, so the sub-quadratic
+    bound carries over unchanged."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = sh.join(
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .hint("shuffle_hash"),
+        "sh",
+    ).select("doc", "sh")
+    a, b = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")
+    ).hint("shuffle_hash")
+    sb = sizes.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")
+    ).hint("shuffle_hash")
+    c_ab = F.round(F.col("common").cast("double") / F.col("n_a").cast("double"), 6)
+    c_ba = F.round(F.col("common").cast("double") / F.col("n_b").cast("double"), 6)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+    )

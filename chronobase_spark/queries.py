@@ -10543,3 +10543,112 @@ def q_dsir_select(spark, sf_dir):
     Target = the lang='en' slice of the corpus. Full plan-shape and
     exactness notes on functions/text.dsir_select."""
     return text.dsir_select(_t(spark, sf_dir, "documents"))
+
+
+_CONTAINMENT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id AS doc, UNNEST(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+), rare AS (
+  SELECT doc, sh FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50)
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b, common,
+       ROUND(CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6) AS cont_a_in_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 6) AS cont_b_in_a
+FROM common JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6) >= 0.8
+   OR ROUND(CAST(common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 6) >= 0.8
+"""
+
+
+@register("ngram_containment_pairs", _CONTAINMENT_SQL)
+def q_ngram_containment_pairs(spark, sf_dir):
+    """Directed shingle-CONTAINMENT near-dup pairs (dedup.ngram
+    .containment_pairs): C(a→b) = common/|sh(a)| — the asymmetric
+    companion to ngram_jaccard_pairs that catches a document quoted or
+    embedded inside a larger one (full containment at near-zero
+    Jaccard), the partial-copy case a resemblance-only dedup pass
+    silently admits into a training corpus. Same posting-list-pruned
+    sub-quadratic candidate shape and shuffle_hash discipline as the
+    Jaccard finder; only the final projection differs, so the scale
+    audit carries over."""
+    return ngram.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, max_df=50
+    )
+
+
+_SEASONAL_DECOMP_SQL = """
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 1000000.0, 0) AS BIGINT) AS v_micro
+  FROM events WHERE value IS NOT NULL
+), w AS (
+  SELECT event_type, ts, v_micro,
+         SUM(v_micro) OVER win AS sum_w,
+         COUNT(*) OVER win AS n_w
+  FROM v
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+)
+SELECT event_type, hour(ts) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(round(CAST(SUM(25 * v_micro - sum_w) AS DOUBLE)
+                  / (25.0 * COUNT(*)), 0) AS BIGINT) AS seasonal_micro
+FROM w WHERE n_w = 25
+GROUP BY 1, 2
+"""
+
+
+@register("seasonal_decompose_hod", _SEASONAL_DECOMP_SQL)
+def q_seasonal_decompose_hod(spark, sf_dir):
+    """Classical seasonal decomposition, hour-of-day profile: detrend
+    each series by a 25-sample centered moving average (rows-based, so
+    both engines frame identically on the (ts, event_id) total order;
+    edge rows without a full window are dropped on both), then average
+    the detrended residue per (event_type, hour) — the additive
+    seasonal component next to the Tukey-fence consumer of the same
+    stratification (seasonal_outlier_counts). Exactness: per-row
+    micro-quantized values, and the detrended term is kept as the
+    EXACT integer 25·v_micro − Σwindow (no per-row division), so the
+    only rounding is the single final quotient of two exact integers
+    — the FIXTURES quantization rule. Plan: one (event_type)-keyed
+    window shuffle, then a |types|·24-row aggregate; no joins, no
+    engine-specific expressions."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-12, 12)
+    )
+    v_micro = F.round(F.col("value") * 1000000.0, 0).cast("bigint")
+    windowed = ev.select(
+        "event_type",
+        "ts",
+        v_micro.alias("v_micro"),
+        F.sum(v_micro).over(w).alias("sum_w"),
+        F.count(F.lit(1)).over(w).alias("n_w"),
+    ).filter(F.col("n_w") == 25)
+    return windowed.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.sum(25 * F.col("v_micro") - F.col("sum_w")).cast("double")
+            / (25.0 * F.count(F.lit(1))),
+            0,
+        )
+        .cast("bigint")
+        .alias("seasonal_micro"),
+    )

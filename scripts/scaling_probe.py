@@ -1138,7 +1138,7 @@ def _tagged_admit_src(spark, tmp_root: Path, tag: str) -> tuple[str, int]:
 
 
 def _drain_minhash_admit(
-    spark, bands, sh, src: str, tmp_root: Path, tag: str
+    spark, bands, sh, src: str, tmp_root: Path, tag: str, max_files: int = 4
 ) -> tuple[float, int]:
     """availableNow drain of minhash_admit_stage against the given
     frozen model tables; returns (drain_s, n_dup_verdicts)."""
@@ -1149,7 +1149,9 @@ def _drain_minhash_admit(
     t0 = time.perf_counter()
     qs = (
         docstream.minhash_admit_stage(
-            docstream.read_document_stream(spark, src), bands, sh
+            docstream.read_document_stream(spark, src, max_files=max_files),
+            bands,
+            sh,
         )
         .writeStream.format("parquet")
         .option("path", str(sink))
@@ -1162,6 +1164,128 @@ def _drain_minhash_admit(
     drain_s = time.perf_counter() - t0
     n_dup = spark.read.parquet(str(sink)).filter("dup_of_corpus").count()
     return drain_s, n_dup
+
+
+_SKEW_CLIQUE_W = 1024
+_SKEW_HOT_ARRIVALS = 128
+
+
+def minhash_admit_skew_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """Adversarial hot-band probe for the BUCKETED admission model
+    (r15 verdict #5): bucketing pins each (band_id, band_val) key to
+    ONE bucket file, and stateful streaming disables AQE, so no
+    runtime skew-split exists on either path — does a hot band
+    therefore serialize the bucketed drain worse than the persisted
+    model under the SAME skew?
+
+    Fixture: the mutation store at ``factor`` plus an injected
+    ``_SKEW_CLIQUE_W``-wide VERBATIM clique (one universe-0 doc's
+    tagged text cloned with distinct ids — identical text ⇒ identical
+    16 lanes ⇒ all 4 band keys shared by every member: the hottest
+    possible band distribution, far beyond the pair finders' natural
+    hot buckets). Arrivals: the standard tagged feed plus
+    ``_SKEW_HOT_ARRIVALS`` re-fetches of the clique text — each hot
+    arrival band-matches every clique member, so the band join emits
+    hot_arrivals × clique_w × 4 rows through the hot keys and every
+    one pays the exact-Jaccard verify. Event times are flattened onto
+    one instant and the flush row appended as its own later-mtime file
+    (the trigger-probe replay-order lessons), drained in two triggers
+    (max_files=8: the 8 arrival files, then the flush file — the flush
+    MUST land in its own later trigger: a single all-in-one batch never
+    re-fires after the watermark advance, so nothing would emit).
+
+    Both forms drain the SAME feed against the SAME store; dup
+    verdict counts must agree. The structural expectation to check
+    against the numbers: the band join's hot-key output lands in one
+    task either way (hash partition vs bucket), but the verify
+    redistributes on ``cand`` — clique_w DISTINCT candidates — so the
+    expensive intersect work re-parallelizes on both paths; if the
+    bucketed wall tracks the persisted wall, bucket-pinning is no
+    worse than hash-pinning and no salting mitigation is needed."""
+    sf_dir = mutated_documents_dir(spark, factor)
+    base_store = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # hot clique: one mid-length universe-0 doc, cloned verbatim
+    seed = (
+        base_store.filter(
+            (F.col("doc_id") < 10_000_000)  # universe 0 originals
+            & (F.size(F.split("text", " ")) >= 30)
+        )
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    clones = spark.range(_SKEW_CLIQUE_W).select(
+        (F.lit(800_000_000) + F.col("id")).alias("doc_id"),
+        F.lit(seed["text"]).alias("text"),
+        F.lit(seed["lang"]).alias("lang"),
+        F.lit(seed["source"]).alias("source"),
+        F.lit(len(seed["text"])).cast("bigint").alias("n_chars"),
+    )
+    store = base_store.unionByName(clones)
+    n_frozen = store.count()
+
+    # arrivals: standard tagged feed + hot re-fetches, flattened onto
+    # one event-time instant; flush appended as its own later file
+    std_src, n_std = _tagged_admit_src(spark, tmp_root, f"skew_x{factor}")
+    hot = spark.range(_SKEW_HOT_ARRIVALS).select(
+        (F.lit(910_000_000) + F.col("id")).alias("doc_id"),
+        F.lit(seed["text"]).alias("text"),
+        F.lit(seed["lang"]).alias("lang"),
+        F.lit(seed["source"]).alias("source"),
+        F.lit(len(seed["text"])).cast("bigint").alias("n_chars"),
+    )
+    # NOT admit_src_skew_x{factor}: _tagged_admit_src already owns
+    # that name, and overwriting a directory the feed is lazily
+    # read from corrupts the write (caught live: 0 verdicts)
+    src = tmp_root / f"admit_srcfeed_skew_x{factor}"
+    feed = (
+        spark.read.parquet(std_src)
+        .filter(F.col("doc_id") != 999_999_999)
+        .unionByName(
+            hot.withColumn("ingest_ts", F.timestamp_seconds(F.lit(0)))
+        )
+        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    )
+    feed.repartition(8).write.mode("overwrite").parquet(str(src))
+    time.sleep(1.1)
+    spark.read.parquet(std_src).filter(
+        F.col("doc_id") == 999_999_999
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    n_arrivals = n_std + _SKEW_HOT_ARRIVALS
+
+    out: dict = {
+        "factor": factor,
+        "n_frozen": n_frozen,
+        "n_arrivals": n_arrivals,
+        "clique_w": _SKEW_CLIQUE_W,
+        "hot_arrivals": _SKEW_HOT_ARRIVALS,
+    }
+    t0 = time.perf_counter()
+    bands_m, sh_m = minhash.minhash_band_model(store)
+    bands_m.count(), sh_m.count()
+    out["mem_model_s"] = round(time.perf_counter() - t0, 2)
+    drain_s, n_dup = _drain_minhash_admit(
+        spark, bands_m, sh_m, str(src), tmp_root, f"skewmem_x{factor}",
+        max_files=8,
+    )
+    out["mem_drain_s"], out["mem_dup"] = round(drain_s, 2), n_dup
+    bands_m.unpersist()
+    sh_m.unpersist()
+
+    t0 = time.perf_counter()
+    bands_b, sh_b = minhash.minhash_band_model_bucketed(
+        store, table_prefix=f"skew_model_x{factor}"
+    )
+    out["bucket_model_s"] = round(time.perf_counter() - t0, 2)
+    drain_s, n_dup = _drain_minhash_admit(
+        spark, bands_b, sh_b, str(src), tmp_root, f"skewbkt_x{factor}",
+        max_files=8,
+    )
+    out["bucket_drain_s"], out["bucket_dup"] = round(drain_s, 2), n_dup
+    for t in (f"skew_model_x{factor}_bands", f"skew_model_x{factor}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
 
 
 def minhash_admit_trigger_probe(spark, factor: int, tmp_root: Path) -> dict:
@@ -2006,6 +2130,29 @@ def main():
                 f"{last[f'{mode}_drain_s'] / max(base[f'{mode}_drain_s'], 1e-9):.1f}x wall "
                 f"({base[f'{mode}_drain_s']} -> {last[f'{mode}_drain_s']} s)"
             )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--admit-skew"]:
+        factors = [int(a) for a in sys.argv[2:]] or [64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"admit-skew-probe-x{factor}",
+                shuffle_partitions=32,
+            )
+            tmp_root = SCRATCH / f"admit_skew_x{factor}"
+            tmp_root.mkdir(parents=True, exist_ok=True)
+            row = minhash_admit_skew_probe(spark, factor, tmp_root)
+            print(f"factor {factor}: {row}", flush=True)
+            assert row["mem_dup"] == row["bucket_dup"], row
+            print(
+                f"skewed drain: persisted {row['mem_drain_s']} s vs "
+                f"bucketed {row['bucket_drain_s']} s "
+                f"({row['bucket_drain_s'] / max(row['mem_drain_s'], 1e-9):.2f}x)",
+                flush=True,
+            )
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            spark.stop()
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
     if sys.argv[1:2] == ["--minhash-admit"]:
