@@ -89,6 +89,8 @@ HEADLINE = [
     ("near_dup_admission_report", "admission report: one signature pass split by map-side flags, band join only across the split, verdict via doc-keyed left join"),
     ("semantic_admission_report", "semantic admission: stored-count-scaled cell model, cosine verify only inside cells, vec-keyed verdict left join"),
     ("phash_admission_report", "image admission: ONE persisted decode pass split by flags, chunk join across the split, Hamming cut before the doc-keyed verdict join"),
+    ("ngram_containment_pairs", "containment pairs: the Jaccard finder's pruned posting-list self-join unchanged, only the projection is asymmetric"),
+    ("seasonal_decompose_hod", "seasonal decomposition: ONE type-keyed window sort, exact integer detrend, |types|x24 aggregate"),
 ]
 
 KEEP = re.compile(

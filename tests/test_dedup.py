@@ -839,3 +839,34 @@ def test_bucketed_band_model_matches_persisted(spark, docs):
         sh_m.unpersist()
         spark.sql("DROP TABLE IF EXISTS t_bkt_model_bands")
         spark.sql("DROP TABLE IF EXISTS t_bkt_model_shingles")
+
+
+def test_containment_catches_embedded_fragment_jaccard_misses(spark):
+    """The asymmetric measure's reason to exist: a short document fully
+    QUOTED inside a much larger one has containment 1.0 but Jaccard far
+    below any sane resemblance threshold — the Jaccard finder must miss
+    the pair, the containment finder must report it with
+    cont_fragment_in_host = 1.0. Also pins direction: the fragment is
+    the a-side (smaller id), so cont_a_in_b carries the 1.0."""
+    fragment = "alpha beta gamma delta epsilon zeta eta theta"
+    host_extra = " ".join(f"w{i} x{i} y{i}" for i in range(120))
+    rows = [
+        (1, fragment),
+        (2, fragment + " " + host_extra),
+        (3, "totally unrelated content " + " ".join(f"q{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in ngram.containment_pairs(df, threshold=0.8, max_df=50).collect()
+    }
+    assert (1, 2) in cont
+    c_ab, c_ba = cont[(1, 2)]
+    assert c_ab == 1.0  # the fragment is fully contained in the host
+    assert c_ba < 0.8  # the host is NOT contained in the fragment
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram.jaccard_pairs(df, threshold=0.5, max_df=50).collect()
+    }
+    assert (1, 2) not in jac  # resemblance dedup admits the partial copy
