@@ -272,11 +272,17 @@ def minhash_band_model_bucketed(
     model: a 100 TB store can't live in executor memory, but a
     storage-partitioned layout makes re-reading it per trigger
     shuffle-free. Measured against the persisted form in
-    scripts/scaling_probe.py --admit-bucketed (SCALING.md r15).
-    Tables are overwritten in the session catalog's warehouse (the
-    default in-memory catalog scopes them to the session — rebuild on
-    restart, same as re-persisting); same (bands, rows_per_band, n)
-    contract as minhash_band_model."""
+    scripts/scaling_probe.py --admit-bucketed (SCALING.md r15); an
+    adversarial hot-band fixture shows bucket-pinning is never slower
+    than the persisted model under skew (--admit-skew, SCALING.md r16).
+    Tables are overwritten in the session catalog's warehouse; the
+    in-memory catalog forgets them on restart but the files AND the
+    write_bucketed manifest survive, so a restarted job re-registers
+    each table with writers.reattach_bucketed — one DDL, ~0.22 s at
+    any store size, instead of re-paying this builder (measured in
+    SCALING.md r16; pinned across a real session boundary in
+    tests/test_plans.py). Same (bands, rows_per_band, n) contract as
+    minhash_band_model."""
     from chronobase_spark.sources.writers import write_bucketed
 
     spark = docs.sparkSession

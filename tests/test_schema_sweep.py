@@ -170,6 +170,10 @@ _ALLOWED_DOUBLE = {
     # 6dp-rounded int/int quotient; boundary-safe in practice, green
     # since r4 — migrate to unrounded if it ever flakes
     ("ngram_jaccard_pairs", "jaccard"),
+    # same form: 6dp-rounded quotients of the exact bigint (common,
+    # n_sh) pair — sf0.01 AND sf0.1 hash-green at introduction (r16)
+    ("ngram_containment_pairs", "cont_a_in_b"),
+    ("ngram_containment_pairs", "cont_b_in_a"),
     # -- embedding math: identical sequential fold over array elements
     #    (F.aggregate in index order <-> list_reduce) -------------------
     ("embedding_array_ops", "first_dim"),
