@@ -225,3 +225,108 @@ def containment_pairs(
             (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
         )
     )
+
+
+def containment_model(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Freeze the corpus-side posting lists for streaming containment
+    admission (streaming/docs.containment_admit_stage): the (doc, sh)
+    shingle table PRUNED at ``max_df`` document frequency — the same
+    posting-list bound the batch pair finders apply, because a hot
+    shingle stored in f docs creates f candidate rows PER ARRIVAL (the
+    admission-time form of the f² pair blowup). Persisted; re-read per
+    micro-batch as the static side of the stream-static shingle join.
+    The df counts are over the FROZEN corpus (the model's own universe
+    — an admission model cannot know future arrivals' df), which is
+    the deterministic contract the batch twin ``containment_against``
+    shares."""
+    sh = corpus.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    rare = sh.join(
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .hint("shuffle_hash"),
+        "sh",
+    ).select("doc", "sh")
+    return rare.persist()
+
+
+def containment_model_bucketed(
+    corpus: DataFrame,
+    table_name: str = "chrono_containment_postings",
+    buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """``containment_model`` persisted as a table BUCKETED on exactly
+    [sh] — the admission join's equi-key — so the corpus-sized posting
+    list feeds the per-trigger stream-static join with zero static-side
+    Exchange (the minhash_band_model_bucketed lever applied to the
+    containment member; same restart story via write_bucketed's
+    manifest + writers.reattach_bucketed)."""
+    from chronobase_spark.sources.writers import write_bucketed
+
+    spark = corpus.sparkSession
+    write_bucketed(
+        containment_model(corpus, text_col, id_col, n, max_df),
+        table_name,
+        "sh",
+        buckets,
+        sort_col="sh",
+    )
+    return spark.table(table_name)
+
+
+def containment_against(
+    arrivals: DataFrame,
+    postings: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Batch reference for containment ADMISSION: per arrival, the
+    per-candidate containment C(arrival→stored) = |shared pruned
+    shingles| / |sh(arrival)| against a frozen corpus' posting lists
+    (from :func:`containment_model`). Returns one row per (doc_id,
+    cand) candidate — arrivals matching nothing (or with no shingles,
+    incl. NULL text) keep a (doc_id, NULL cand, 0.0) row, the
+    every-arrival-verdicts admission contract. This is the expression
+    the streaming stage evaluates; reduce to a per-arrival verdict
+    with the same argmax both surfaces share (see
+    streaming/docs.finalize_containment)."""
+    sh_arr = arrivals.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    ).select(
+        "doc_id",
+        F.size("_sh").cast("bigint").alias("n_sh"),
+        F.explode_outer("_sh").alias("sh"),
+    )
+    joined = sh_arr.join(
+        postings.select(F.col("doc").alias("cand"), "sh").hint("shuffle_hash"),
+        "sh",
+        "left",
+    )
+    return joined.groupBy("doc_id", "cand").agg(
+        F.count(F.when(F.col("cand").isNotNull(), 1)).cast("bigint").alias("common"),
+        F.max("n_sh").alias("n_sh"),
+    ).select(
+        "doc_id",
+        "cand",
+        "common",
+        F.when(
+            F.col("cand").isNotNull() & (F.col("n_sh") > 0),
+            F.round(F.col("common").cast("double") / F.col("n_sh").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("containment"),
+    )

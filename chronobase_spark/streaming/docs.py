@@ -1494,3 +1494,121 @@ def decontam_admit_stage(
         "n_overlap",
         (F.col("n_overlap") >= min_overlap).alias("contaminated"),
     )
+
+
+def containment_admit_stage(
+    stream: DataFrame,
+    postings: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    watermark: str | None = "10 minutes",
+    window: str | None = None,
+) -> DataFrame:
+    """Is this ARRIVING document (partly) CONTAINED in the frozen
+    corpus? — the partial-copy member of the admission family.
+    ``minhash_admit_stage`` answers resemblance (near-identical whole
+    documents); this stage answers the case it provably misses: an
+    arrival that QUOTES or EMBEDS a stored document (or is a fragment
+    of one) shares nearly all of its own shingles with the store while
+    its Jaccard against any single stored doc stays near zero. The
+    measure is the batch ``ngram.containment_pairs`` direction
+    C(arrival→stored) = |shared pruned shingles| / |sh(arrival)|.
+
+    Mechanics: per-arrival |sh| is computed BEFORE the explode (a pure
+    row expression), the arrival's shingles explode_outer and
+    LEFT-join stream-static against the frozen pruned posting lists
+    from ``dedup.ngram.containment_model`` — stateless; then ONE
+    windowed aggregation per (window, doc_id, cand) counts the shared
+    shingles and emits the rounded per-candidate containment.
+    Shingle-less and match-less arrivals keep a (doc_id, NULL cand,
+    0.0) row via explode_outer — every arrival reaches the sink. The
+    per-arrival verdict (contained?, host) is a drain-time reduction
+    (:func:`finalize_containment`), the budget/topq-family convention,
+    because argmax-over-candidates would need a second stateful
+    aggregation in-stream.
+
+    State/scale: the static side is the corpus-sized posting list —
+    the minhash-admit posture applies verbatim: deduped store, larger
+    triggers, and the BUCKETED model (``containment_model_bucketed``,
+    bucketBy on exactly [sh]) so the store never re-shuffles per
+    trigger; per-shingle fan-out is bounded by the model's ``max_df``
+    pruning (the admission-time form of the f² pair bound). State is
+    one count per in-flight (doc, cand) candidate, watermark-evicted.
+    ``watermark=None`` follows the composed-pipeline contract
+    (upstream already defined one; explicit ``window`` required)."""
+    from chronobase_spark.dedup.ngram import shingles as _shingles
+
+    if window is None:
+        if watermark is None:
+            raise ValueError(
+                "watermark=None (upstream-defined) requires an explicit window"
+            )
+        window = watermark
+    marked = (
+        stream if watermark is None else stream.withWatermark("ingest_ts", watermark)
+    )
+    sh_arr = marked.select(
+        "doc_id",
+        "ingest_ts",
+        _shingles(F.col(text_col), n).alias("_sh"),
+    ).select(
+        "doc_id",
+        "ingest_ts",
+        F.size("_sh").cast("bigint").alias("n_sh"),
+        F.explode_outer("_sh").alias("sh"),
+    )
+    joined = sh_arr.join(
+        postings.select(F.col("doc").alias("cand"), "sh"),
+        "sh",
+        "left",
+    )
+    agg = joined.groupBy(F.window("ingest_ts", window), "doc_id", "cand").agg(
+        F.count(F.when(F.col("cand").isNotNull(), 1))
+        .cast("bigint")
+        .alias("common"),
+        F.max("n_sh").alias("n_sh"),
+    )
+    return agg.select(
+        "window",
+        "doc_id",
+        "cand",
+        "common",
+        F.when(
+            F.col("cand").isNotNull() & (F.col("n_sh") > 0),
+            F.round(
+                F.col("common").cast("double") / F.col("n_sh").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("containment"),
+    )
+
+
+def finalize_containment(sink: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Per-arrival verdict from drained ``containment_admit_stage``
+    emissions: (doc_id, contained, host_id, containment) where host =
+    the stored doc with the highest containment (min id tie-break, the
+    canonical-id convention) and contained = best ≥ threshold. A
+    bounded batch projection over candidate rows; the SAME reduction
+    applied to the batch ``ngram.containment_against`` rows yields the
+    batch verdict, which the drained-equal test pins row-for-row."""
+    best = F.max(
+        F.when(
+            F.col("cand").isNotNull(),
+            F.struct(
+                F.col("containment").alias("c"), (-F.col("cand")).alias("neg_cand")
+            ),
+        )
+    )
+    return (
+        sink.groupBy("doc_id")
+        .agg(best.alias("_b"))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_b.c") >= threshold, F.lit(False)).alias("contained"),
+            F.when(F.col("_b.c") >= threshold, -F.col("_b.neg_cand")).alias(
+                "host_id"
+            ),
+            F.coalesce(F.col("_b.c"), F.lit(0.0)).alias("containment"),
+        )
+    )

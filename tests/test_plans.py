@@ -614,3 +614,49 @@ def test_restart_reattach_two_session_probe():
     assert out["band_key_exchanges"] == 1
     # the whole point: recovery is DDL-priced, not store-sized
     assert out["reattach_s"] < out["build_s"]
+
+
+def test_containment_bucketed_postings_static_side_never_shuffles(spark):
+    """The bucketed-model lever applied to the containment admission
+    member: posting lists bucketed on exactly [sh] must feed the
+    admission shingle join with NO Exchange above the static scan —
+    only the (trigger-sized) arriving side shuffles. Broadcast
+    disabled so the tiny test corpus exercises the layout path."""
+    from pyspark.sql import functions as F
+
+    from chronobase_spark import catalog
+    from chronobase_spark.dedup import ngram
+
+    docs = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .filter("text IS NOT NULL")
+        .limit(150)
+    )
+    postings = ngram.containment_model_bucketed(
+        docs, table_name="t_cont_plan", buckets=4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        arr = docs.limit(25).select(
+            F.col("doc_id"),
+            F.explode(ngram.shingles(F.col("text"))).alias("sh"),
+        )
+        j = arr.join(
+            postings.select(F.col("doc").alias("cand"), "sh"), "sh", "left"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [ln for ln in plan.splitlines() if "t_cont_plan" in ln]
+        assert scan_lines and all(
+            "Bucketed: true" in ln for ln in scan_lines
+        ), plan
+        sh_ex = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "sh#" in ln
+        ]
+        assert len(sh_ex) == 1, plan  # the arriving side's only
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_cont_plan")

@@ -2912,3 +2912,99 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
         bench_sh.unpersist()
         spark.sql("DROP TABLE IF EXISTS t_comp_intake_bands")
         spark.sql("DROP TABLE IF EXISTS t_comp_intake_shingles")
+
+
+def test_containment_admit_matches_batch_reference(spark, tmp_path):
+    """Partial-copy admission: drained containment_admit_stage rows,
+    reduced by finalize_containment, must equal the batch
+    ngram.containment_against rows under the SAME reduction — and the
+    stage must catch a FRAGMENT of a stored doc (containment 1.0, the
+    case minhash resemblance admission provably misses) while clean,
+    NULL-text, and shingle-less arrivals verdict (false, NULL, 0.0).
+    The stream drains against the BUCKETED posting model, the batch
+    against the persisted one — equality also pins the two builders'
+    content agreement."""
+    from chronobase_spark.dedup import ngram
+    from chronobase_spark.streaming import docs as docstream
+
+    base = catalog.table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    frozen = base.filter(F.col("doc_id") % 3 != 0)
+    host = next(
+        r
+        for r in frozen.orderBy("doc_id").limit(50).collect()
+        if len(r["text"].split()) >= 40
+    )
+    fragment = " ".join(host["text"].split()[: len(host["text"].split()) // 2])
+    injected = spark.createDataFrame(
+        [
+            (999970, fragment, "xx", "synthetic", len(fragment)),
+            (999971, None, "xx", "synthetic", 0),
+            (999972, "tiny", "xx", "synthetic", 4),  # < n tokens: no shingles
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    arrivals = (
+        base.filter((F.col("doc_id") % 3 == 0))
+        .limit(40)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(injected)
+    )
+    feed = arrivals.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000))
+    )
+    flush = spark.createDataFrame(
+        [(999973, "flush row content here", "xx", "synthetic", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000 + 10_000_000))
+    )
+    src = str(tmp_path / "ca_src")
+    feed.coalesce(2).write.parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)
+    flush.coalesce(1).write.mode("append").parquet(src)
+
+    postings_b = ngram.containment_model_bucketed(
+        frozen, table_name="t_containment_postings", buckets=4
+    )
+    postings_m = ngram.containment_model(frozen)
+    try:
+        q = (
+            docstream.containment_admit_stage(
+                docstream.read_document_stream(spark, src, max_files=2),
+                postings_b,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "ca_sink"))
+            .option("checkpointLocation", str(tmp_path / "ca_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        drained = spark.read.parquet(str(tmp_path / "ca_sink")).filter(
+            F.col("doc_id") != 999973
+        )
+        got = {
+            r["doc_id"]: (r["contained"], r["host_id"], r["containment"])
+            for r in docstream.finalize_containment(drained).collect()
+        }
+        expected = {
+            r["doc_id"]: (r["contained"], r["host_id"], r["containment"])
+            for r in docstream.finalize_containment(
+                ngram.containment_against(arrivals, postings_m)
+            ).collect()
+        }
+        assert got == expected
+        arrival_ids = {r["doc_id"] for r in arrivals.select("doc_id").collect()}
+        assert set(got) == arrival_ids  # every arrival verdicts
+        assert got[999970] == (True, host["doc_id"], 1.0)  # the fragment
+        assert got[999971] == (False, None, 0.0)  # NULL text
+        assert got[999972] == (False, None, 0.0)  # shingle-less
+        assert sum(1 for v in got.values() if v[0]) < len(got)  # clean arm
+    finally:
+        postings_m.unpersist()
+        spark.sql("DROP TABLE IF EXISTS t_containment_postings")
