@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from chronobase_spark import get_spark
-from chronobase_spark.dedup import minhash
+from chronobase_spark.dedup import minhash, ngram
 from chronobase_spark.functions import similarity, text
 from chronobase_spark.operators import timeseries, windows
 
@@ -1166,6 +1166,75 @@ def _drain_minhash_admit(
     return drain_s, n_dup
 
 
+def containment_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
+    """Store-growth probe for the partial-copy containment admission
+    member (streaming/docs.containment_admit_stage): arrivals FIXED
+    (the tagged universe-0 re-fetch feed — every arrival shares ALL its
+    shingles with its stored copy, so every arrival must verdict
+    contained at 1.0 and the exact counting path provably runs), the
+    frozen posting-list store grown by the mutation fixture, the SAME
+    drain run under (a) the persisted model (containment_model) and
+    (b) the bucketed-on-[sh] model (containment_model_bucketed). The
+    static side is |store| pruned posting rows — the minhash-admit
+    scaling axis with a shingle-keyed join instead of a band-keyed
+    one; max_df pruning holds per-shingle fan-out at the planted-dup
+    width regardless of factor (universes share zero shingles by
+    construction). Contained counts must agree across forms."""
+    from chronobase_spark.streaming import docs as docstream
+
+    sf_dir = mutated_documents_dir(spark, factor)
+    frozen = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_frozen = frozen.count()
+    src, n_arrivals = _tagged_admit_src(spark, tmp_root, f"cont_x{factor}")
+
+    def drain(postings, tag: str) -> tuple[float, int]:
+        sink = tmp_root / f"cont_sink_{tag}"
+        ckpt = tmp_root / f"cont_ckpt_{tag}"
+        t0 = time.perf_counter()
+        qs = (
+            docstream.containment_admit_stage(
+                docstream.read_document_stream(spark, src), postings
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qs.awaitTermination(3600)
+        dt = time.perf_counter() - t0
+        n_contained = (
+            docstream.finalize_containment(spark.read.parquet(str(sink)))
+            .filter("contained")
+            .count()
+        )
+        return dt, n_contained
+
+    out: dict = {
+        "factor": factor,
+        "n_frozen": n_frozen,
+        "n_arrivals": n_arrivals,
+    }
+    t0 = time.perf_counter()
+    postings_m = ngram.containment_model(frozen)
+    out["n_postings"] = postings_m.count()
+    out["mem_model_s"] = round(time.perf_counter() - t0, 2)
+    dt, n = drain(postings_m, f"mem_x{factor}")
+    out["mem_drain_s"], out["mem_contained"] = round(dt, 2), n
+    postings_m.unpersist()
+
+    t0 = time.perf_counter()
+    postings_b = ngram.containment_model_bucketed(
+        frozen, table_name=f"cont_model_x{factor}"
+    )
+    out["bucket_model_s"] = round(time.perf_counter() - t0, 2)
+    dt, n = drain(postings_b, f"bkt_x{factor}")
+    out["bucket_drain_s"], out["bucket_contained"] = round(dt, 2), n
+    spark.sql(f"DROP TABLE IF EXISTS cont_model_x{factor}")
+    return out
+
+
 _SKEW_CLIQUE_W = 1024
 _SKEW_HOT_ARRIVALS = 128
 
@@ -2127,6 +2196,31 @@ def main():
         for mode in ("mem", "bucket"):
             print(
                 f"minhash_admit {mode}: {last['factor']}x store -> "
+                f"{last[f'{mode}_drain_s'] / max(base[f'{mode}_drain_s'], 1e-9):.1f}x wall "
+                f"({base[f'{mode}_drain_s']} -> {last[f'{mode}_drain_s']} s)"
+            )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+    if sys.argv[1:2] == ["--containment-admit"]:
+        factors = [int(a) for a in sys.argv[2:]] or [1, 16, 64]
+        SCRATCH.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for factor in factors:
+            spark = get_spark(
+                app_name=f"containment-admit-probe-x{factor}",
+                shuffle_partitions=32,
+            )
+            tmp_root = SCRATCH / f"cont_admit_x{factor}"
+            tmp_root.mkdir(parents=True, exist_ok=True)
+            rows.append(containment_admit_probe(spark, factor, tmp_root))
+            print(f"factor {factor}: {rows[-1]}", flush=True)
+            assert rows[-1]["mem_contained"] == rows[-1]["bucket_contained"]
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            spark.stop()
+        base, last = rows[0], rows[-1]
+        for mode in ("mem", "bucket"):
+            print(
+                f"containment_admit {mode}: {last['factor']}x store -> "
                 f"{last[f'{mode}_drain_s'] / max(base[f'{mode}_drain_s'], 1e-9):.1f}x wall "
                 f"({base[f'{mode}_drain_s']} -> {last[f'{mode}_drain_s']} s)"
             )

@@ -2684,7 +2684,7 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
     state-store coexistence across concurrent branch queries) had no
     correctness guard.
 
-    One source directory, drained availableNow by three coexisting
+    One source directory, drained availableNow by four coexisting
     queries in the same session:
 
       main chain (ONE query, TWO state stores): pii_scrub → signature
@@ -2694,7 +2694,8 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
         text (text_col='redacted'), so the composition is real, not
         column-parallel;
       branch 1: pii_scrub → decontam_admit → sink B;
-      branch 2: pii_scrub → weighted_sample → sink C.
+      branch 2: pii_scrub → weighted_sample → sink C;
+      branch 3: pii_scrub → containment_admit → sink D.
 
     Each sink must equal its batch twin computed on the same
     (scrubbed) rows: admission verdicts on the gate+dedup survivors,
@@ -2776,6 +2777,7 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
         text_col="rtext",
     )
     bench_sh = ngram.decontam_model(frozen_scrubbed, text_col="rtext")
+    postings_m = ngram.containment_model(frozen_scrubbed, text_col="rtext")
 
     try:
         raw = docstream.read_document_stream(spark, src, max_files=16)
@@ -2803,9 +2805,17 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
             scrubbed, bench_sh, text_col="redacted"
         )
         branch_ws = docstream.weighted_sample_stage(scrubbed, text_col="redacted")
+        branch_ct = docstream.containment_admit_stage(
+            scrubbed, postings_m, text_col="redacted"
+        )
 
         queries = []
-        for name, staged in (("a", chain), ("b", branch_dc), ("c", branch_ws)):
+        for name, staged in (
+            ("a", chain),
+            ("b", branch_dc),
+            ("c", branch_ws),
+            ("d", branch_ct),
+        ):
             queries.append(
                 staged.writeStream.format("parquet")
                 .option("path", str(tmp_path / f"sink_{name}"))
@@ -2908,8 +2918,31 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
             for r in spark.read.parquet(str(tmp_path / "sink_c")).collect()
         }
         assert got_c == expected_ws
+
+        # branch 3: containment verdicts equal the batch reference
+        # (flush row's window never closes — excluded, as in sink A)
+        got_d = {
+            r["doc_id"]: (r["contained"], r["host_id"], r["containment"])
+            for r in docstream.finalize_containment(
+                spark.read.parquet(str(tmp_path / "sink_d")).filter(
+                    F.col("doc_id") != 999982
+                )
+            ).collect()
+        }
+        expected_ct = {
+            r["doc_id"]: (r["contained"], r["host_id"], r["containment"])
+            for r in docstream.finalize_containment(
+                ngram.containment_against(
+                    all_arrivals.filter(F.col("doc_id") != 999982),
+                    postings_m,
+                    text_col="redacted",
+                )
+            ).collect()
+        }
+        assert got_d == expected_ct
     finally:
         bench_sh.unpersist()
+        postings_m.unpersist()
         spark.sql("DROP TABLE IF EXISTS t_comp_intake_bands")
         spark.sql("DROP TABLE IF EXISTS t_comp_intake_shingles")
 
