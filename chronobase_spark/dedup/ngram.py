@@ -245,17 +245,27 @@ def containment_model(
     — an admission model cannot know future arrivals' df), which is
     the deterministic contract the batch twin ``containment_against``
     shares."""
+    return _pruned_postings(corpus, text_col, id_col, n, max_df).persist()
+
+
+def _pruned_postings(
+    corpus: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+) -> DataFrame:
+    """The (doc, sh) posting table pruned at ``max_df``, UNPERSISTED —
+    containment_model caches it for per-trigger re-reads; the bucketed
+    builder materializes it straight into the table (caching there
+    would leak a corpus-sized cache the on-disk layout exists to
+    avoid, r16 review catch)."""
     sh = corpus.select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
-    rare = sh.join(
+    return sh.join(
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .hint("shuffle_hash"),
         "sh",
     ).select("doc", "sh")
-    return rare.persist()
 
 
 def containment_model_bucketed(
@@ -272,18 +282,85 @@ def containment_model_bucketed(
     list feeds the per-trigger stream-static join with zero static-side
     Exchange (the minhash_band_model_bucketed lever applied to the
     containment member; same restart story via write_bucketed's
-    manifest + writers.reattach_bucketed)."""
+    manifest + writers.reattach_bucketed). Builds from the unpersisted
+    posting expression — no executor-memory cache is left behind."""
     from chronobase_spark.sources.writers import write_bucketed
 
     spark = corpus.sparkSession
     write_bucketed(
-        containment_model(corpus, text_col, id_col, n, max_df),
+        _pruned_postings(corpus, text_col, id_col, n, max_df),
         table_name,
         "sh",
         buckets,
         sort_col="sh",
     )
     return spark.table(table_name)
+
+
+def containment_candidate_rows(
+    arrivals: DataFrame,
+    postings: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    carry: tuple[str, ...] = (),
+    hint: str | None = None,
+) -> DataFrame:
+    """ONE-definition candidate-row builder shared by the batch
+    reference (:func:`containment_against`) and the streaming stage
+    (streaming/docs.containment_admit_stage) — the md5_band_table
+    convention: both surfaces compile the LITERAL same expression, so
+    drained-equal holds by construction rather than by parallel
+    maintenance. Per-arrival |sh| is computed BEFORE the explode;
+    explode_outer + left join keep match-less and shingle-less
+    arrivals as (doc_id, NULL cand) rows. ``carry`` passes extra
+    columns through (the stage carries ingest_ts for its window);
+    ``hint`` optionally pins the postings join side (the batch
+    reference uses shuffle_hash — corpus-derived sides never
+    broadcast; the stream-static join is left to Catalyst)."""
+    post = postings.select(F.col("doc").alias("cand"), "sh")
+    if hint is not None:
+        post = post.hint(hint)
+    sh_arr = arrivals.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry],
+        shingles(F.col(text_col), n).alias("_sh"),
+    ).select(
+        "doc_id",
+        *carry,
+        F.size("_sh").cast("bigint").alias("n_sh"),
+        F.explode_outer("_sh").alias("sh"),
+    )
+    return sh_arr.join(post, "sh", "left")
+
+
+def containment_agg_exprs() -> list:
+    """The shared per-(…, doc_id, cand) aggregate: shared-shingle count
+    + the arrival's shingle-set size (constant per doc — max is just
+    the passthrough)."""
+    return [
+        F.count(F.when(F.col("cand").isNotNull(), 1))
+        .cast("bigint")
+        .alias("common"),
+        F.max("n_sh").alias("n_sh"),
+    ]
+
+
+def containment_projection(agged: DataFrame, lead: tuple[str, ...] = ()) -> DataFrame:
+    """The shared final projection: rounded containment quotient with
+    the (NULL cand | empty shingle set) → 0.0 fallback."""
+    return agged.select(
+        *lead,
+        "doc_id",
+        "cand",
+        "common",
+        F.when(
+            F.col("cand").isNotNull() & (F.col("n_sh") > 0),
+            F.round(F.col("common").cast("double") / F.col("n_sh").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("containment"),
+    )
 
 
 def containment_against(
@@ -299,34 +376,14 @@ def containment_against(
     (from :func:`containment_model`). Returns one row per (doc_id,
     cand) candidate — arrivals matching nothing (or with no shingles,
     incl. NULL text) keep a (doc_id, NULL cand, 0.0) row, the
-    every-arrival-verdicts admission contract. This is the expression
-    the streaming stage evaluates; reduce to a per-arrival verdict
-    with the same argmax both surfaces share (see
-    streaming/docs.finalize_containment)."""
-    sh_arr = arrivals.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n).alias("_sh"),
-    ).select(
-        "doc_id",
-        F.size("_sh").cast("bigint").alias("n_sh"),
-        F.explode_outer("_sh").alias("sh"),
+    every-arrival-verdicts admission contract. Compiled from the SAME
+    shared builders the streaming stage uses
+    (:func:`containment_candidate_rows` / :func:`containment_agg_exprs`
+    / :func:`containment_projection`); reduce to a per-arrival verdict
+    with the shared argmax (streaming/docs.finalize_containment)."""
+    rows = containment_candidate_rows(
+        arrivals, postings, text_col, id_col, n, hint="shuffle_hash"
     )
-    joined = sh_arr.join(
-        postings.select(F.col("doc").alias("cand"), "sh").hint("shuffle_hash"),
-        "sh",
-        "left",
-    )
-    return joined.groupBy("doc_id", "cand").agg(
-        F.count(F.when(F.col("cand").isNotNull(), 1)).cast("bigint").alias("common"),
-        F.max("n_sh").alias("n_sh"),
-    ).select(
-        "doc_id",
-        "cand",
-        "common",
-        F.when(
-            F.col("cand").isNotNull() & (F.col("n_sh") > 0),
-            F.round(F.col("common").cast("double") / F.col("n_sh").cast("double"), 6),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("containment"),
+    return containment_projection(
+        rows.groupBy("doc_id", "cand").agg(*containment_agg_exprs())
     )

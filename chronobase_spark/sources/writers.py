@@ -171,10 +171,26 @@ def reattach_bucketed(spark, table_name: str, location: str | None = None) -> Da
     forgets it without deleting data). Raises FileNotFoundError when no
     manifest exists at the location — an unmanifested directory has no
     trustworthy bucket metadata, and attaching it unbucketed would
-    silently reintroduce the per-trigger Exchange."""
+    silently reintroduce the per-trigger Exchange. Raises ValueError
+    when the name is currently a MANAGED table in this session's
+    catalog: dropping it would DELETE the very files being attached
+    and the re-create would silently yield an empty model (r16 review
+    catch) — a still-attached managed table needs no re-attach, so the
+    caller's startup logic should check tableExists first."""
     import json
 
     table_name = _normalize_table_name(table_name)
+    if spark.catalog.tableExists(table_name):
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+        ttype = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Type"), ""
+        )
+        if ttype.upper() != "EXTERNAL":
+            raise ValueError(
+                f"{table_name} is a MANAGED table in the current catalog — "
+                "dropping it would delete the data files being attached. "
+                "It is still attached; use spark.table() directly."
+            )
     wh = spark.conf.get("spark.sql.warehouse.dir")
     loc = location or f"{wh}/{table_name}"
     jvm = spark._jvm

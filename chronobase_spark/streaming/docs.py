@@ -92,6 +92,27 @@ def read_document_stream(
     )
 
 
+def _watermarked(
+    stream: DataFrame, watermark: str | None, window: str | None
+) -> tuple[DataFrame, str]:
+    """The composed-pipeline watermark contract, shared by every
+    windowed admission stage: ``watermark=None`` means the UPSTREAM
+    already defined one (Spark disallows redefining it between chained
+    stateful operators) and requires an explicit ``window``; otherwise
+    the stage defines its own and ``window`` defaults to it. Returns
+    (marked stream, resolved window)."""
+    if window is None:
+        if watermark is None:
+            raise ValueError(
+                "watermark=None (upstream-defined) requires an explicit window"
+            )
+        window = watermark
+    marked = (
+        stream if watermark is None else stream.withWatermark("ingest_ts", watermark)
+    )
+    return marked, window
+
+
 def quality_gate(
     stream: DataFrame,
     text_col: str = "text",
@@ -716,12 +737,6 @@ def minhash_admit_stage(
     from chronobase_spark.dedup.minhash import md5_band_key, md5_lane
     from chronobase_spark.dedup.ngram import shingles as _shingles
 
-    if window is None:
-        if watermark is None:
-            raise ValueError(
-                "watermark=None (upstream-defined) requires an explicit window"
-            )
-        window = watermark
     num_perm = bands * rows_per_band
 
     def _lane_fold(i: int):
@@ -738,9 +753,7 @@ def minhash_admit_stage(
         return md5_band_key(lanes, bands, rows_per_band)
 
     sh = _shingles(F.col(text_col), n)
-    marked = (
-        stream if watermark is None else stream.withWatermark("ingest_ts", watermark)
-    )
+    marked, window = _watermarked(stream, watermark, window)
     prepped = marked.select("doc_id", "ingest_ts", sh.alias("_sh"))
     banded = prepped.select(
         "doc_id",
@@ -1461,15 +1474,7 @@ def decontam_admit_stage(
     minhash_admit_stage) and requires an explicit ``window``."""
     from chronobase_spark.dedup.ngram import shingles as _shingles
 
-    if window is None:
-        if watermark is None:
-            raise ValueError(
-                "watermark=None (upstream-defined) requires an explicit window"
-            )
-        window = watermark
-    marked = (
-        stream if watermark is None else stream.withWatermark("ingest_ts", watermark)
-    )
+    marked, window = _watermarked(stream, watermark, window)
     exploded = (
         marked
         .select(
@@ -1535,53 +1540,28 @@ def containment_admit_stage(
     pruning (the admission-time form of the f² pair bound). State is
     one count per in-flight (doc, cand) candidate, watermark-evicted.
     ``watermark=None`` follows the composed-pipeline contract
-    (upstream already defined one; explicit ``window`` required)."""
-    from chronobase_spark.dedup.ngram import shingles as _shingles
+    (upstream already defined one; explicit ``window`` required).
 
-    if window is None:
-        if watermark is None:
-            raise ValueError(
-                "watermark=None (upstream-defined) requires an explicit window"
-            )
-        window = watermark
-    marked = (
-        stream if watermark is None else stream.withWatermark("ingest_ts", watermark)
+    The candidate rows, aggregate, and projection are the LITERAL
+    shared builders the batch reference compiles
+    (dedup.ngram.containment_candidate_rows / containment_agg_exprs /
+    containment_projection — the md5_band_table one-definition
+    convention), so drained-equal holds by construction; only the
+    window grouping key differs."""
+    from chronobase_spark.dedup.ngram import (
+        containment_agg_exprs,
+        containment_candidate_rows,
+        containment_projection,
     )
-    sh_arr = marked.select(
-        "doc_id",
-        "ingest_ts",
-        _shingles(F.col(text_col), n).alias("_sh"),
-    ).select(
-        "doc_id",
-        "ingest_ts",
-        F.size("_sh").cast("bigint").alias("n_sh"),
-        F.explode_outer("_sh").alias("sh"),
+
+    marked, window = _watermarked(stream, watermark, window)
+    rows = containment_candidate_rows(
+        marked, postings, text_col, "doc_id", n, carry=("ingest_ts",)
     )
-    joined = sh_arr.join(
-        postings.select(F.col("doc").alias("cand"), "sh"),
-        "sh",
-        "left",
+    agg = rows.groupBy(F.window("ingest_ts", window), "doc_id", "cand").agg(
+        *containment_agg_exprs()
     )
-    agg = joined.groupBy(F.window("ingest_ts", window), "doc_id", "cand").agg(
-        F.count(F.when(F.col("cand").isNotNull(), 1))
-        .cast("bigint")
-        .alias("common"),
-        F.max("n_sh").alias("n_sh"),
-    )
-    return agg.select(
-        "window",
-        "doc_id",
-        "cand",
-        "common",
-        F.when(
-            F.col("cand").isNotNull() & (F.col("n_sh") > 0),
-            F.round(
-                F.col("common").cast("double") / F.col("n_sh").cast("double"), 6
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("containment"),
-    )
+    return containment_projection(agg, lead=("window",))
 
 
 def finalize_containment(sink: DataFrame, threshold: float = 0.8) -> DataFrame:
@@ -1591,24 +1571,20 @@ def finalize_containment(sink: DataFrame, threshold: float = 0.8) -> DataFrame:
     canonical-id convention) and contained = best ≥ threshold. A
     bounded batch projection over candidate rows; the SAME reduction
     applied to the batch ``ngram.containment_against`` rows yields the
-    batch verdict, which the drained-equal test pins row-for-row."""
-    best = F.max(
-        F.when(
-            F.col("cand").isNotNull(),
-            F.struct(
-                F.col("containment").alias("c"), (-F.col("cand")).alias("neg_cand")
-            ),
-        )
+    batch verdict, which the drained-equal test pins row-for-row.
+    Ranked via a window on (containment desc, cand asc) rather than an
+    arithmetic-negation struct max, so any orderable id type works
+    (string/url corpus ids — r16 review catch)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("containment").desc(), F.col("cand").asc_nulls_last()
     )
-    return (
-        sink.groupBy("doc_id")
-        .agg(best.alias("_b"))
-        .select(
-            "doc_id",
-            F.coalesce(F.col("_b.c") >= threshold, F.lit(False)).alias("contained"),
-            F.when(F.col("_b.c") >= threshold, -F.col("_b.neg_cand")).alias(
-                "host_id"
-            ),
-            F.coalesce(F.col("_b.c"), F.lit(0.0)).alias("containment"),
-        )
+    best = sink.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+    contained = F.col("cand").isNotNull() & (F.col("containment") >= threshold)
+    return best.select(
+        "doc_id",
+        contained.alias("contained"),
+        F.when(contained, F.col("cand")).alias("host_id"),
+        "containment",
     )

@@ -111,8 +111,12 @@ def main() -> int:
     bands_a, sh_a = minhash.minhash_band_model_bucketed(
         docs, table_prefix=TABLE_PREFIX, buckets=args.buckets
     )
-    band_rows_a, sh_rows_a = bands_a.count(), sh_a.count()
+    # saveAsTable materialized the model — stop the clock BEFORE the
+    # verification counts so build_s and reattach_s both time only
+    # their own operation (r16 review: counts inside the build window
+    # inflated the build-vs-reattach comparison)
     build_s = time.perf_counter() - t0
+    band_rows_a, sh_rows_a = bands_a.count(), sh_a.count()
     arr = minhash.md5_band_table(docs.limit(25)).select(
         "doc", "band_id", "band_val"
     )

@@ -1179,13 +1179,34 @@ def containment_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
     scaling axis with a shingle-keyed join instead of a band-keyed
     one; max_df pruning holds per-shingle fan-out at the planted-dup
     width regardless of factor (universes share zero shingles by
-    construction). Contained counts must agree across forms."""
+    construction). Contained counts must agree across forms AND equal
+    n_arrivals (every arrival is a re-fetch — a deflated count means
+    the drain lateness-dropped rows, not that the verify got cheap)."""
     from chronobase_spark.streaming import docs as docstream
 
     sf_dir = mutated_documents_dir(spark, factor)
     frozen = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_frozen = frozen.count()
-    src, n_arrivals = _tagged_admit_src(spark, tmp_root, f"cont_x{factor}")
+    std_src, n_arrivals = _tagged_admit_src(spark, tmp_root, f"cont_x{factor}")
+    # Flatten arrivals onto one event-time instant and append the flush
+    # row as its OWN later-mtime file (the trigger-probe replay-order
+    # lessons): _tagged_admit_src's single-write layout can land the
+    # flush file in an early trigger, fast-forwarding the watermark and
+    # silently lateness-dropping later arrivals (r16 review catch —
+    # latent here, fixture-layout dependent).
+    src = tmp_root / f"cont_feed_x{factor}"
+    (
+        spark.read.parquet(std_src)
+        .filter(F.col("doc_id") != 999_999_999)
+        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(str(src))
+    )
+    time.sleep(1.1)
+    spark.read.parquet(std_src).filter(
+        F.col("doc_id") == 999_999_999
+    ).coalesce(1).write.mode("append").parquet(str(src))
 
     def drain(postings, tag: str) -> tuple[float, int]:
         sink = tmp_root / f"cont_sink_{tag}"
@@ -1193,7 +1214,8 @@ def containment_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
         t0 = time.perf_counter()
         qs = (
             docstream.containment_admit_stage(
-                docstream.read_document_stream(spark, src), postings
+                docstream.read_document_stream(spark, str(src), max_files=8),
+                postings,
             )
             .writeStream.format("parquet")
             .option("path", str(sink))
@@ -2215,6 +2237,9 @@ def main():
             rows.append(containment_admit_probe(spark, factor, tmp_root))
             print(f"factor {factor}: {rows[-1]}", flush=True)
             assert rows[-1]["mem_contained"] == rows[-1]["bucket_contained"]
+            # every arrival re-fetches stored content: a short count is
+            # a lateness-dropped drain, not a cheaper verify
+            assert rows[-1]["mem_contained"] == rows[-1]["n_arrivals"], rows[-1]
             shutil.rmtree(tmp_root, ignore_errors=True)
             spark.stop()
         base, last = rows[0], rows[-1]

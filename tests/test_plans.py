@@ -660,3 +660,20 @@ def test_containment_bucketed_postings_static_side_never_shuffles(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_cont_plan")
+
+
+def test_reattach_bucketed_refuses_managed_table(spark):
+    """Re-attaching a name that is currently a MANAGED table must
+    refuse: the DROP would delete the very files being attached and
+    the re-create would silently yield an empty model (r16 review
+    catch). Data must be intact after the refusal."""
+    from chronobase_spark.sources import writers
+
+    df = spark.range(50).selectExpr("id AS user_id")
+    try:
+        writers.write_bucketed(df, "t_ra_managed", "user_id", 2)
+        with pytest.raises(ValueError, match="MANAGED"):
+            writers.reattach_bucketed(spark, "t_ra_managed")
+        assert spark.table("t_ra_managed").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ra_managed")
