@@ -3041,3 +3041,34 @@ def test_containment_admit_matches_batch_reference(spark, tmp_path):
     finally:
         postings_m.unpersist()
         spark.sql("DROP TABLE IF EXISTS t_containment_postings")
+
+
+def test_stream_recovery_across_sessions_with_reattached_model():
+    """The production recovery path END-TO-END (extends the r16
+    two-session model re-attach pin): a streaming admission job dies
+    mid-stream; a fresh session re-attaches the bucketed model from
+    its manifest (no rebuild) and resumes the SAME checkpoint with new
+    arrivals. The probe asserts batch 2 is fully verdicted, batch 1 is
+    not re-processed (the file-source offset log survives the
+    restart), and every re-fetch arrival in both halves verdicts dup
+    of its stored copy. Subprocess because a genuinely fresh catalog
+    needs a new SparkContext."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "restart_stream_recovery_probe.py"),
+            "--rows", "60", "--cpus", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["b2_complete"] and out["b1_not_reemitted"]
+    assert out["b1_all_dup"] and out["b2_all_dup"]
