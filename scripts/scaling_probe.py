@@ -1852,7 +1852,17 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
     The marginal docs/s drop between consecutive rows names the
     binding stage; wall includes sink commit (ingest is a write's
     throughput). Each drain uses a fresh sink+checkpoint so state
-    never carries over."""
+    never carries over.
+
+    Observed analyzer asymmetry (r16): these stacks chain
+    content_dedup (stateful) with admission stages that re-apply
+    withWatermark — over the chronotab Python DataSource Spark accepts
+    the redefinition and the stacks drain, while the SAME composition
+    over a parquet file source raises "Redefining watermark is
+    disallowed" (reproduced both ways, r15 HEAD and r16). File-source
+    compositions must use the stages' watermark=None contract
+    (tests/test_streaming.py composed-intake test); these chronotab
+    stacks measure COST and are kept in the accepted shape."""
     from chronobase_spark.sources import tabfile
     from chronobase_spark.streaming import docs as docstream
 
@@ -1905,6 +1915,11 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
 
     _bench_sh = _ngram.decontam_model(docs.filter(F.col("source") == "src0"))
     _bench_sh.count()
+    # containment posting lists over the DEDUPED corpus (the principled
+    # store, same reasoning as minhash_dd), materialized before the
+    # drain clock
+    _cont_postings = _ngram.containment_model(_dd)
+    _cont_postings.count()
     pipelines = [
         ("decode", lambda s: s),
         ("pii", docstream.pii_scrub_stage),
@@ -1993,6 +2008,17 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
                 _bench_sh,
             ),
         ),
+        (
+            "containment",
+            lambda s: docstream.containment_admit_stage(
+                docstream.content_dedup(
+                    docstream.datacard_stage(
+                        docstream.template_stage(docstream.pii_scrub_stage(s))
+                    )
+                ),
+                _cont_postings,
+            ),
+        ),
     ]
     out: dict = {"factor": factor, "n_docs": n_docs}
     for name, build in pipelines:
@@ -2017,6 +2043,7 @@ def intake_decomp_probe(spark, factor: int, tmp_root: Path) -> dict:
     for t in (f"intake_bkt_x{factor}_bands", f"intake_bkt_x{factor}_shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     _bench_sh.unpersist()
+    _cont_postings.unpersist()
     return out
 
 
