@@ -3072,3 +3072,57 @@ def test_stream_recovery_across_sessions_with_reattached_model():
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["b2_complete"] and out["b1_not_reemitted"]
     assert out["b1_all_dup"] and out["b2_all_dup"]
+
+
+def test_watermark_contract_failure_modes(spark, tmp_path):
+    """Pins the two ways the composed-pipeline watermark contract can
+    be violated: (1) chaining a default-watermark admission stage after
+    content_dedup over a FILE source fails at stream start with
+    Spark's watermark-redefinition error (the reason the
+    watermark=None contract exists — if a Spark upgrade relaxes this,
+    this test says so and the contract can be simplified); (2)
+    watermark=None without an explicit window raises immediately."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from chronobase_spark.dedup import minhash
+    from chronobase_spark.streaming import docs as docstream
+
+    base = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .filter("text IS NOT NULL")
+        .limit(20)
+    )
+    src = str(tmp_path / "wm_src")
+    base.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000))
+    ).coalesce(1).write.parquet(src)
+    bands, sh = minhash.minhash_band_model(base)
+    try:
+        with _pytest.raises(ValueError, match="explicit window"):
+            docstream.minhash_admit_stage(
+                docstream.read_document_stream(spark, src),
+                bands,
+                sh,
+                watermark=None,
+            )
+        q = (
+            docstream.minhash_admit_stage(
+                docstream.content_dedup(
+                    docstream.read_document_stream(spark, src)
+                ),
+                bands,
+                sh,  # default watermark -> redefinition after stateful dedup
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "wm_sink"))
+            .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with _pytest.raises(StreamingQueryException, match="[Rr]edefining watermark"):
+            q.awaitTermination(120)
+    finally:
+        bands.unpersist()
+        sh.unpersist()
