@@ -10599,7 +10599,8 @@ WITH v AS (
          SUM(v_micro) OVER win AS sum_w,
          COUNT(*) OVER win AS n_w
   FROM v
-  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+  WINDOW win AS (PARTITION BY event_type, CAST(ts AS DATE)
+                 ORDER BY ts, event_id
                  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
 )
 SELECT event_type, hour(ts) AS hod,
@@ -10623,12 +10624,20 @@ def q_seasonal_decompose_hod(spark, sf_dir):
     micro-quantized values, and the detrended term is kept as the
     EXACT integer 25·v_micro − Σwindow (no per-row division), so the
     only rounding is the single final quotient of two exact integers
-    — the FIXTURES quantization rule. Plan: one (event_type)-keyed
-    window shuffle, then a |types|·24-row aggregate; no joins, no
-    engine-specific expressions."""
+    — the FIXTURES quantization rule.
+
+    Scale: the MA window partitions on (event_type, DAY), not
+    event_type alone — |types| is small, so a type-keyed window would
+    put a type's FULL history in one task at 100 TB (the
+    value_autocorr_daily lesson). Day-scoping bounds every window sort
+    to one day of one type; the cost is that each day's 12 edge rows
+    lack a full 25-sample window and drop (identically on both
+    engines) — the same edge rule the unpartitioned form applies at
+    series ends, applied per day. Plan: one (type, day)-keyed window
+    shuffle, then a |types|·24-row aggregate; no joins."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", F.to_date("ts"))
         .orderBy("ts", "event_id")
         .rowsBetween(-12, 12)
     )
