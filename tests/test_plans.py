@@ -677,3 +677,31 @@ def test_reattach_bucketed_refuses_managed_table(spark):
         assert spark.table("t_ra_managed").count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ra_managed")
+
+
+def test_seasonal_decompose_window_is_day_scoped(spark):
+    """seasonal_decompose_hod's moving-average window must partition on
+    (event_type, day) — a type-only partition hands one task a type's
+    FULL history at scale (|types| is small). Pins the day key in the
+    Window spec so a refactor can't silently regress to the
+    type-global sort."""
+    import re
+
+    df = q.queries()["seasonal_decompose_hod"](spark, SF_SMOKE)
+    ext = inspect.explain_str(df, "extended")
+    # the analyzed plan projects to_date(ts) as the second window key
+    assert "to_date" in ext, ext[:2000]
+    # every window spec partitions on BOTH event_type and the projected
+    # day key (windowspecdefinition(event_type#N, _wM#K, ts ASC ...)),
+    # and the window Exchange hashes on both — a type-only spec would
+    # read windowspecdefinition(event_type#N, ts#...
+    specs = [ln for ln in ext.splitlines() if "windowspecdefinition" in ln]
+    assert specs, ext[:2000]
+    assert all(
+        re.search(r"windowspecdefinition\(event_type#\d+, _w\d+#\d+,", ln)
+        for ln in specs
+    ), specs
+    assert any(
+        re.search(r"hashpartitioning\(event_type#\d+, _w\d+#\d+", ln)
+        for ln in ext.splitlines()
+    ), ext[:2000]
