@@ -181,15 +181,16 @@ def reattach_bucketed(spark, table_name: str, location: str | None = None) -> Da
 
     table_name = _normalize_table_name(table_name)
     if spark.catalog.tableExists(table_name):
-        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
-        ttype = next(
-            (r["data_type"] for r in rows if r["col_name"] == "Type"), ""
-        )
-        if ttype.upper() != "EXTERNAL":
+        # catalog API, not DESCRIBE-output scraping: a table COLUMN
+        # named "Type" would shadow the detailed-section row (r16
+        # review catch), and views get an honest message too
+        ttype = (spark.catalog.getTable(table_name).tableType or "").upper()
+        if ttype != "EXTERNAL":
             raise ValueError(
-                f"{table_name} is a MANAGED table in the current catalog — "
-                "dropping it would delete the data files being attached. "
-                "It is still attached; use spark.table() directly."
+                f"{table_name} already exists as {ttype or 'UNKNOWN'} in the "
+                "current catalog — dropping a managed table would delete the "
+                "data files being attached. It is still attached; use "
+                "spark.table() directly."
             )
     wh = spark.conf.get("spark.sql.warehouse.dir")
     loc = location or f"{wh}/{table_name}"

@@ -90,7 +90,7 @@ HEADLINE = [
     ("semantic_admission_report", "semantic admission: stored-count-scaled cell model, cosine verify only inside cells, vec-keyed verdict left join"),
     ("phash_admission_report", "image admission: ONE persisted decode pass split by flags, chunk join across the split, Hamming cut before the doc-keyed verdict join"),
     ("ngram_containment_pairs", "containment pairs: the Jaccard finder's pruned posting-list self-join unchanged, only the projection is asymmetric"),
-    ("seasonal_decompose_hod", "seasonal decomposition: ONE type-keyed window sort, exact integer detrend, |types|x24 aggregate"),
+    ("seasonal_decompose_hod", "seasonal decomposition: (type, day)-keyed window sort (no task owns a type's full history), exact integer detrend, |types|x24 aggregate"),
 ]
 
 KEEP = re.compile(

@@ -160,10 +160,16 @@ def main() -> int:
         "append"
     ).parquet(src)
     _drain(spark, src, sink, ckpt, bands, sh)
+    final_rows = spark.read.parquet(sink).collect()
     final = {
         (r["doc_id"], r["dup_of_corpus"], r["canonical_id"])
-        for r in spark.read.parquet(sink).collect()
+        for r in final_rows
     }
+    # physical row count, not the set: byte-identical re-emission of
+    # batch-1 rows would dedup in the set and hide a reprocessing bug
+    # (r16 review catch) — each arrival lives in exactly one window
+    # here, so distinct verdicts == physical rows iff exactly-once held
+    n_sink_rows = len(final_rows)
     spark.stop()
 
     b1_verdicts = {v for v in sink_after_a if v[0] != 999_999_901}
@@ -186,7 +192,9 @@ def main() -> int:
         "b1_emitted_in_a": len(b1_verdicts),
         "b2_emitted_in_b": len(got_b2_ids),
         "b1_not_reemitted": b1_verdicts <= final
-        and all(v[0] not in got_b2_ids for v in b1_verdicts),
+        and all(v[0] not in got_b2_ids for v in b1_verdicts)
+        and n_sink_rows == len(final),
+        "sink_rows": n_sink_rows,
         "b2_complete": got_b2_ids == b2_expected_ids,
         "b1_all_dup": _ok(b1_verdicts, b1_ids),
         "b2_all_dup": _ok(new_verdicts, b2_ids),

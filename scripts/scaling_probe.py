@@ -1137,6 +1137,38 @@ def _tagged_admit_src(spark, tmp_root: Path, tag: str) -> tuple[str, int]:
     return str(src), n_arrivals
 
 
+def _flattened_admit_feed(
+    spark, std_src: str, tmp_root: Path, tag: str, extra=None
+) -> str:
+    """Rewrite a ``_tagged_admit_src`` feed into the deterministic
+    drain layout the replay-order lessons require (shared by the skew
+    and containment probes — r16 review: the third hand-rolled copy of
+    a trap-sensitive pattern is how the traps come back): every
+    non-flush arrival flattened onto ONE event-time instant in 8
+    same-mtime files, then the flush row appended as its OWN
+    later-mtime file so the file source gives it its own FINAL trigger
+    — an all-in-one-trigger drain never re-fires after the watermark
+    advance and emits nothing, and a mid-feed flush fast-forwards the
+    watermark and lateness-drops everything after it. ``extra``
+    optionally unions additional arrival rows (must carry the feed
+    schema incl. ingest_ts) before the flatten."""
+    src = tmp_root / f"admit_feed_{tag}"
+    feed = spark.read.parquet(std_src).filter(F.col("doc_id") != 999_999_999)
+    if extra is not None:
+        feed = feed.unionByName(extra)
+    (
+        feed.withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(str(src))
+    )
+    time.sleep(1.1)
+    spark.read.parquet(std_src).filter(
+        F.col("doc_id") == 999_999_999
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    return str(src)
+
+
 def _drain_minhash_admit(
     spark, bands, sh, src: str, tmp_root: Path, tag: str, max_files: int = 4
 ) -> tuple[float, int]:
@@ -1188,25 +1220,22 @@ def containment_admit_probe(spark, factor: int, tmp_root: Path) -> dict:
     frozen = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_frozen = frozen.count()
     std_src, n_arrivals = _tagged_admit_src(spark, tmp_root, f"cont_x{factor}")
-    # Flatten arrivals onto one event-time instant and append the flush
-    # row as its OWN later-mtime file (the trigger-probe replay-order
-    # lessons): _tagged_admit_src's single-write layout can land the
-    # flush file in an early trigger, fast-forwarding the watermark and
-    # silently lateness-dropping later arrivals (r16 review catch —
-    # latent here, fixture-layout dependent).
-    src = tmp_root / f"cont_feed_x{factor}"
-    (
-        spark.read.parquet(std_src)
+    src = _flattened_admit_feed(spark, std_src, tmp_root, f"cont_x{factor}")
+    # the contained == n_arrivals invariant assumes every arrival
+    # carries shingles (≥3 tokens); make it explicit so a fixture
+    # refresh with a short doc fails for the REAL reason (r16 review)
+    from chronobase_spark.dedup.ngram import shingles as _sh_expr
+
+    n_shingled = (
+        spark.read.parquet(src)
         .filter(F.col("doc_id") != 999_999_999)
-        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000)))
-        .repartition(8)
-        .write.mode("overwrite")
-        .parquet(str(src))
+        .filter(F.size(_sh_expr(F.col("text"))) > 0)
+        .count()
     )
-    time.sleep(1.1)
-    spark.read.parquet(std_src).filter(
-        F.col("doc_id") == 999_999_999
-    ).coalesce(1).write.mode("append").parquet(str(src))
+    assert n_shingled == n_arrivals, (
+        f"fixture drift: {n_arrivals - n_shingled} arrivals carry no "
+        "shingles and would verdict not-contained by contract"
+    )
 
     def drain(postings, tag: str) -> tuple[float, int]:
         sink = tmp_root / f"cont_sink_{tag}"
@@ -1326,23 +1355,16 @@ def minhash_admit_skew_probe(spark, factor: int, tmp_root: Path) -> dict:
         F.lit(seed["source"]).alias("source"),
         F.lit(len(seed["text"])).cast("bigint").alias("n_chars"),
     )
-    # NOT admit_src_skew_x{factor}: _tagged_admit_src already owns
-    # that name, and overwriting a directory the feed is lazily
-    # read from corrupts the write (caught live: 0 verdicts)
-    src = tmp_root / f"admit_srcfeed_skew_x{factor}"
-    feed = (
-        spark.read.parquet(std_src)
-        .filter(F.col("doc_id") != 999_999_999)
-        .unionByName(
-            hot.withColumn("ingest_ts", F.timestamp_seconds(F.lit(0)))
-        )
-        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    # shared helper writes to its OWN directory — the first cut reused
+    # _tagged_admit_src's name and overwriting a directory the feed is
+    # lazily read from corrupted the write (caught live: 0 verdicts)
+    src = _flattened_admit_feed(
+        spark,
+        std_src,
+        tmp_root,
+        f"skew_x{factor}",
+        extra=hot.withColumn("ingest_ts", F.timestamp_seconds(F.lit(0))),
     )
-    feed.repartition(8).write.mode("overwrite").parquet(str(src))
-    time.sleep(1.1)
-    spark.read.parquet(std_src).filter(
-        F.col("doc_id") == 999_999_999
-    ).coalesce(1).write.mode("append").parquet(str(src))
     n_arrivals = n_std + _SKEW_HOT_ARRIVALS
 
     out: dict = {
