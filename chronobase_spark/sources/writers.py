@@ -122,6 +122,25 @@ def write_bucketed(
     _write_bucket_manifest(spark, table_name, cols, n_buckets, s)
 
 
+#: Bucketed data files carry their bucket id as a `_NNNNN` suffix
+#: before the `.c000` piece (part-00001-<uuid>_00002.c000.zstd.parquet)
+#: — the attach-time layout check keys on it.
+_BUCKET_FILE_RE = r"_(\d{5})\.c\d+\."
+
+
+def _list_data_files(spark, loc: str) -> list[str]:
+    """Names of the non-hidden data files directly under ``loc``
+    (Spark's file-index convention: `_`/`.`-prefixed entries are
+    metadata, everything else is data)."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(loc)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+
+
 def _write_bucket_manifest(
     spark, table_name: str, bucket_cols: list[str], n_buckets: int, sort_cols: list[str]
 ) -> None:
@@ -129,26 +148,49 @@ def _write_bucket_manifest(
 
     Schema is read back from the catalog (post-write, so it reflects
     what the files actually contain) and serialized as DDL — the one
-    form CREATE TABLE accepts verbatim."""
+    form CREATE TABLE accepts verbatim. The manifest also records what
+    the files LOOKED like at write time (row count — footer-priced on
+    parquet, no column scan — and data-file count) so a later
+    ``reattach_bucketed`` can verify the directory still matches
+    before trusting the bucket metadata (bucketed joins trust the
+    catalog blindly; a stale manifest over rewritten files would
+    silently drop join matches, r16 verdict #2).
+
+    Atomic write (the reference's own intent, utils/fileutils.go:87-103,
+    SURVEY §1.2): JSON goes to a hidden temp file first, then renames
+    over the final name — a crash mid-write leaves either the previous
+    manifest or none at all (both loud at attach time), never a
+    truncated JSON that used to surface as a raw decode error."""
     import json
 
     schema_ddl = spark.table(table_name).schema.toDDL()
     wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{wh}/{table_name}"
     manifest = {
         "table": table_name,
         "schema_ddl": schema_ddl,
         "bucket_cols": bucket_cols,
         "n_buckets": n_buckets,
         "sort_cols": sort_cols,
+        "n_rows": spark.table(table_name).count(),
+        "n_data_files": len(_list_data_files(spark, loc)),
     }
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name}/{BUCKET_MANIFEST}")
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(path, True)
+    final = jvm.org.apache.hadoop.fs.Path(f"{loc}/{BUCKET_MANIFEST}")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{loc}/.{BUCKET_MANIFEST}.tmp")
+    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
     finally:
         out.close()
+    # Hadoop rename refuses an existing destination on some FSes —
+    # delete first. The non-atomic window leaves NO manifest (loud
+    # FileNotFoundError at attach), never a truncated one.
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not rename {tmp} to {final}")
 
 
 def reattach_bucketed(spark, table_name: str, location: str | None = None) -> DataFrame:
@@ -176,8 +218,22 @@ def reattach_bucketed(spark, table_name: str, location: str | None = None) -> Da
     catalog: dropping it would DELETE the very files being attached
     and the re-create would silently yield an empty model (r16 review
     catch) — a still-attached managed table needs no re-attach, so the
-    caller's startup logic should check tableExists first."""
+    caller's startup logic should check tableExists first.
+
+    The manifest is VERIFIED, not trusted (r16 verdict #2 — a bucketed
+    join silently drops matches when the catalog's CLUSTERED BY
+    metadata mis-describes the files, so a stale manifest must fail
+    loudly, never quietly mis-join): (1) malformed/truncated JSON
+    raises ValueError naming the file instead of a raw decode error;
+    (2) before CREATE, every data file at the location must carry a
+    bucket-id suffix < n_buckets and the file count must match the
+    manifest — a directory rewritten out-of-band by a plain
+    (non-bucketed) write trips here; (3) after CREATE, the attached
+    table's row count (parquet-footer-priced) must equal the
+    manifest's recorded count, else the table is dropped and the
+    attach refused."""
     import json
+    import re
 
     table_name = _normalize_table_name(table_name)
     if spark.catalog.tableExists(table_name):
@@ -201,14 +257,58 @@ def reattach_bucketed(spark, table_name: str, location: str | None = None) -> Da
         raise FileNotFoundError(
             f"no {BUCKET_MANIFEST} under {loc} — not a write_bucketed table"
         )
-    stream = fs.open(mpath)
+    # Hadoop's own IOUtils, not commons-io: commons-io is a transitive
+    # Spark dependency that an upgrade may shade or drop, while
+    # org.apache.hadoop.io.IOUtils ships with the FileSystem API the
+    # surrounding code already requires (r16 advisor note).
     try:
-        raw = bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        stream = fs.open(mpath)
+        bout = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bout, 4096, True)
+        raw = bytes(bout.toByteArray())
+        m = json.loads(raw.decode("utf-8"))
+    except Exception as exc:
+        # one graceful path for every way the manifest can be unreadable:
+        # truncated JSON (crash on a plain FS), a ChecksumException from
+        # LocalFileSystem's .crc sidecar (out-of-band edit), encoding
+        # damage — the caller gets the file to look at, not a py4j trace
+        raise ValueError(
+            f"malformed bucket manifest at {loc}/{BUCKET_MANIFEST} "
+            f"({type(exc).__name__}: {str(exc).splitlines()[0][:200]}) — "
+            "the file is truncated or damaged; refusing to attach with "
+            "guessed bucket metadata"
+        ) from None
+    missing = {"schema_ddl", "bucket_cols", "n_buckets", "sort_cols"} - set(m)
+    if missing:
+        raise ValueError(
+            f"bucket manifest at {loc}/{BUCKET_MANIFEST} is missing "
+            f"required keys {sorted(missing)} — refusing to attach"
         )
-    finally:
-        stream.close()
-    m = json.loads(raw.decode("utf-8"))
+    # Layout check BEFORE create: every data file must look like a
+    # bucketed write with a bucket id the manifest's count covers, and
+    # the file census must match what write_bucketed recorded. (Legacy
+    # manifests without counts still get the suffix check.)
+    data_files = _list_data_files(spark, loc)
+    bad = [
+        f
+        for f in data_files
+        if not (mm := re.search(_BUCKET_FILE_RE, f))
+        or int(mm.group(1)) >= m["n_buckets"]
+    ]
+    if bad:
+        raise ValueError(
+            f"data files at {loc} do not match the manifest's bucketed "
+            f"layout (n_buckets={m['n_buckets']}): {sorted(bad)[:5]} — the "
+            "directory was rewritten by a non-bucketed (or differently "
+            "bucketed) writer after the manifest; attaching would "
+            "silently mis-join"
+        )
+    if "n_data_files" in m and len(data_files) != m["n_data_files"]:
+        raise ValueError(
+            f"{loc} holds {len(data_files)} data files but the manifest "
+            f"recorded {m['n_data_files']} — files were added or removed "
+            "out-of-band; refusing to attach stale bucket metadata"
+        )
     bucket_cols = ", ".join(m["bucket_cols"])
     sorted_clause = (
         f"SORTED BY ({', '.join(m['sort_cols'])}) " if m["sort_cols"] else ""
@@ -219,6 +319,15 @@ def reattach_bucketed(spark, table_name: str, location: str | None = None) -> Da
         f"CLUSTERED BY ({bucket_cols}) {sorted_clause}"
         f"INTO {m['n_buckets']} BUCKETS LOCATION '{loc}'"
     )
+    if "n_rows" in m:
+        n = spark.table(table_name).count()
+        if n != m["n_rows"]:
+            spark.sql(f"DROP TABLE {table_name}")
+            raise ValueError(
+                f"attached table {table_name} reads {n} rows but the "
+                f"manifest recorded {m['n_rows']} — content at {loc} "
+                "changed since write_bucketed; re-attach refused"
+            )
     return spark.table(table_name)
 
 

@@ -705,3 +705,89 @@ def test_seasonal_decompose_window_is_day_scoped(spark):
         re.search(r"hashpartitioning\(event_type#\d+, _w\d+#\d+", ln)
         for ln in ext.splitlines()
     ), ext[:2000]
+
+
+def test_reattach_bucketed_rejects_truncated_manifest(spark, tmp_path):
+    """A crash-truncated (or otherwise malformed) manifest must surface
+    as a ValueError naming the file, not a raw JSONDecodeError from
+    deep inside the attach path (r16 verdict #2a). The write side is
+    atomic (temp + rename), so this state only arises from external
+    damage — all the more reason the message must say where to look."""
+    import shutil
+
+    from chronobase_spark.sources import writers
+
+    df = spark.range(40).selectExpr("id AS user_id")
+    try:
+        writers.write_bucketed(df, "t_trunc_src", "user_id", 2)
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        copied = str(tmp_path / "trunc")
+        shutil.copytree(f"{wh}/t_trunc_src", copied)
+        mf = os.path.join(copied, writers.BUCKET_MANIFEST)
+        blob = open(mf, "rb").read()
+        with open(mf, "wb") as f:
+            f.write(blob[: len(blob) // 2])  # mid-JSON truncation
+        # with the local FS's .crc sidecar in place the read itself
+        # trips (ChecksumException); without it — a plain FS, the
+        # realistic crash shape — the JSON decode trips. Both must
+        # land on the same graceful error.
+        with pytest.raises(ValueError, match="malformed bucket manifest"):
+            writers.reattach_bucketed(spark, "t_trunc_copy", copied)
+        crc = os.path.join(copied, f".{writers.BUCKET_MANIFEST}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        with pytest.raises(ValueError, match="malformed bucket manifest"):
+            writers.reattach_bucketed(spark, "t_trunc_copy", copied)
+        assert not spark.catalog.tableExists("t_trunc_copy")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_trunc_src")
+        spark.sql("DROP TABLE IF EXISTS t_trunc_copy")
+
+
+def test_reattach_bucketed_refuses_tampered_layout(spark, tmp_path):
+    """The manifest is verified against the files before the CREATE is
+    trusted (r16 verdict #2b): (1) a directory rewritten out-of-band by
+    a PLAIN parquet writer (manifest survives beside non-bucketed
+    files) must refuse — attaching it would plan shuffle-free bucketed
+    joins over unbucketed files and silently drop matches; (2) a
+    bucketed directory missing one data file must refuse on the file
+    census / row count, not return a quietly smaller model."""
+    import glob
+    import shutil
+
+    from chronobase_spark.sources import writers
+
+    df = spark.range(300).selectExpr("id AS user_id", "id % 5 AS v")
+    try:
+        writers.write_bucketed(df, "t_tamper_src", "user_id", 4)
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+
+        # (1) plain rewrite: keep the manifest, replace the data files
+        rewritten = str(tmp_path / "rewritten")
+        os.makedirs(rewritten)
+        shutil.copy(
+            f"{wh}/t_tamper_src/{writers.BUCKET_MANIFEST}",
+            os.path.join(rewritten, writers.BUCKET_MANIFEST),
+        )
+        df.coalesce(2).write.mode("append").parquet(rewritten)
+        with pytest.raises(ValueError, match="bucketed layout"):
+            writers.reattach_bucketed(spark, "t_tamper_a", rewritten)
+        assert not spark.catalog.tableExists("t_tamper_a")
+
+        # (2) one bucket file deleted after the manifest was written
+        amputated = str(tmp_path / "amputated")
+        shutil.copytree(f"{wh}/t_tamper_src", amputated)
+        victim = sorted(glob.glob(os.path.join(amputated, "part-*")))[0]
+        os.remove(victim)
+        with pytest.raises(ValueError, match="out-of-band|manifest recorded"):
+            writers.reattach_bucketed(spark, "t_tamper_b", amputated)
+        assert not spark.catalog.tableExists("t_tamper_b")
+
+        # the untampered source still attaches fine from a copy
+        clean = str(tmp_path / "clean")
+        shutil.copytree(f"{wh}/t_tamper_src", clean)
+        ra = writers.reattach_bucketed(spark, "t_tamper_ok", clean)
+        assert ra.count() == 300
+    finally:
+        for t in ("t_tamper_src", "t_tamper_a", "t_tamper_b", "t_tamper_ok"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
