@@ -52,6 +52,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Wall-budget step 1 (module docstring): SPARK_GRAFT_HEAVY_REPS=2 drops
+# the heavy tier from an unconditional 3rd rep to the same min-of-2
+# (+1 only on >50% disagreement) policy everything else uses. Default
+# keeps the 3-rep tier; the A/B that prices the switch is recorded in
+# SCALING.md ("Bench wall-budget step 1 A/B", r17).
+HEAVY_REPS = int(os.environ.get("SPARK_GRAFT_HEAVY_REPS", "3"))
 
 
 def run() -> dict:
@@ -133,7 +139,9 @@ def run() -> dict:
             # min, and the sub-second majority (where min-of-2 is
             # already noise-proof vs the trend guard's 2x-AND->1s rule)
             # stays at 2 reps so total bench wall doesn't balloon.
-            heavy = name in always_three or (reps and reps[0] > 2.0)
+            heavy = (
+                name in always_three or (reps and reps[0] > 2.0)
+            ) and HEAVY_REPS >= 3
             if (
                 len(reps) == 2
                 and not heavy
@@ -160,7 +168,11 @@ def run() -> dict:
         # take min-of-2 with a 3rd only on >50% disagreement. Per-query
         # counts go to BENCH_FULL.json; the line carries the summary.
         "reps": {
-            "policy": "tiered: 3 reps if rep1>2s, else min-of-2 (+1 on >50% disagreement)",
+            "policy": (
+                "tiered: 3 reps if rep1>2s, else min-of-2 (+1 on >50% disagreement)"
+                if HEAVY_REPS >= 3
+                else "wall-budget step 1: min-of-2 (+1 on >50% disagreement) for all"
+            ),
             "extra_rep_queries": sum(1 for n in rep_counts.values() if n > 2),
             "partial_rep_queries": sum(1 for n in rep_counts.values() if n < 2),
         },
