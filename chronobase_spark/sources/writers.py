@@ -218,7 +218,8 @@ def reattach_bucketed(spark, table_name: str, location: str | None = None) -> Da
     catalog: dropping it would DELETE the very files being attached
     and the re-create would silently yield an empty model (r16 review
     catch) — a still-attached managed table needs no re-attach, so the
-    caller's startup logic should check tableExists first.
+    caller's startup logic should check tableExists first
+    (:func:`ensure_bucketed` is that logic as one call).
 
     The manifest is VERIFIED, not trusted (r16 verdict #2 — a bucketed
     join silently drops matches when the catalog's CLUSTERED BY
@@ -328,6 +329,49 @@ def reattach_bucketed(spark, table_name: str, location: str | None = None) -> Da
                 f"manifest recorded {m['n_rows']} — content at {loc} "
                 "changed since write_bucketed; re-attach refused"
             )
+    return spark.table(table_name)
+
+
+def ensure_bucketed(
+    spark,
+    table_name: str,
+    build,
+    location: str | None = None,
+) -> DataFrame:
+    """The startup decision the reattach docstrings tell callers to
+    make, as one call — the production boot path for a streaming
+    admission job's frozen models:
+
+      1. table still in the catalog  → use it (no work);
+      2. only files + manifest survive (the restart case) →
+         :func:`reattach_bucketed` (DDL-priced, verified);
+      3. nothing on disk → ``build()`` (the store-sized model build —
+         write_bucketed/minhash_band_model_bucketed/
+         containment_model_bucketed), which must register
+         ``table_name``.
+
+    ``build`` is a zero-arg callable; its return value is ignored and
+    the attached table is returned in all three paths, so callers hold
+    one code path for cold start, warm catalog, and crash recovery.
+    Raises if ``build`` completes without registering the table — a
+    silent no-op builder would otherwise surface later as an
+    unresolved-relation error in the middle of a stream."""
+    table_name = _normalize_table_name(table_name)
+    if spark.catalog.tableExists(table_name):
+        return spark.table(table_name)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = location or f"{wh}/{table_name}"
+    mpath = spark._jvm.org.apache.hadoop.fs.Path(f"{loc}/{BUCKET_MANIFEST}")
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(mpath):
+        return reattach_bucketed(spark, table_name, loc)
+    build()
+    if not spark.catalog.tableExists(table_name):
+        raise ValueError(
+            f"ensure_bucketed: build() completed without registering "
+            f"{table_name!r} — the builder must create the table "
+            "(write_bucketed or a *_bucketed model builder)"
+        )
     return spark.table(table_name)
 
 

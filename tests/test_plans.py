@@ -791,3 +791,53 @@ def test_reattach_bucketed_refuses_tampered_layout(spark, tmp_path):
     finally:
         for t in ("t_tamper_src", "t_tamper_a", "t_tamper_b", "t_tamper_ok"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ensure_bucketed_three_paths(spark, tmp_path):
+    """ensure_bucketed is the one-call boot path: cold start builds,
+    warm catalog reuses without touching the builder, and the restart
+    case (files + manifest, empty catalog) re-attaches instead of
+    rebuilding. The builder's call count distinguishes the paths."""
+    import shutil
+
+    from chronobase_spark.sources import writers
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        writers.write_bucketed(
+            spark.range(120).selectExpr("id AS user_id", "id % 3 AS v"),
+            "t_ensure_pin",
+            "user_id",
+            4,
+        )
+
+    try:
+        # cold start: nothing anywhere -> build() runs
+        df = writers.ensure_bucketed(spark, "t_ensure_pin", build)
+        assert calls == [1] and df.count() == 120
+
+        # warm catalog: table exists -> neither build nor re-attach
+        df = writers.ensure_bucketed(spark, "t_ensure_pin", build)
+        assert calls == [1] and df.count() == 120
+
+        # restart case: files + manifest survive at an external
+        # location, catalog has no entry -> re-attach, builder untouched
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        relocated = str(tmp_path / "surviving")
+        shutil.copytree(f"{wh}/t_ensure_pin", relocated)
+        df2 = writers.ensure_bucketed(
+            spark, "t_ensure_relocated", build, location=relocated
+        )
+        assert calls == [1] and df2.count() == 120
+        assert (
+            spark.catalog.getTable("t_ensure_relocated").tableType or ""
+        ).upper() == "EXTERNAL"
+
+        # a builder that forgets to register the table fails loudly
+        with pytest.raises(ValueError, match="without registering"):
+            writers.ensure_bucketed(spark, "t_ensure_noop", lambda: None)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ensure_pin")
+        spark.sql("DROP TABLE IF EXISTS t_ensure_relocated")
