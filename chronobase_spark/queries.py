@@ -10661,3 +10661,151 @@ def q_seasonal_decompose_hod(spark, sf_dir):
         .cast("bigint")
         .alias("seasonal_micro"),
     )
+
+
+_DOC_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id AS doc, UNNEST(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+  FROM toks
+), first_seen AS (
+  SELECT sh, MIN(doc) AS first_doc FROM sh GROUP BY sh
+)
+SELECT s.doc AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sh,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_sh,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh s JOIN first_seen f ON s.sh = f.sh
+GROUP BY s.doc
+"""
+
+
+@register("doc_novelty_ratio", _DOC_NOVELTY_SQL)
+def q_doc_novelty_ratio(spark, sf_dir):
+    """Marginal-novelty curve: per document (in doc_id order — the
+    arrival-order proxy), the fraction of its distinct 3-gram shingles
+    that no LOWER-id document contains. The corpus-redundancy report a
+    crawl-curation pass reads before paying for dedup: a snapshot whose
+    docs average ~0 novelty is re-crawl, one near 1.0 is fresh content
+    — and per-doc novelty is itself an admission signal (keep the doc
+    that INTRODUCED the content; the near-dup family then catches the
+    re-phrasings). Shares the literal `ngram.shingles` definition with
+    the pair finders, so "novel" means exactly "no shingle collision
+    the Jaccard/containment sweeps would see".
+
+    Scale shape: LINEAR in corpus shingles — unlike the pair finders
+    there is no self-join and therefore no f² hot-shingle blowup (and
+    no max_df pruning needed): one groupBy(sh).min(doc) over the
+    posting table, one join back on sh (both sides corpus-derived →
+    shuffle_hash, never broadcast), one groupBy(doc). First-seen
+    attribution via min over a well-spread key is the same partial-agg
+    shape the dedup canonical-map uses. Exactness: counts are exact
+    ints; novelty is a SINGLE division of two exact ints — bit-identical
+    across engines with no rounding (FIXTURES rule: never round what is
+    already bit-exact)."""
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(ngram.shingles(F.col("text"))).alias("sh"),
+        )
+    )
+    first_seen = sh.groupBy("sh").agg(F.min("doc").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first_seen.hint("shuffle_hash"), "sh")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            novel.alias("novel_sh"),
+            (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS day_micro
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), win AS (
+  SELECT event_type, day, day_micro,
+         quantile_disc(day_micro, 0.5) OVER w AS med7_micro,
+         COUNT(*) OVER w AS n_w
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, day_micro, med7_micro
+FROM win WHERE n_w = 7
+"""
+
+
+@register("rolling_median_daily", _ROLLING_MEDIAN_SQL)
+def q_rolling_median_daily(spark, sf_dir):
+    """Trailing 7-day rolling MEDIAN baseline of each event type's
+    daily value total — the robust baseline an ops dashboard draws
+    under the live series (a single anomalous day shifts a rolling
+    mean but leaves the median untouched; the MAD/Tukey outlier family
+    here consumes exactly this kind of robust center). Emits (type,
+    day, day_micro, med7_micro) for days with a full 7-day trailing
+    window; edge days drop identically on both engines.
+
+    Exactness: per-row micro-quantized values sum to an exact BIGINT
+    per day; the median of SEVEN ints is the 4th order statistic —
+    Spark takes element_at(sort_array(collect_list), 4), the oracle
+    quantile_disc(0.5), identical by construction (no interpolation
+    ever happens, which is why the frame is pinned to exactly 7).
+
+    Scale shape: the event-grain work is ONE partial-agged shuffle to
+    (type, day) — the window then runs at DAY grain, where a
+    type-keyed partition holds |days| rows (thousands at a decade of
+    data), NOT a type's event history; this is the grain change that
+    makes a type-only window safe here when the event-grain analytics
+    (seasonal_decompose_hod) must day-scope instead. collect_list is
+    bounded at 7 elements by the ROWS frame."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        # ts too: a NULL day would order NULLS FIRST in Spark's window
+        # but NULLS LAST in DuckDB's — the day axis must be null-free
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000.0, 0).cast("bigint")).alias(
+                "day_micro"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "day_micro",
+            F.element_at(
+                F.sort_array(F.collect_list("day_micro").over(w)), 4
+            ).alias("med7_micro"),
+            F.count(F.lit(1)).over(w).alias("n_w"),
+        )
+        .filter(F.col("n_w") == 7)
+        .drop("n_w")
+    )

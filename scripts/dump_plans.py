@@ -91,6 +91,8 @@ HEADLINE = [
     ("phash_admission_report", "image admission: ONE persisted decode pass split by flags, chunk join across the split, Hamming cut before the doc-keyed verdict join"),
     ("ngram_containment_pairs", "containment pairs: the Jaccard finder's pruned posting-list self-join unchanged, only the projection is asymmetric"),
     ("seasonal_decompose_hod", "seasonal decomposition: (type, day)-keyed window sort (no task owns a type's full history), exact integer detrend, |types|x24 aggregate"),
+    ("doc_novelty_ratio", "novelty curve: linear first-seen attribution — min(doc) per shingle + one shuffle_hash join back, no self-join, no f^2 blowup"),
+    ("rolling_median_daily", "rolling daily median: event-grain work is one partial-agg shuffle; the window runs at DAY grain where a type partition is |days| rows"),
 ]
 
 KEEP = re.compile(

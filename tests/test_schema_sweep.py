@@ -243,6 +243,10 @@ _ALLOWED_DOUBLE = {
     ("benford_first_digit", "share"),
     ("benford_first_digit", "benford_p"),
     ("benford_first_digit", "excess"),
+    # -- r17 additions --------------------------------------------------
+    # one double division of two exact per-doc BIGINT counts
+    # (integer-ratio class, unrounded by design)
+    ("doc_novelty_ratio", "novelty"),
 }
 
 
