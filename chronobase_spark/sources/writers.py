@@ -321,7 +321,17 @@ def reattach_bucketed(spark, table_name: str, location: str | None = None) -> Da
         f"INTO {m['n_buckets']} BUCKETS LOCATION '{loc}'"
     )
     if "n_rows" in m:
-        n = spark.table(table_name).count()
+        try:
+            n = spark.table(table_name).count()
+        except Exception as exc:
+            # unreadable files (schema drift, corruption) would leave a
+            # half-attached table registered — drop before surfacing
+            spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+            raise ValueError(
+                f"attached table {table_name} at {loc} is unreadable "
+                f"({type(exc).__name__}) — re-attach refused and the "
+                "table dropped"
+            ) from exc
         if n != m["n_rows"]:
             spark.sql(f"DROP TABLE {table_name}")
             raise ValueError(

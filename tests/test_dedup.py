@@ -870,3 +870,36 @@ def test_containment_catches_embedded_fragment_jaccard_misses(spark):
         for r in ngram.jaccard_pairs(df, threshold=0.5, max_df=50).collect()
     }
     assert (1, 2) not in jac  # resemblance dedup admits the partial copy
+
+
+def test_doc_novelty_ratio_ground_truth(spark, tmp_path):
+    """Hand-built corpus pin for the novelty curve (r17): the first doc
+    introduces everything (novelty 1.0), a verbatim re-crawl of it
+    introduces nothing (0.0), a half-quote doc introduces exactly its
+    own half, and an unrelated doc is fully novel again. Written as a
+    tiny parquet dir so the REGISTERED query (not a lookalike) runs."""
+    from chronobase_spark import queries as q
+
+    a = " ".join(f"alpha{i}" for i in range(12))  # 10 shingles
+    b = " ".join(f"beta{i}" for i in range(12))
+    rows = [
+        (1, a, "en", "w", len(a)),
+        (2, a, "en", "w", len(a)),  # re-crawl: 0 novel
+        # 12 fresh tokens + the 12 of doc 1 = 24 tokens -> 22 shingles:
+        # fresh block 10 novel, seam 2 novel, copied block 0
+        (3, b + " " + a, "en", "w", 1),
+        (4, "gamma0 gamma1 gamma2 gamma3", "en", "w", 1),  # fully novel
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src + "/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_sh"], r["novel_sh"], r["novelty"])
+        for r in q.queries()["doc_novelty_ratio"](spark, src).collect()
+    }
+    assert got[1] == (10, 10, 1.0)
+    assert got[2] == (10, 0, 0.0)
+    assert got[3][0] == 22 and got[3][1] == 12  # 10 fresh-block + 2 seam
+    assert got[3][2] == 12 / 22
+    assert got[4] == (2, 2, 1.0)

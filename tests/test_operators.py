@@ -1694,3 +1694,37 @@ def test_dsir_nondefault_config_matches_generated_oracle(spark):
     # the fixture actually has a 'fr' slice (else the target side is
     # empty and the test proves nothing about the predicate)
     assert docs.filter(F.col("language") == "fr").count() > 0
+
+
+def test_rolling_median_daily_ground_truth(spark, tmp_path):
+    """Hand-built series pin for the 7-day rolling median (r17): one
+    type, ten days with one event each, values chosen so the medians
+    are obvious; the first six days drop (no full trailing window) and
+    a single huge spike day shifts NO median it participates in —
+    the robustness that distinguishes this baseline from a mean."""
+    from chronobase_spark import queries as q
+
+    vals = [10.0, 5.0, 8.0, 1.0, 9.0, 3.0, 7.0, 1000.0, 2.0, 6.0]
+    rows = [
+        (i, f"2024-01-{i + 1:02d} 12:00:00", "t", i, v)
+        for i, v in enumerate(vals)
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, user_id long, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "user_id", "value"
+    ).write.parquet(src + "/events.parquet")
+    got = {
+        str(r["day"])[:10]: r["med7_micro"] / 1_000_000
+        for r in q.queries()["rolling_median_daily"](spark, src).collect()
+    }
+    # day 7: median(10,5,8,1,9,3,7)=7; day 8: median(5,8,1,9,3,7,1000)=7
+    # (the spike lands ABOVE the middle, median unmoved); day 9:
+    # median(8,1,9,3,7,1000,2)=7; day 10: median(1,9,3,7,1000,2,6)=6
+    assert got == {
+        "2024-01-07": 7.0,
+        "2024-01-08": 7.0,
+        "2024-01-09": 7.0,
+        "2024-01-10": 6.0,
+    }
