@@ -303,6 +303,145 @@ def containment_model_bucketed(
     return spark.table(table_name)
 
 
+def novelty_model(
+    corpus: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Freeze the corpus' DISTINCT shingle set for streaming
+    union-novelty admission (streaming/docs.novelty_admit_stage): the
+    one-column [sh] membership table, persisted for per-trigger
+    re-reads. UNPRUNED deliberately — unlike the posting lists
+    (containment_model), whose max_df bound exists because a hot
+    shingle explodes into per-candidate rows, the membership join
+    matches each arrival shingle AT MOST ONCE (the set is distinct),
+    so fan-out is structurally 1 and dropping hot shingles would
+    instead falsify the measure exactly where redundancy lives (the
+    most common stored content). Callers own the cache lifetime —
+    the model-builder convention."""
+    return (
+        corpus.select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+        .persist()
+    )
+
+
+def novelty_model_bucketed(
+    corpus: DataFrame,
+    table_name: str = "chrono_novelty_shingles",
+    buckets: int = 32,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """``novelty_model`` persisted as a table BUCKETED on exactly [sh]
+    — zero static-side Exchange in the per-trigger membership join;
+    same write_bucketed manifest/restart story as every other
+    admission model. Built from the unpersisted expression (no
+    executor cache left behind)."""
+    from chronobase_spark.sources.writers import write_bucketed
+
+    spark = corpus.sparkSession
+    write_bucketed(
+        corpus.select(F.explode(shingles(F.col(text_col), n)).alias("sh")).distinct(),
+        table_name,
+        "sh",
+        buckets,
+        sort_col="sh",
+    )
+    return spark.table(table_name)
+
+
+def novelty_candidate_rows(
+    arrivals: DataFrame,
+    stored_sh: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    carry: tuple[str, ...] = (),
+    hint: str | None = None,
+) -> DataFrame:
+    """ONE-definition candidate-row builder shared by the batch
+    reference (:func:`novelty_against`) and the streaming stage
+    (streaming/docs.novelty_admit_stage). Per-arrival |sh| computed
+    BEFORE the explode; explode_outer + left membership join keep
+    shingle-less/NULL-text arrivals as (doc_id, NULL match) rows —
+    the every-arrival-verdicts contract. ``stored_sh`` must be a
+    DISTINCT shingle set (the novelty_model[_bucketed] guarantee —
+    trusted here like the containment stage trusts its pruned
+    postings) so each arrival shingle matches at most once; no
+    re-distinct is applied, which would put an Exchange back above
+    the bucketed static scan every trigger."""
+    stored = stored_sh.select("sh", F.lit(1).alias("_known"))
+    if hint is not None:
+        stored = stored.hint(hint)
+    sh_arr = arrivals.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry],
+        shingles(F.col(text_col), n).alias("_sh"),
+    ).select(
+        "doc_id",
+        *carry,
+        F.size("_sh").cast("bigint").alias("n_sh"),
+        F.explode_outer("_sh").alias("sh"),
+    )
+    return sh_arr.join(stored, "sh", "left")
+
+
+def novelty_agg_exprs() -> list:
+    """The shared per-(…, doc_id) aggregate: known-shingle count +
+    the arrival's shingle-set size (constant per doc)."""
+    return [
+        F.count(F.col("_known")).cast("bigint").alias("known_sh"),
+        F.max("n_sh").alias("n_sh"),
+    ]
+
+
+def novelty_projection(agged: DataFrame, lead: tuple[str, ...] = ()) -> DataFrame:
+    """The shared final projection: novelty = 1 − known/|sh| with the
+    shingle-less → 0.0 fallback ("introduces nothing" — the containment
+    stage's 0.0 convention for the same arrivals)."""
+    return agged.select(
+        *lead,
+        "doc_id",
+        "n_sh",
+        "known_sh",
+        F.when(
+            F.col("n_sh") > 0,
+            F.round(
+                1.0
+                - F.col("known_sh").cast("double") / F.col("n_sh").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
+    )
+
+
+def novelty_against(
+    arrivals: DataFrame,
+    stored_sh: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Batch reference for union-novelty ADMISSION: per arrival, the
+    fraction of its distinct shingles absent from the ENTIRE frozen
+    corpus' shingle set (from :func:`novelty_model`). The aggregate
+    companion to containment admission: containment catches an arrival
+    that is a fragment of ONE stored doc; union-novelty catches the
+    arrival stitched from MANY stored docs (every piece known, no
+    single host — containment low, novelty ≈ 0), the re-crawl/
+    boilerplate-collage case per-candidate measures structurally miss.
+    The batch doc-ordered twin is the registered `doc_novelty_ratio`
+    (novelty vs lower-id docs); this form freezes the reference corpus
+    instead, the admission-time contract. One row per arrival,
+    including NULL-text/shingle-less ones (novelty 0.0). Compiled from
+    the SAME shared builders the streaming stage uses."""
+    rows = novelty_candidate_rows(
+        arrivals, stored_sh, text_col, id_col, n, hint="shuffle_hash"
+    )
+    return novelty_projection(rows.groupBy("doc_id").agg(*novelty_agg_exprs()))
+
+
 def containment_candidate_rows(
     arrivals: DataFrame,
     postings: DataFrame,

@@ -1588,3 +1588,59 @@ def finalize_containment(sink: DataFrame, threshold: float = 0.8) -> DataFrame:
         F.when(contained, F.col("cand")).alias("host_id"),
         "containment",
     )
+
+
+def novelty_admit_stage(
+    stream: DataFrame,
+    stored_sh: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    watermark: str | None = "10 minutes",
+    window: str | None = None,
+) -> DataFrame:
+    """How much of this ARRIVING document is NEW against the entire
+    frozen corpus? — the aggregate member of the admission family.
+    ``containment_admit_stage`` measures the arrival against each
+    stored CANDIDATE (fragment-of-one-doc); this stage measures it
+    against the UNION of stored shingles — the case per-candidate
+    measures structurally miss: an arrival stitched from many stored
+    documents has low containment against every single host yet
+    novelty ≈ 0 (the re-crawl / boilerplate-collage admission cut).
+    The batch doc-ordered twin is the registered ``doc_novelty_ratio``
+    (novelty vs lower-id docs); at intake the reference set is the
+    frozen corpus' distinct shingles (``dedup.ngram.novelty_model``,
+    bucketed form ``novelty_model_bucketed``).
+
+    Mechanics: per-arrival |sh| computed BEFORE the explode, the
+    arrival's shingles explode_outer and LEFT membership-join
+    stream-static against the distinct stored set — stateless, and
+    fan-out is structurally 1 (the set is distinct; no per-candidate
+    dimension exists, so this stage needs no drain-time finalize);
+    then ONE windowed aggregation per (window, doc_id) counts the
+    known shingles and emits novelty = 1 − known/|sh|, 0.0 for
+    shingle-less/NULL-text arrivals (every arrival verdicts).
+
+    State/scale: one (known, n_sh) pair per in-flight arrival —
+    smaller than containment's per-(doc, cand) state; the static side
+    is corpus-sized, so the bucketed-on-[sh] model is the 100 TB form
+    (no re-distinct is applied to it — an Exchange above the static
+    scan every trigger would defeat the layout; the model builders
+    guarantee distinctness). ``watermark=None`` follows the
+    composed-pipeline contract. The candidate rows, aggregate, and
+    projection are the LITERAL shared builders the batch reference
+    (``ngram.novelty_against``) compiles — drained-equal by
+    construction; only the window grouping key differs."""
+    from chronobase_spark.dedup.ngram import (
+        novelty_agg_exprs,
+        novelty_candidate_rows,
+        novelty_projection,
+    )
+
+    marked, window = _watermarked(stream, watermark, window)
+    rows = novelty_candidate_rows(
+        marked, stored_sh, text_col, "doc_id", n, carry=("ingest_ts",)
+    )
+    agg = rows.groupBy(F.window("ingest_ts", window), "doc_id").agg(
+        *novelty_agg_exprs()
+    )
+    return novelty_projection(agg, lead=("window",))

@@ -841,3 +841,46 @@ def test_ensure_bucketed_three_paths(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ensure_pin")
         spark.sql("DROP TABLE IF EXISTS t_ensure_relocated")
+
+
+def test_novelty_bucketed_membership_static_side_never_shuffles(spark):
+    """The bucketed-model lever applied to the union-novelty admission
+    member (r17): the distinct shingle membership table bucketed on
+    exactly [sh] must feed the admission join with NO Exchange above
+    the static scan — and the candidate builder must not re-distinct
+    it (which would put a per-trigger hash aggregate + Exchange back
+    above the scan; distinctness is the model builder's guarantee).
+    Broadcast disabled so the tiny test corpus exercises the layout."""
+    from pyspark.sql import functions as F
+
+    from chronobase_spark import catalog
+    from chronobase_spark.dedup import ngram
+
+    docs = (
+        catalog.table(spark, SF_SMOKE, "documents")
+        .filter("text IS NOT NULL")
+        .limit(150)
+    )
+    model = ngram.novelty_model_bucketed(docs, table_name="t_nv_plan", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = ngram.novelty_candidate_rows(docs.limit(25), model)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [ln for ln in plan.splitlines() if "t_nv_plan" in ln]
+        assert scan_lines and all(
+            "Bucketed: true" in ln for ln in scan_lines
+        ), plan
+        sh_ex = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "sh#" in ln
+        ]
+        assert len(sh_ex) == 1, plan  # the arriving side's only
+        # no aggregate may sit between the static scan and the join
+        # (a re-distinct would plan HashAggregate over the scan)
+        assert "HashAggregate" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_nv_plan")

@@ -3167,3 +3167,120 @@ def test_watermark_contract_failure_modes(spark, tmp_path):
     finally:
         bands.unpersist()
         sh.unpersist()
+
+
+def test_novelty_admit_matches_batch_reference(spark, tmp_path):
+    """Union-novelty admission (r17): drained novelty_admit_stage rows
+    must equal the batch ngram.novelty_against rows on the same
+    arrivals — and the stage must catch the COLLAGE case the
+    per-candidate family structurally misses: an arrival stitched from
+    pieces of TWO stored docs has novelty ≈ 0 (everything known) while
+    finalize_containment on the same arrival says NOT contained
+    (every single host holds only half of it). Re-fetches verdict
+    novelty 0.0; a fresh doc verdicts 1.0; NULL-text and shingle-less
+    arrivals verdict 0.0 ("introduces nothing"). The stream drains
+    against the BUCKETED membership model, the batch against the
+    persisted one — equality also pins the two builders' agreement."""
+    from chronobase_spark.dedup import ngram
+    from chronobase_spark.streaming import docs as docstream
+
+    base = catalog.table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    frozen = base.filter(F.col("doc_id") % 3 != 0)
+    hosts = [
+        r
+        for r in frozen.orderBy("doc_id").limit(80).collect()
+        if len(r["text"].split()) >= 40
+    ][:2]
+    assert len(hosts) == 2
+    collage = " ".join(
+        hosts[0]["text"].split()[:24] + hosts[1]["text"].split()[:24]
+    )
+    fresh = " ".join(f"neverstored{i}" for i in range(20))
+    refetch = hosts[0]
+    injected = spark.createDataFrame(
+        [
+            (999960, collage, "xx", "synthetic", len(collage)),
+            (999961, fresh, "xx", "synthetic", len(fresh)),
+            (999962, refetch["text"], "xx", "synthetic", len(refetch["text"])),
+            (999963, None, "xx", "synthetic", 0),
+            (999964, "tiny", "xx", "synthetic", 4),  # < n tokens
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    arrivals = (
+        base.filter(F.col("doc_id") % 3 == 0)
+        .limit(30)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(injected)
+    )
+    feed = arrivals.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000))
+    )
+    flush = spark.createDataFrame(
+        [(999969, "flush row content here", "xx", "synthetic", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000 + 10_000_000))
+    )
+    src = str(tmp_path / "nv_src")
+    feed.coalesce(2).write.parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)
+    flush.coalesce(1).write.mode("append").parquet(src)
+
+    model_b = ngram.novelty_model_bucketed(
+        frozen, table_name="t_novelty_sh", buckets=4
+    )
+    model_m = ngram.novelty_model(frozen)
+    postings_m = ngram.containment_model(frozen)
+    try:
+        q = (
+            docstream.novelty_admit_stage(
+                docstream.read_document_stream(spark, src, max_files=2),
+                model_b,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "nv_sink"))
+            .option("checkpointLocation", str(tmp_path / "nv_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["doc_id"]: (r["n_sh"], r["known_sh"], r["novelty"])
+            for r in spark.read.parquet(str(tmp_path / "nv_sink"))
+            .filter(F.col("doc_id") != 999969)
+            .collect()
+        }
+        expected = {
+            r["doc_id"]: (r["n_sh"], r["known_sh"], r["novelty"])
+            for r in ngram.novelty_against(arrivals, model_m).collect()
+        }
+        assert got == expected
+        arrival_ids = {r["doc_id"] for r in arrivals.select("doc_id").collect()}
+        assert set(got) == arrival_ids  # every arrival verdicts
+        assert got[999962][2] == 0.0  # re-fetch: nothing new
+        assert got[999961][2] == 1.0  # fresh: everything new
+        assert got[999963] == (0, 0, 0.0)  # NULL text
+        assert got[999964] == (0, 0, 0.0)  # shingle-less
+        # THE discriminating case: collage is known to the corpus as a
+        # whole (low novelty: only the two seam shingles are new) but
+        # contained in no single stored doc
+        assert got[999960][2] < 0.2, got[999960]
+        ct = {
+            r["doc_id"]: r["contained"]
+            for r in docstream.finalize_containment(
+                ngram.containment_against(
+                    arrivals.filter(F.col("doc_id") == 999960), postings_m
+                )
+            ).collect()
+        }
+        assert ct[999960] is False  # per-candidate measure misses it
+    finally:
+        model_m.unpersist()
+        postings_m.unpersist()
+        spark.sql("DROP TABLE IF EXISTS t_novelty_sh")
