@@ -2684,7 +2684,7 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
     state-store coexistence across concurrent branch queries) had no
     correctness guard.
 
-    One source directory, drained availableNow by four coexisting
+    One source directory, drained availableNow by five coexisting
     queries in the same session:
 
       main chain (ONE query, TWO state stores): pii_scrub → signature
@@ -2695,7 +2695,8 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
         column-parallel;
       branch 1: pii_scrub → decontam_admit → sink B;
       branch 2: pii_scrub → weighted_sample → sink C;
-      branch 3: pii_scrub → containment_admit → sink D.
+      branch 3: pii_scrub → containment_admit → sink D;
+      branch 4 (r17): pii_scrub → novelty_admit → sink E.
 
     Each sink must equal its batch twin computed on the same
     (scrubbed) rows: admission verdicts on the gate+dedup survivors,
@@ -2778,6 +2779,7 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
     )
     bench_sh = ngram.decontam_model(frozen_scrubbed, text_col="rtext")
     postings_m = ngram.containment_model(frozen_scrubbed, text_col="rtext")
+    novelty_m = ngram.novelty_model(frozen_scrubbed, text_col="rtext")
 
     try:
         raw = docstream.read_document_stream(spark, src, max_files=16)
@@ -2808,6 +2810,9 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
         branch_ct = docstream.containment_admit_stage(
             scrubbed, postings_m, text_col="redacted"
         )
+        branch_nv = docstream.novelty_admit_stage(
+            scrubbed, novelty_m, text_col="redacted"
+        )
 
         queries = []
         for name, staged in (
@@ -2815,6 +2820,7 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
             ("b", branch_dc),
             ("c", branch_ws),
             ("d", branch_ct),
+            ("e", branch_nv),
         ):
             queries.append(
                 staged.writeStream.format("parquet")
@@ -2940,9 +2946,30 @@ def test_composed_intake_pipeline_stages_coexist(spark, tmp_path):
             ).collect()
         }
         assert got_d == expected_ct
+
+        # branch 4 (r17): union-novelty verdicts equal the batch
+        # reference on the same scrubbed rows (flush row excluded —
+        # its window never closes)
+        got_e = {
+            r["doc_id"]: (r["n_sh"], r["known_sh"], r["novelty"])
+            for r in spark.read.parquet(str(tmp_path / "sink_e"))
+            .filter(F.col("doc_id") != 999982)
+            .collect()
+        }
+        expected_nv = {
+            r["doc_id"]: (r["n_sh"], r["known_sh"], r["novelty"])
+            for r in ngram.novelty_against(
+                all_arrivals.filter(F.col("doc_id") != 999982),
+                novelty_m,
+                text_col="redacted",
+            ).collect()
+        }
+        assert got_e == expected_nv
+        assert set(got_e) == all_ids  # every arrival verdicts, no gate here
     finally:
         bench_sh.unpersist()
         postings_m.unpersist()
+        novelty_m.unpersist()
         spark.sql("DROP TABLE IF EXISTS t_comp_intake_bands")
         spark.sql("DROP TABLE IF EXISTS t_comp_intake_shingles")
 
