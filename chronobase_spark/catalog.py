@@ -108,3 +108,37 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_conf(spark)
     return _normalize(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition ``df`` to the session's default parallelism ONLY when
+    its plan currently has fewer partitions — the unsplittable-input fix
+    (a parquet file is splittable at ROW-GROUP granularity only; a
+    single-row-group file scans as ONE task no matter the split config,
+    so every map-heavy stage above it runs on one core).
+
+    Scale-adaptive by construction (r17 optimization round): at 100 TB a
+    table arrives in thousands of row groups/files and this is the
+    IDENTITY — no shuffle is added to the plan; on a local single-file
+    corpus it unlocks all cores for the expensive per-row work
+    (shingling, md5 lanes, gram assembly, entropy folds) that would
+    otherwise serialize. This replaces the unconditional
+    ``repartition(defaultParallelism)`` the heavy dedup builders used
+    to pay (which at scale would shuffle the full text payload for
+    nothing — measured equal locally, strictly better at scale).
+
+    ``key``: optional column to hash-partition by (deterministic under
+    task retry — the SPARK-38388 round-robin caveat — and skips
+    round-robin's sort-before-repartition). Streaming frames are
+    returned untouched: micro-batch parallelism is the trigger's
+    concern, and ``.rdd`` is undefined on a streaming DataFrame.
+
+    The partition probe (``df.rdd.getNumPartitions()``) is driver-side
+    plan inspection — no job runs.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chronobase_spark.catalog import spread
 from chronobase_spark.functions.text import tokens
 
 
@@ -130,6 +131,13 @@ def _pair_candidates(
     The r16 advisor flagged the per-invocation leak; sharing one
     builder at least stops the two finders doubling it when both run
     over the same session."""
+    # NOT spread (r17, measured): the per-row work above the scan here
+    # (tokenize+shingle, ~0.5 s single-core at sf0.1) is too light to
+    # pay for the extra exchange — the interleaved A/B read +1.0 s
+    # median WITH the spread vs without, on both the old and new pair
+    # generation. Contrast minhash.shingle_table, where the downstream
+    # 16-lane md5 signature (~2.8 s single-core) makes the spread a
+    # clear win.
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     ).persist()
@@ -145,11 +153,29 @@ def _pair_candidates(
         .hint("shuffle_hash"),
         "sh",
     ).select("doc", "sh")
-    # shuffle-hash: self-join sides are corpus-sized (see minhash.py)
-    a, b = rare.alias("a"), rare.hint("shuffle_hash").alias("b")
+    # Pair generation (r17): collapse each rare shingle's posting list
+    # with ONE collect_list aggregate (safe ONLY because the max_df
+    # prune already ran — list length is ≤ max_df by construction, so
+    # no aggregation buffer can hold a hot key's full posting list) and
+    # emit the C(f,2) ordered pairs map-side with a nested transform.
+    # This replaces the rare ⋈ rare self-join: the groupBy(sh) reuses
+    # the prune join's hash partitioning, so the plan drops one
+    # corpus-sized ShuffledHashJoin (plan diff: 4 SHJ → 3; same pair
+    # multiset — one row per shared rare shingle per pair — because
+    # (doc, sh) rows are distinct per doc).
+    posts = rare.groupBy("sh").agg(F.collect_list("doc").alias("_docs"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_docs"),
+            lambda x: F.transform(
+                F.filter(F.col("_docs"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     # shuffle_hash: the size tables are corpus-sized (one row per doc);

@@ -1408,7 +1408,11 @@ def q_near_dup_admission_report(spark, sf_dir):
         ).cast("bigint")
         return u % 5 == 0
 
-    banded = minhash.md5_band_table(docs)
+    # r17: ONE persisted shingle table feeds the band table AND the
+    # verify joins (the minhash_md5_pairs optimization applied to this
+    # composite — band+verify used to shingle the corpus twice).
+    sh = minhash.shingle_table(docs).persist()
+    banded = minhash.md5_band_table_from_shingles(sh)
     a = banded.filter(arriving(F.col("doc"))).alias("a")
     b = (
         banded.filter(~arriving(F.col("doc")))
@@ -1424,7 +1428,6 @@ def q_near_dup_admission_report(spark, sf_dir):
         .select(F.col("a.doc").alias("doc_id"), F.col("b.doc").alias("cand"))
         .distinct()
     )
-    sh = minhash.shingle_table(docs)
     sa = sh.select(F.col("doc").alias("doc_id"), F.col("sh").alias("sh_a")).hint(
         "shuffle_hash"
     )
