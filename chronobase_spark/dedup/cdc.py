@@ -82,7 +82,16 @@ def with_chunk_bounds(
     shorter than the window produce one whole-doc chunk (and Spark's
     DESCENDING sequence(8, n) for n < 8 never runs — the guard is
     correctness, not tidiness; DuckDB's generate_series is empty
-    there)."""
+    there).
+
+    Input is spread (catalog.spread — conditional, identity on
+    well-split scans and on streaming frames) so the O(len·window)
+    per-row chunker parallelizes on unsplittable single-row-group
+    inputs: interleaved A/B at sf0.1 read 1.81 s → 0.46 s for the
+    chunk table (r17)."""
+    from chronobase_spark.catalog import spread
+
+    df = spread(df, key="doc_id" if "doc_id" in df.columns else None)
     t = F.col(text_col)
     stage1 = _barrier(
         df,

@@ -87,10 +87,18 @@ def winnow_fingerprints(
     k: int = K,
     w: int = W,
 ) -> DataFrame:
-    """(doc, fp): one row per document per selected fingerprint."""
+    """(doc, fp): one row per document per selected fingerprint.
+
+    Input spread (catalog.spread): the per-row fingerprint expression
+    (one md5 per positional k-gram + window minima) is the heavy-CPU
+    class that serializes on unsplittable scans — interleaved A/B at
+    sf0.1: 1.62 s → 1.06 s (r17)."""
+    from chronobase_spark.catalog import spread
+
     fps = selected_fingerprints(F.col(text_col), k, w)
     return (
-        df.select(F.col(id_col).alias("doc"), fps.alias("_fps"))
+        spread(df, key=id_col)
+        .select(F.col(id_col).alias("doc"), fps.alias("_fps"))
         .filter(F.size("_fps") > 0)
         .select("doc", F.explode("_fps").alias("fp"))
     )

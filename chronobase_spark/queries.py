@@ -4589,8 +4589,11 @@ def q_char_entropy(spark, sf_dir):
     """Per-document Shannon character entropy in integer micro-nats
     (text.char_entropy) — the cheap gibberish/boilerplate quality
     signal. Map-only expression (no shuffle); per-char terms folded in
-    sorted order so both engines sum bit-identical sequences."""
-    docs = _t(spark, sf_dir, "documents")
+    sorted order so both engines sum bit-identical sequences. Input
+    spread (catalog.spread — identity at scale): the entropy fold is
+    heavy-CPU map work that serializes on an unsplittable scan
+    (interleaved A/B at sf0.1: 1.12 s → 0.39 s, r17)."""
+    docs = catalog.spread(_t(spark, sf_dir, "documents"), key="doc_id")
     return docs.select(
         "doc_id", text.char_entropy(F.col("text")).alias("entropy_micro")
     )
@@ -6251,8 +6254,10 @@ def q_quality_signal_corr(spark, sf_dir):
     correctly rounded per IEEE-754, so it is as portable as division);
     zero-variance groups emit NULL on both engines. Entropy-less docs
     (empty/NULL text) are excluded on both engines (null-contract
-    rule)."""
-    docs = _t(spark, sf_dir, "documents")
+    rule). Input spread (catalog.spread): both signals are heavy-CPU
+    per-row folds that serialize on an unsplittable scan (the
+    char_entropy A/B, r17)."""
+    docs = catalog.spread(_t(spark, sf_dir, "documents"), key="doc_id")
     ntok = text.space_distinct_tokens(F.col("text")).cast("bigint")
     # bind the entropy expression under a named column first so the
     # integer milli-nat rescale runs on the materialized value
