@@ -90,6 +90,52 @@ def bigram_dup_stats(text: Column) -> Column:
     return with_tokens(text, stats)
 
 
+def top_token_stats(text: Column) -> Column:
+    """struct(n_tok, top_c): total token instances and the highest
+    single-token multiplicity (the Gopher top-token-fraction signal) as
+    a MAP-ONLY expression — max run length over the sorted token array
+    in one fold. r17 optimization (guide §2.2, remove shuffles
+    outright): this replaces the explode → groupBy(doc, tok) →
+    groupBy(doc) → join-back chain that shuffled EVERY token instance
+    of the corpus twice; max multiplicity of a token equals the longest
+    equal-run in the sorted array, so the values are identical by
+    construction. One tokenization (with_tokens let-binding), one
+    JVM-native array_sort, one O(n)-lambda fold. NULL/empty text folds
+    to (0, 0) — callers gate on n_tok > 0 exactly as the join-NULL
+    path did before."""
+
+    def stats(tk: Column) -> Column:
+        s = F.array_sort(tk)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        )
+
+        def step(acc: Column, t: Column) -> Column:
+            run = F.when(
+                acc["prev"].isNotNull() & (t == acc["prev"]), acc["run"] + 1
+            ).otherwise(F.lit(1).cast("bigint"))
+            return F.struct(
+                t.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        best = F.aggregate(s, init, step, lambda acc: acc["best"])
+        # per-field coalesce: a NULL text tokenizes to a NULL array,
+        # which flows to NULL size/fold results INSIDE a non-NULL
+        # struct — coalescing the struct itself would never fire
+        return F.struct(
+            F.coalesce(F.size(tk).cast("bigint"), F.lit(0).cast("bigint")).alias(
+                "n_tok"
+            ),
+            F.coalesce(best, F.lit(0).cast("bigint")).alias("top_c"),
+        )
+
+    return with_tokens(text, stats)
+
+
 def token_features(text: Column) -> Column:
     """struct(n_tokens, n_distinct, stop_ratio) from ONE tokenization
     pass — the bundled form for quality pipelines that need several
@@ -637,7 +683,15 @@ def lm_grams(text_col: Column) -> Column:
 def _doc_bigram_tf(docs, id_col: str, text_col: str):
     """(id, gram, tf): per-document bigram term frequencies — one
     shuffle on (id, gram), collapsing repeated grams so downstream LM
-    joins are per gram TYPE per doc, not per instance."""
+    joins are per gram TYPE per doc, not per instance.
+
+    Input spread (catalog.spread — identity at scale): the tokenize +
+    gram-assembly explode serializes on an unsplittable scan
+    (interleaved A/B at sf0.1: 0.58 s → 0.20 s, r17,
+    scripts/ab_spread2_r17.py)."""
+    from chronobase_spark.catalog import spread
+
+    docs = spread(docs, key=id_col)
     return (
         docs.select(
             F.col(id_col), F.explode(lm_grams(F.col(text_col))).alias("gram")
@@ -765,7 +819,10 @@ def lm_trigrams(text_col: Column) -> Column:
 
 def _doc_trigram_tf(docs, id_col: str, text_col: str):
     """(id, gram, tf): per-document trigram term frequencies — the
-    _doc_bigram_tf shape one order up."""
+    _doc_bigram_tf shape one order up (incl. its r17 input spread)."""
+    from chronobase_spark.catalog import spread
+
+    docs = spread(docs, key=id_col)
     return (
         docs.select(
             F.col(id_col), F.explode(lm_trigrams(F.col(text_col))).alias("gram")
@@ -1047,7 +1104,15 @@ def _dsir_doc_buckets(docs, target_lang: str, id_col: str, text_col: str,
     its model tables from. Target membership is resolved to a 1-byte
     flag BEFORE the explode: carrying the lang string through a
     corpus-scale gram shuffle pays string bytes per gram row for a
-    predicate the map side can evaluate once per document."""
+    predicate the map side can evaluate once per document.
+
+    Input spread (catalog.spread — identity at scale): the bigram
+    explode + per-gram md5 bucket serializes on an unsplittable scan
+    (interleaved A/B at sf0.1: 0.72 s → 0.26 s, r17,
+    scripts/ab_spread2_r17.py)."""
+    from chronobase_spark.catalog import spread
+
+    docs = spread(docs, key=id_col)
     is_t = (F.col(lang_col) == target_lang).cast("int").alias("is_t")
     return (
         docs.select(

@@ -2958,25 +2958,40 @@ def q_doc_repetition(spark, sf_dir):
     most-frequent-token fraction and duplicate-bigram fraction — the
     standard boilerplate/spam pre-filters for LLM training corpora.
 
-    Scale shape: the top-token stage is explode → (doc, token) count →
-    per-doc max/sum — two partial-aggregated shuffles on well-spread
-    keys; the bigram stage is a pure per-row expression (linear in
-    tokens, in codegen). Docs with no tokens still appear (ratios 0) via
-    the left join from the corpus spine."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
-    top = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
-    )
+    Scale shape (r17, guide §2.2): BOTH signals are now pure per-row
+    expressions — the top-token stage is text.top_token_stats (max run
+    length over the sorted token array; the values equal the old
+    explode → (doc, token) count → per-doc max/sum chain by
+    construction), so the query is MAP-ONLY: zero shuffles, zero
+    joins, where it previously shuffled every token instance of the
+    corpus twice and joined the result back to the spine. Docs with no
+    tokens still appear (ratios 0) — top_token_stats folds NULL/empty
+    text to (0, 0), the exact rows the old left join's NULL path
+    produced (coalesce(n_tok, 0)). Input spread (catalog.spread —
+    identity at scale): the sort+fold is heavy-CPU map work that
+    serializes on an unsplittable scan (interleaved A/B at sf0.1:
+    old chain 1.12 s → map-only 0.92 → map-only+spread 0.73, r17,
+    scripts/ab_toptok_r17.py)."""
+    docs = catalog.spread(_t(spark, sf_dir, "documents"), key="doc_id")
+    # bind the fold structs under named columns first (the repo's
+    # bind-then-project convention: CollapseProject keeps non-cheap
+    # expressions in their own projection, so each fold runs once).
+    # No F.inline here: a generator in the same select strips sibling
+    # structs' field aliases to col1/col2 (observed on Spark 4.1).
     grams = docs.select(
-        "doc_id", F.inline(F.array(text.bigram_dup_stats(F.col("text"))))
+        "doc_id",
+        text.bigram_dup_stats(F.col("text")).alias("_bds"),
+        text.top_token_stats(F.col("text")).alias("_tts"),
+    ).select(
+        "doc_id",
+        F.col("_bds.n_grams").alias("n_grams"),
+        F.col("_bds.n_distinct_grams").alias("n_distinct_grams"),
+        F.col("_tts.n_tok").alias("n_tok"),
+        F.col("_tts.top_c").alias("top_c"),
     )
-    n_tokens = F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint")
+    n_tokens = F.col("n_tok").cast("bigint")
     return (
-        grams.join(top, "doc_id", "left")
+        grams
         .select(
             "doc_id",
             n_tokens.alias("n_tokens"),
@@ -3560,27 +3575,30 @@ def q_quality_filter_funnel(spark, sf_dir):
     keep/drop report a pipeline operator reads before materializing the
     filtered corpus.
 
-    Scale shape: one explode + two partial-aggregated shuffles compute
-    the most-frequent-token ratio (same chain as ``doc_repetition``);
-    the stopword/length signals are per-row expressions; the verdict is
-    a CASE over already-computed columns, and the report is a tiny
-    (lang × verdict) aggregate. All thresholds are plain comparisons on
-    bit-identical IEEE division results, so the oracle splits rows
-    identically."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
-    top = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
-    )
+    Scale shape (r17, guide §2.2): every signal is now a per-row
+    expression — the most-frequent-token ratio comes from
+    text.top_token_stats (max run length over the sorted token array;
+    identical values to the old explode → count → max/sum chain by
+    construction), so the whole funnel is map-only expressions + ONE
+    tiny (lang × verdict) aggregate, where it previously shuffled
+    every token instance of the corpus twice and joined the result
+    back. All thresholds are plain comparisons on bit-identical IEEE
+    division results, so the oracle splits rows identically (NULL/empty
+    text folds to n_tok 0 → too_short, the old join-NULL path). Input
+    spread (catalog.spread — identity at scale): the sort+fold
+    serializes on an unsplittable scan (the ab_toptok_r17 A/B)."""
+    docs = catalog.spread(_t(spark, sf_dir, "documents"), key="doc_id")
     feats = docs.select(
-        "doc_id",
         "lang",
-        F.inline(F.array(text.token_features(F.col("text")))),
+        text.token_features(F.col("text")).alias("_tf"),
+        text.top_token_stats(F.col("text")).alias("_tts"),
+    ).select(
+        "lang",
+        F.col("_tf.stop_ratio").alias("stop_ratio"),
+        F.col("_tts.n_tok").alias("n_tok"),
+        F.col("_tts.top_c").alias("top_c"),
     )
-    n = F.coalesce(F.col("n_tok"), F.lit(0))
+    n = F.col("n_tok")
     top_r = F.when(
         n > 0, F.col("top_c").cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
@@ -3591,8 +3609,7 @@ def q_quality_filter_funnel(spark, sf_dir):
         .otherwise(F.lit("keep"))
     )
     return (
-        feats.join(top, "doc_id", "left")
-        .select("lang", verdict.alias("verdict"))
+        feats.select("lang", verdict.alias("verdict"))
         .groupBy("lang", "verdict")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -3639,8 +3656,11 @@ def q_repeated_spans(spark, sf_dir):
     128-bit-hash keys — and the ≥2-docs filter rides the final agg; no
     joins anywhere. At 100 TB this is the candidate stage of the
     ExactSubstr pipeline, with the suffix-array replaced by hash
-    aggregation that AQE can re-balance."""
-    docs = _t(spark, sf_dir, "documents")
+    aggregation that AQE can re-balance. Input spread (catalog.spread —
+    identity at scale): the per-span md5 map serializes on an
+    unsplittable scan (interleaved A/B at sf0.1: 1.06 s → 0.73 s, r17,
+    scripts/ab_spread2_r17.py)."""
+    docs = catalog.spread(_t(spark, sf_dir, "documents"), key="doc_id")
     spans = text.span_hashes("toks", _SPAN_W)
     return (
         docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
@@ -3752,8 +3772,10 @@ def q_span_dedup_assign(spark, sf_dir):
     each span once); the canonical assignment is one window min over
     span_hash — the same well-spread 128-bit key as repeated_spans —
     and the per-doc rollup shuffles on doc_id. No joins, no
-    collect."""
-    docs = _t(spark, sf_dir, "documents")
+    collect. Input spread (catalog.spread — identity at scale): the
+    per-span md5 map serializes on an unsplittable scan (the
+    repeated_spans A/B, r17)."""
+    docs = catalog.spread(_t(spark, sf_dir, "documents"), key="doc_id")
     spans = text.span_hashes("toks", _SPAN_W)
     sp = (
         docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
@@ -7196,9 +7218,11 @@ def q_pretrain_pipeline_report(spark, sf_dir):
     span-hash window + doc rollup (span), map-side features — then
     four doc_id-keyed shuffle_hash joins and ONE |langs| aggregate.
     Nothing corpus-sized is broadcast, windowed globally, or
-    collected."""
+    collected. The span/feature base is spread (catalog.spread —
+    identity at scale): its per-span md5 + token-feature folds
+    serialize on an unsplittable scan (the repeated_spans A/B, r17)."""
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
+    base = catalog.spread(docs, key="doc_id").select(
         "doc_id", "lang", text.tokens(F.col("text")).alias("toks")
     )
     canon = exact_dedup.canonical_map(docs).select("doc_id", "is_duplicate")
