@@ -342,8 +342,17 @@ def _pq_subvectors(
     """(id, _lbl, subspace, subvec) per vector-subspace: the shared
     explode stage of pq_assign and pq_adc_topk, with the per-row
     divisibility hard-assert (a fractional width would truncate the
-    slice, pad zip_with with NULLs, and silently drop argmin rows)."""
-    df = df.filter(F.col(vec_col).isNotNull())
+    slice, pad zip_with with NULLs, and silently drop argmin rows).
+
+    Input spread (catalog.spread — identity at scale): the subvector
+    slice explode + downstream per-(row, subspace, code) integer
+    distance folds serialize on an unsplittable scan (interleaved A/B
+    at sf0.1, full pq_assign: 1.92 s → 1.27 s, r17,
+    scripts/ab_spread3_r17.py; semantic_dedup_scaled and topk_cosine
+    measured spread-neutral-to-negative there and stay unspread)."""
+    from chronobase_spark.catalog import spread
+
+    df = spread(df, key=id_col).filter(F.col(vec_col).isNotNull())
     d_sub = F.size(F.col(vec_col)) / m
     dims_ok = F.size(F.col(vec_col)) % m == 0
     dims_err = F.concat(

@@ -2626,27 +2626,32 @@ def q_percent_rank_value(spark, sf_dir):
        ORDER BY revenue DESC, c_custkey LIMIT 20""",
 )
 def q_returned_customer_revenue(spark, sf_dir):
-    """TPC-H Q10-shaped: who returned the most revenue. Fact-fact join
-    on orderkey (co-shuffled); the customer join is left to size-based
-    autoBroadcast (customer is SF-proportional — forcing the hint OOMs
-    at 100×, while at 100 TB the plan correctly degrades to a keyed
-    shuffle join); nation (25 rows, constant) keeps its hint.
-    Decimal-exact revenue, global top-20 (TakeOrderedAndProject — no
-    full sort at scale). The returnflag filter reaches the parquet
-    scan."""
+    """TPC-H Q10-shaped: who returned the most revenue. Lineitem
+    revenue is pre-aggregated per orderkey BEFORE any join (r17, guide
+    §2.2 partial aggregation: the orderkey exchange ships one decimal
+    per order instead of price+discount per item, and the fact-fact
+    join handles order-level rows — decimal sums are exact and
+    associative, so the per-customer totals are bit-identical); the
+    customer join is left to size-based autoBroadcast (customer is
+    SF-proportional — forcing the hint OOMs at 100×, while at 100 TB
+    the plan correctly degrades to a keyed shuffle join); nation
+    (25 rows, constant) keeps its hint. Decimal-exact revenue, global
+    top-20 (TakeOrderedAndProject — no full sort at scale). The
+    returnflag filter reaches the parquet scan."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc = F.expr(_DEC_DISC_PRICE)
+    li_rev = li.groupBy("l_orderkey").agg(F.sum(disc).alias("rev_dec"))
     j = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        li_rev.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
-    disc = F.expr(_DEC_DISC_PRICE)
     return (
         j.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -6051,7 +6056,12 @@ def q_regional_cheapest_supplier(spark, sf_dir):
     the region/nation/size dims filter BEFORE any fact row moves
     (nation/region broadcast — constant 25/5 rows; the filtered
     part/supplier sets are SF-proportional and carry no hint); the
-    part-supplier pair distinct is one shuffle on the
+    size-15 part filter semi-prunes lineitem BEFORE the part-supplier
+    pair distinct (r17, guide §2.2: the distinct used to shuffle every
+    (partkey, suppkey) pair and only then drop the ~98 % of parts the
+    filter rejects; filtering first shuffles ~2 % of the bytes, and
+    distinct-after-an-equi-filter-on-the-key commutes, so the rows are
+    identical); the distinct is one shuffle on the
     well-spread part key and the mins table re-joins on that SAME key
     (shuffle_hash, partitioning reused); the final top-100 is a
     TakeOrderedAndProject. s_acctbal is a raw stored double on both
@@ -6068,19 +6078,19 @@ def q_regional_cheapest_supplier(spark, sf_dir):
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     pf = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") == 15)
         .select("p_partkey")
     )
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .distinct()
+    )
     costed = (
-        ps.join(pf, F.col("l_partkey") == F.col("p_partkey"))
-        .join(rs, F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(rs, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal")
     )
     mins = costed.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
