@@ -381,7 +381,14 @@ def minhash_md5_pairs(
     )
     thresh_micro = int(round(threshold * 1_000_000))
     common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: exact on the distinct shingle
+    # arrays (shingles() ends in array_distinct), and array length is
+    # O(1) where array_union is a second O(|A|+|B|) hash-set pass per
+    # candidate pair (r17, guide §1.2 per-task work; same integers, so
+    # the threshold gate and the reported jaccard are bit-identical).
+    union = (
+        F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - F.col("_c")
+    )
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -454,11 +461,16 @@ def minhash_dedup_pairs(
     verified = (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
+        # union via |A|+|B|−|A∩B| (distinct arrays — see
+        # minhash_md5_pairs): one array pass per pair, not two;
+        # identical quotient, so the rounded jaccard is unchanged.
+        # _c bound as its own column so the intersect runs once.
+        .withColumn("_c", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                F.col("_c").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("_c")).cast("double"),
                 6,
             ),
         )

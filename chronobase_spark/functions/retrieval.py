@@ -75,11 +75,20 @@ def rrf_hybrid_topk(
     # Vector side: exact cosine to the single probe vector (1-row
     # broadcast — the corpus streams through map-side), quantized to
     # micro-units before ranking, same bounded top-k + rank.
+    # probe norm computed once on the 1-row side (r17; cosine()'s
+    # join-path note): cosine() re-folded the probe's 64-dim norm per
+    # corpus row for the same bit-identical double.
     probe = emb.filter(F.col(vec_id_col) == probe_id).select(
-        F.col(vec_col).alias("probe_vec")
+        F.col(vec_col).alias("probe_vec"),
+        similarity.norm(F.col(vec_col)).alias("probe_nrm"),
     )
     cos_micro = F.round(
-        similarity.cosine(F.col(vec_col), F.col("probe_vec"))
+        similarity.cosine_pre(
+            F.col(vec_col),
+            F.col("probe_vec"),
+            similarity.norm(F.col(vec_col)),
+            F.col("probe_nrm"),
+        )
         * F.lit(1000000.0),
         0,
     ).cast("bigint")

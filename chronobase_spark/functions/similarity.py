@@ -40,8 +40,22 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL-safe only insofar as inputs are non-empty."""
+    """Cosine similarity; NULL-safe only insofar as inputs are non-empty.
+
+    Join-path discipline (r17, guide §1.2 per-task work): inside a
+    pair-producing join, do NOT call this directly — each side's norm
+    would be re-folded PER PAIR. Project ``norm(vec)`` once per row
+    BELOW the join and combine with :func:`cosine_pre`; the doubles are
+    bit-identical (same fold, same multiply), the fold count drops from
+    2·|pairs| to |rows|."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pre(a: Column, b: Column, a_nrm: Column, b_nrm: Column) -> Column:
+    """``cosine`` with both norms precomputed per row (see cosine's
+    join-path note): dot(a, b) / (a_nrm * b_nrm) — identical IEEE ops
+    on identical operands, so results are bit-equal to cosine()."""
+    return dot(a, b) / (a_nrm * b_nrm)
 
 
 def label_centroids(
@@ -208,7 +222,12 @@ def ivf_kmeans_topk(
     (~n/kmeans_k rows per probe — sub-linear in the corpus, never
     all-pairs). Returns (q_id, n_id, sim).
     """
-    base = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    # _nrm projected once per row below the cell join (r17; see
+    # cosine()'s join-path note) — bit-identical sim, |pairs| fewer
+    # norm folds.
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col, norm(F.col(vec_col)).alias("_nrm")
+    )
     cells = base.join(
         kmeans_lloyd(df, k=kmeans_k, iters=iters, id_col=id_col, vec_col=vec_col)
         .select(id_col, "assigned")
@@ -218,6 +237,7 @@ def ivf_kmeans_topk(
     probes = cells.filter(F.col(id_col).isin(list(probe_ids))).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        F.col("_nrm").alias("q_nrm"),
         F.col("assigned").alias("q_cell"),
     )
     cand = cells.join(
@@ -225,7 +245,12 @@ def ivf_kmeans_topk(
         (F.col("assigned") == F.col("q_cell"))
         & (F.col(id_col) != F.col("q_id")),
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("q_vec")), round_digits)
+    sim = F.round(
+        cosine_pre(
+            F.col(vec_col), F.col("q_vec"), F.col("_nrm"), F.col("q_nrm")
+        ),
+        round_digits,
+    )
     scored = cand.select("q_id", F.col(id_col).alias("n_id"), sim.alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
@@ -314,14 +339,27 @@ def topk_cosine(
     deterministic across engines; residual ties break by corpus id.
     Returns (q_id, n_id, sim).
     """
+    # norms projected once per row BELOW the join (r17): cosine() here
+    # would re-fold each query's norm per corpus row and each corpus
+    # row's norm per query — |q|·|corpus| extra 64-dim folds for the
+    # same bit-identical doubles.
     q = queries.select(
-        F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("n_id"), F.col(vec_col).alias("n_vec")
+        F.col(corpus_id).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_nrm"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("n_id"))
-    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_digits)
+    sim = F.round(
+        cosine_pre(
+            F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm")
+        ),
+        round_digits,
+    )
     scored = pairs.select("q_id", "n_id", sim.alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (

@@ -499,7 +499,18 @@ def q_monthly_revenue_salted(spark, sf_dir):
     orders replicated x8 — identical results (same oracle as
     monthly_order_revenue), skew-proof physical plan. Demonstrates that
     salting is semantics-preserving."""
-    li = _t(spark, sf_dir, "lineitem")
+    # Project the salted (left) side to the three columns the query
+    # consumes BEFORE the join (r17, guide §2.3 project-before-the-
+    # exchange): salted_join derives its salt from xxhash64 over ALL
+    # left columns, so an unprojected lineitem forced the scan to read
+    # the full 16-column schema (plan: ReadSchema listed every column)
+    # and paid a 16-column hash per row. The salt VALUE changes, but
+    # every salt matches (the right side is replicated across all of
+    # them) and the decimal revenue sum is exact/associative, so the
+    # results are bit-identical — plan now reads 3 columns and hashes 3.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
     orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
     disc_price = F.expr(
         "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -1435,11 +1446,19 @@ def q_near_dup_admission_report(spark, sf_dir):
         "shuffle_hash"
     )
     common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("bigint")
+    # union via |A|+|B|−|A∩B| (distinct shingle arrays): one array
+    # pass per candidate instead of two (r17; the minhash_md5_pairs
+    # identity — same integers, bit-identical verdicts). _c bound as
+    # a column so the intersect evaluates once in the gate.
     verdicts = (
         cands.join(sa, "doc_id")
         .join(sb, "cand")
-        .filter(common * 1_000_000 >= F.lit(500_000) * union)
+        .withColumn("_c", common)
+        .filter(
+            F.col("_c") * 1_000_000
+            >= F.lit(500_000)
+            * (F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - F.col("_c"))
+        )
         .groupBy("doc_id")
         .agg(F.min("cand").alias("canonical_id"))
     )
@@ -7114,18 +7133,29 @@ def q_semantic_admission_report(spark, sf_dir):
         max_planes=_SEMDEDUP_MAX_PLANES,
     )
     planes = emb_dedup.hyperplanes(k)
+    # norms projected once per row BELOW the cell join on BOTH sides
+    # (r17; similarity.cosine's join-path note): cosine() would re-fold
+    # each arrival's and each stored row's norm per (arrival, cand)
+    # pair — bit-identical sim either way.
     arr = embt.filter(
         arriving(F.col("vec_id")) & F.col("embedding").isNotNull()
     ).select(
         "vec_id",
         F.col("embedding").alias("vec_a"),
+        similarity.norm(F.col("embedding")).alias("nrm_a"),
         emb_dedup.lsh_signature(F.col("embedding"), planes).alias("cell"),
     )
-    sim = F.round(similarity.cosine(F.col("vec_a"), F.col("vec")), 6)
+    cells_n = cells.withColumn("nrm_c", similarity.norm(F.col("vec")))
+    sim = F.round(
+        similarity.cosine_pre(
+            F.col("vec_a"), F.col("vec"), F.col("nrm_a"), F.col("nrm_c")
+        ),
+        6,
+    )
     # shuffle_hash: the stored cell table is corpus-sized (the
     # LSH-pipeline rule — never broadcast the store)
     ver = (
-        arr.join(cells.hint("shuffle_hash"), "cell")
+        arr.join(cells_n.hint("shuffle_hash"), "cell")
         .filter(sim >= _SEMDEDUP_MIN_COSINE)
         .groupBy("vec_id")
         .agg(F.min("vid").alias("canonical_id"))
@@ -8502,6 +8532,8 @@ def q_hard_negative_mining(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(
         F.col("label").isNotNull() & F.col("embedding").isNotNull()
     )
+    # norms projected once per row below the join on both sides (r17;
+    # similarity.cosine's join-path note) — bit-identical sim.
     probes = (
         emb.filter(F.col("vec_id") % 100 == 7)
         .orderBy("vec_id")
@@ -8509,19 +8541,24 @@ def q_hard_negative_mining(spark, sf_dir):
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_vec"),
+            similarity.norm(F.col("embedding")).alias("q_nrm"),
             F.col("label").alias("q_label"),
         )
     )
     cand = emb.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_vec"),
+        similarity.norm(F.col("embedding")).alias("n_nrm"),
         F.col("label").alias("n_label"),
     )
     pairs = cand.crossJoin(F.broadcast(probes)).filter(
         F.col("n_id") != F.col("q_id")
     )
     sim = F.round(
-        similarity.cosine(F.col("q_vec"), F.col("n_vec")), 6
+        similarity.cosine_pre(
+            F.col("q_vec"), F.col("n_vec"), F.col("q_nrm"), F.col("n_nrm")
+        ),
+        6,
     )
     scored = pairs.select(
         "q_id",

@@ -776,7 +776,14 @@ def minhash_admit_stage(
     )
     thresh_micro = int(round(threshold * 1_000_000))
     common = F.size(F.array_intersect("_sh", "sh_c")).cast("bigint")
-    union = F.size(F.array_union("_sh", "sh_c")).cast("bigint")
+    # union via |A|+|B|−|A∩B| (both sides distinct shingle arrays —
+    # the r17 minhash_md5_pairs identity; one array pass per candidate,
+    # bit-identical verdicts: NULL sh_c still propagates NULL through
+    # the sum exactly as array_union did, and the cand-NULL guard
+    # gates the comparison either way).
+    union = (
+        F.size("_sh").cast("bigint") + F.size("sh_c").cast("bigint") - common
+    )
     ok = F.col("cand").isNotNull() & (
         common * 1_000_000 >= F.lit(thresh_micro) * union
     )
@@ -861,25 +868,36 @@ def semantic_admit_stage(
     round's new-query count at the verdict-mandated ≤2 so the driver
     window could clear the full r9/r10 evidence tail."""
     from chronobase_spark.dedup.embedding import hyperplanes, lsh_signature
-    from chronobase_spark.functions.similarity import cosine
+    from chronobase_spark.functions.similarity import cosine_pre, norm
 
     if window is None:
         window = watermark
     planes = hyperplanes(num_planes)
+    # norms projected once per row BELOW the cell join on both sides
+    # (r17; similarity.cosine's join-path note): per-arrival and
+    # per-stored-row folds instead of per-(arrival, cand) pair —
+    # bit-identical verdicts (the drained-equal pins hold unchanged).
     prepped = stream.withWatermark("ingest_ts", watermark).select(
         "vec_id",
         "ingest_ts",
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("_nrm"),
         lsh_signature(F.col(vec_col), planes).alias("cell"),
     )
     cand = prepped.join(
         corpus_cells.select(
-            F.col("vid").alias("cand"), F.col("vec").alias("vec_c"), "cell"
+            F.col("vid").alias("cand"),
+            F.col("vec").alias("vec_c"),
+            norm(F.col("vec")).alias("_nrm_c"),
+            "cell",
         ),
         "cell",
         "left",
     )
-    sim = F.round(cosine(F.col("vec"), F.col("vec_c")), round_digits)
+    sim = F.round(
+        cosine_pre(F.col("vec"), F.col("vec_c"), F.col("_nrm"), F.col("_nrm_c")),
+        round_digits,
+    )
     ok = F.col("cand").isNotNull() & (sim >= min_cosine)
     agg = cand.groupBy(F.window("ingest_ts", window), "vec_id").agg(
         F.max(F.when(ok, 1).otherwise(0)).alias("_dup"),
