@@ -126,18 +126,31 @@ def winnow_dup_pairs(
         .hint("shuffle_hash"),
         "fp",
     )
-    # alias the join key on one side: an un-aliased self-join column is
-    # the ambiguity Spark warns may resolve to a tautology (r7 review)
-    a = rare.select(F.col("doc").alias("doc_a"), "fp")
-    b = rare.select(
-        F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b")
-    ).hint("shuffle_hash")
-    return (
-        a.join(
-            b,
-            (F.col("fp") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")),
+    # Pair generation via bounded posting lists (r17 — the ngram
+    # _pair_candidates pattern, guide §3.4): collapse each rare
+    # fingerprint's posting list with ONE collect_list aggregate — safe
+    # ONLY because the max_df prune already ran, so no list exceeds
+    # max_df — and emit the C(f,2) ordered pairs map-side. This
+    # replaces the rare ⋈ rare self-join (one fewer corpus-sized
+    # ShuffledHashJoin; the groupBy(fp) reuses the prune join's hash
+    # partitioning). Same pair multiset: (doc, fp) rows are distinct
+    # per doc (array_distinct upstream), so one row per shared
+    # fingerprint per pair either way; the emitted pair SET per fp is
+    # order-independent, so collect_list's nondeterministic order
+    # cannot change the counts.
+    posts = rare.groupBy("fp").agg(F.collect_list("doc").alias("_docs"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_docs"),
+            lambda x: F.transform(
+                F.filter(F.col("_docs"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy("doc_a", "doc_b")
+    )
+    return (
+        posts.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

@@ -347,6 +347,60 @@ def test_winnow_fingerprints_match_reference_python(spark):
     assert got == expected
 
 
+def test_winnow_dup_pairs_match_brute_force(spark):
+    """The posting-list pair generation (r17: collect_list over the
+    max_df-pruned postings + bounded explode, replacing the fp
+    self-join) must emit exactly the brute-force pair counts: for every
+    doc pair, n_shared = |common selected fingerprints with df ≤
+    max_df|, kept iff ≥ min_shared — including a hot fingerprint
+    shared by ALL docs that the max_df prune must exclude."""
+    import hashlib
+    import re
+
+    from chronobase_spark.dedup import winnow
+
+    def py_winnow(text: str, k: int = 4, w: int = 4) -> set[int]:
+        cleaned = re.sub(r"[^a-z0-9\s]", " ", text.lower())
+        tk = [t for t in re.split(r"\s+", cleaned.strip()) if t]
+        grams = [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        h = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        return {min(h[i : i + w]) for i in range(len(h) - w + 1)}
+
+    # shared boilerplate tail on every doc -> a hot fingerprint with
+    # df == n_docs, pruned at max_df = 3 on this 4-doc corpus
+    boiler = "all rights reserved by the example corporation of example town"
+    texts = [
+        f"the quick brown fox jumps over the lazy dog again today {boiler}",
+        f"the quick brown fox jumps over the lazy dog again tomorrow {boiler}",
+        f"a completely different document about winnowing fingerprints here {boiler}",
+        f"a completely different document about winnowing fingerprints there {boiler}",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    max_df, min_shared = 3, 1
+    fps = {i: py_winnow(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    df_count = Counter(fp for s in fps.values() for fp in s)
+    rare = {i: {fp for fp in s if df_count[fp] <= max_df} for i, s in fps.items()}
+    assert any(c > max_df for c in df_count.values()), "fixture lacks a hot fp"
+    expected = {}
+    ids = sorted(fps)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            n = len(rare[ids[ai]] & rare[ids[bi]])
+            if n >= min_shared:
+                expected[(ids[ai], ids[bi])] = n
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow.winnow_dup_pairs(
+            docs, min_shared=min_shared, max_df=max_df
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_bigram_lm_scores_match_reference_python(spark):
     """The DataFrame bigram LM must reproduce a transparent pure-Python
     add-one-smoothed bigram LM exactly — vocabulary size, per-gram
