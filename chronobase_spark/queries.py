@@ -8202,7 +8202,16 @@ def q_minhash_lsh_recall(spark, sf_dir):
     its shuffles via ReuseExchange, and an explicit cache measured
     neutral-to-negative (A/B min-of-3 at sf0.1: 5.15 s uncached vs
     5.68 s cached — materialization cost exceeds the reuse win when
-    the exchanges already dedup)."""
+    the exchanges already dedup). A second r17 sharing attempt — ONE
+    persisted shingle table feeding BOTH finders via *_from_shingles
+    entry points — measured WORSE the same way (interleaved min-of-5:
+    old 5.33 s / new 6.15 s, scripts/ab_lshrecall_r17.py): the shared
+    cache must materialize serially and the truth side then re-reads
+    it through three explodes, while the independent finders' two
+    tokenize passes overlap across cores as parallel stages. Kept
+    independent; at 100 TB the second corpus pass trades against a
+    corpus-sized cache write + three cached re-reads, so the sharing
+    is not a clear scale win either."""
     docs = _t(spark, sf_dir, "documents")
     truth = ngram.jaccard_pairs(docs, threshold=0.5, max_df=50).select(
         "doc_a", "doc_b"
@@ -8333,42 +8342,68 @@ def q_embedding_dim_cov_topk(spark, sf_dir):
     rotation is warranted). Reports n·Σxy − Σx·Σy per (dim_a, dim_b)
     in micro²-units, ranked by magnitude.
 
-    Scale shape: one posexplode (constant 64 rows/vector) and one
-    vec_id-keyed self-join (constant 2016 pair rows/vector — LINEAR in
-    the corpus, bounded per vector) feeding a partial-agged 2016-cell
-    aggregate; the dim-stats join attaches 64-row marginals. The
-    ORDER is decided on EXACT decimal/HUGEINT integers (ranking on a
-    rounded double could reorder knife-edge ties), then the winning
-    values take the string-route to double for output; top-k is a
+    Scale shape (r17 optimization, guide §2.4 — remove shuffles
+    outright): the Σxy cross-products are generated MAP-SIDE by a
+    nested posexplode (pos_a over the vector, pos_b over the
+    remaining slice — constant 2016 codegen'd pair rows/vector,
+    LINEAR in the corpus) feeding a partial-agged 2016-cell
+    aggregate, so NOTHING corpus-sized is ever exchanged. This
+    replaces a vec_id-keyed self-join of the exploded (vec, pos, x)
+    table, which shuffled corpus×64 rows on BOTH join sides before
+    producing the identical product multiset (plan diff: the corpus
+    ShuffledHashJoin and its two wide exchanges are gone; surviving
+    exchanges carry ≤2016 partial cells / 64 marginals per map
+    partition, plus the spread repartition — identity at scale; the
+    unsplittable local scan otherwise serializes the 2016
+    products/vector on one core, measured 4.1 s vs 1.6 s). The
+    dim-stats marginals project off the SAME spread+posexplode
+    subtree (one scan; interleaved A/B min-of-5: old 2.21 s → new
+    1.67 s, scripts/ab_dimcov_r17.py). The ORDER is
+    decided on EXACT decimal/HUGEINT integers (ranking on a rounded
+    double could reorder knife-edge ties), then the winning values
+    take the string-route to double for output; top-k is a
     distributed TakeOrderedAndProject over 2016 cells."""
     emb = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    ex = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("pos", "v"),
-    ).select(
-        "vec_id",
-        "pos",
-        F.round(F.col("v").cast("double") * F.lit(1000000.0), 0)
-        .cast("bigint")
-        .alias("x"),
-    )
     as_dec = lambda c: c.cast("decimal(28,0)")  # noqa: E731
-    dimstats = ex.groupBy("pos").agg(
+    micro = lambda c: (  # noqa: E731 — the one x quantization rule
+        F.round(c.cast("double") * F.lit(1000000.0), 0).cast("bigint")
+    )
+    lead = catalog.spread(emb, key="vec_id").select(
+        F.posexplode(F.col("embedding")).alias("pos_a", "va"),
+        F.col("embedding"),
+    )
+    # Marginals from the SAME spread+posexplode subtree as the pair leg
+    # (one scan; the identical Exchange subtree is runtime-reused), so
+    # the per-element quantize+sum work parallelizes with the rest.
+    dimstats = lead.select(
+        F.col("pos_a").alias("pos"), micro(F.col("va")).alias("x")
+    ).groupBy("pos").agg(
         F.sum(as_dec(F.col("x"))).alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    a = ex.alias("a")
-    b = ex.hint("shuffle_hash").alias("b")
+    trail = lead.select(
+        "pos_a",
+        micro(F.col("va")).alias("xa"),
+        F.posexplode(
+            F.slice(
+                F.col("embedding"),
+                F.col("pos_a") + 2,
+                F.greatest(
+                    F.size("embedding") - F.col("pos_a") - 1, F.lit(0)
+                ),
+            )
+        ).alias("k", "vb"),
+    )
     xy = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.pos") < F.col("b.pos")),
+        trail.select(
+            "pos_a",
+            (F.col("pos_a") + 1 + F.col("k")).alias("pos_b"),
+            (as_dec(F.col("xa")) * as_dec(micro(F.col("vb")))).alias("p"),
         )
-        .groupBy(F.col("a.pos").alias("pos_a"), F.col("b.pos").alias("pos_b"))
-        .agg(F.sum(as_dec(F.col("a.x")) * as_dec(F.col("b.x"))).alias("sxy"))
+        .groupBy("pos_a", "pos_b")
+        .agg(F.sum("p").alias("sxy"))
     )
     da = dimstats.select(
         F.col("pos").alias("pos_a"), F.col("s").alias("sa"), F.col("n").alias("n_vecs")
