@@ -261,6 +261,63 @@ def test_trend_corrupt_baseline_round_is_skipped_not_fatal(tmp_path, monkeypatch
     assert bt.main(cur) == 1  # r6 skipped, r5 reached, regression fails
 
 
+def test_readjudicate_flags_mirror_trend_band():
+    """The re-adjudication pass re-samples exactly the queries the
+    trend guard would flag: > REG_FACTOR x baseline AND > ABS_FLOOR
+    seconds, with missing/zero/non-numeric baselines skipped."""
+    timings = {
+        "breach": 3.0,       # 3x baseline, above floor -> flagged
+        "sub_floor": 0.5,    # 5x baseline but under 0.75 s -> not noise-proofable, skip
+        "in_band": 1.9,      # 1.9x -> inside band
+        "no_base": 9.9,      # new query this round
+        "zero_base": 9.9,    # degenerate baseline
+    }
+    base = {"breach": 1.0, "sub_floor": 0.1, "in_band": 1.0, "zero_base": 0}
+    assert bench._readjudicate_flags(timings, base) == ["breach"]
+
+
+def test_readjudicate_flags_empty_without_baseline():
+    assert bench._readjudicate_flags({"q": 99.0}, {}) == []
+
+
+def test_trend_baseline_matches_sf_and_skips_corrupt(tmp_path, monkeypatch):
+    """_trend_baseline returns the NEWEST parseable round artifact at
+    the SAME sf (the artifact family the trend guard compares against);
+    corrupt and sf-mismatched rounds fall through, and a missing family
+    returns (None, {}) so the pass disables itself on smoke runs."""
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(
+        {"value": 1.0, "queries": {"q": 1.0}, "sf": 0.1}))
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps(
+        {"value": 2.0, "queries": {"q": 2.0}, "sf": 0.001}))  # wrong sf
+    (tmp_path / "BENCH_r07.json").write_text("{not json")     # corrupt
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    name, q = bench._trend_baseline(0.1)
+    assert (name, q) == ("BENCH_r05.json", {"q": 1.0})
+    assert bench._trend_baseline(0.5) == (None, {})
+
+
+def test_fit_line_drops_readjudicated_detail_keeps_summary():
+    """The re-adjudication audit dict is BENCH_FULL-only (like
+    rep_counts); the printed line keeps the reps summary count."""
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"a": 1.0, "b": 1.0},
+        "sf": 0.1,
+        "n_queries": 2,
+        "cpus": 32,
+        "reps": {"policy": "tiered", "readjudicated_queries": 1},
+        "rep_counts": {"a": 2, "b": 4},
+        "readjudicated": {"b": {"pre": 4.0, "post": 1.0,
+                                "baseline": 1.1, "vs": "BENCH_r16.json"}},
+    }
+    line = bench._fit_line(result)
+    assert "readjudicated" not in line
+    assert "rep_counts" not in line
+    assert line["reps"]["readjudicated_queries"] == 1
+
+
 def test_trend_max_round_caps_baseline(tmp_path, monkeypatch):
     """--max-round pins the baseline to an explicit round even when
     newer artifacts exist (judge-side round-over-round diffing)."""
