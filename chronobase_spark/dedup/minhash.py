@@ -236,12 +236,25 @@ def shingle_table(
     model. Input is spread (conditional repartition — catalog.spread)
     so shingling parallelizes on unsplittable single-row-group inputs
     and adds NO shuffle when the scan is already well-split (100 TB
-    posture)."""
+    posture).
+
+    Row filter on token count, NOT on size(sh) (r18): Catalyst inlines
+    a filter on the projected alias and pushes it below the spread
+    Exchange, so the FULL shingle expression (tokenize + per-gram
+    assembly + array_distinct) used to evaluate twice per surviving
+    row — once as the pushed predicate, once as the projection above
+    the Exchange (visible in the committed r17 plan dumps). A doc has
+    ≥1 shingle iff it has ≥ n tokens (gram count = size(tk)−n+1 > 0 ⟺
+    size(tk) ≥ n; array_distinct of a non-empty array is non-empty),
+    so the pushed predicate now pays ONE tokenize instead of the whole
+    shingle chain — identical surviving rows and identical sh arrays
+    by construction."""
+    from chronobase_spark.functions.text import tokens
+
     return (
-        spread(df, key=id_col).select(
-            F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
+        spread(df, key=id_col)
+        .filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
     )
 
 

@@ -36,9 +36,16 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     def grams_of(tk: Column) -> Column:
         count = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+        # Per-gram assembly via n direct element reads + concat_ws
+        # instead of array_join(slice(...)): slice allocates an n-element
+        # array per gram before joining it; 0-based F.get reads in place
+        # (every i+j is in range by construction of count, and tokens are
+        # never NULL/empty, so concat_ws's NULL-skip can't fire — the
+        # joined string is bit-identical; proven over every sf table +
+        # adversarial frame in scripts/ab_tokens_r18.py --check).
         grams = F.transform(
             F.sequence(F.lit(0), count - 1),
-            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+            lambda i: F.concat_ws(" ", *[F.get(tk, i + j) for j in range(n)]),
         )
         return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
 

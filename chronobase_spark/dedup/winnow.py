@@ -66,9 +66,18 @@ def selected_fingerprints(text, k: int = K, w: int = W):
             F.size(tk) >= k,
             F.transform(
                 F.sequence(F.lit(0), F.size(tk) - k),
+                # gram assembly via k direct element reads + concat_ws
+                # (r18, dedup/ngram.py rule: slice allocates a k-array
+                # per gram; every read is in range by construction and
+                # tokens are never NULL, so the md5 input string — and
+                # hence the fingerprint — is bit-identical).
                 lambda i: F.conv(
                     F.substring(
-                        F.md5(F.array_join(F.slice(tk, i + 1, k), " ")), 1, 8
+                        F.md5(
+                            F.concat_ws(" ", *[F.get(tk, i + j) for j in range(k)])
+                        ),
+                        1,
+                        8,
                     ),
                     16,
                     10,
@@ -96,11 +105,31 @@ def winnow_fingerprints(
     from chronobase_spark.catalog import spread
 
     fps = selected_fingerprints(F.col(text_col), k, w)
+    # Row filter on token count, NOT on size(_fps) (r18): Catalyst
+    # inlines a filter on the projected alias and pushes it below the
+    # spread Exchange, so the WHOLE fingerprint expression (one md5 per
+    # positional k-gram + window minima — the heaviest per-row expr in
+    # the dedup family) used to evaluate twice per surviving row: once
+    # as the pushed predicate, once as the projection. A doc has ≥1
+    # selected fingerprint iff it has ≥ k+w−1 tokens (grams need ≥k
+    # tokens; the window pass needs ≥w gram hashes, i.e. ≥ k+w−1
+    # tokens; array_distinct of a non-empty array is non-empty), so the
+    # pushed predicate now pays ONE tokenize instead of the full
+    # fingerprint chain — identical surviving rows by construction.
+    # explode_outer, not explode: Catalyst's InferFiltersFromGenerate
+    # adds `size(_fps) > 0 AND isnotnull(_fps)` below a plain explode of
+    # an aliased column, and after inlining that predicate re-evaluates
+    # the WHOLE fingerprint expression twice per row — exactly the
+    # duplication the token filter above exists to remove (verified in
+    # the r18 plan dumps). No filter is inferable for an outer explode;
+    # the token filter already guarantees `_fps` is non-NULL and
+    # non-empty for every surviving row, so the emitted rows are
+    # identical (no NULL-fp rows can appear).
     return (
         spread(df, key=id_col)
+        .filter(F.size(tokens(F.col(text_col))) >= k + w - 1)
         .select(F.col(id_col).alias("doc"), fps.alias("_fps"))
-        .filter(F.size("_fps") > 0)
-        .select("doc", F.explode("_fps").alias("fp"))
+        .select("doc", F.explode_outer("_fps").alias("fp"))
     )
 
 

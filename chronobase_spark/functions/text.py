@@ -20,9 +20,20 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization after lowercase + punctuation strip."""
-    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
-    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+    """Whitespace tokenization after lowercase + punctuation strip.
+
+    ONE regex pass (r18): split directly on runs of non-alphanumerics.
+    The maximal [a-z0-9] runs this yields are exactly the tokens the
+    old two-pass form (replace [^a-z0-9\\s] with space, trim, split on
+    \\s+) produced — any non-alphanumeric character acts as a separator
+    either way, and leading/trailing separators only contribute empty
+    strings, which the filter drops. Bit-identical over every sf
+    documents table and an adversarial literal frame (NULL, empty,
+    punctuation-only, unicode whitespace, tabs/newlines —
+    scripts/ab_tokens_r18.py --check, 0 mismatches); the saved
+    regexp_replace is one fewer full pass over every text byte in the
+    corpus (interleaved A/B: the shingle map stage −29%)."""
+    return F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
 
 
 def with_tokens(text: Column, fn) -> Column:
