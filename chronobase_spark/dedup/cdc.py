@@ -131,8 +131,13 @@ def with_chunk_bounds(
             lambda st: st["e"] > st["s"],
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<s:int, e:int>>)"))
-    return stage2.select(
-        *df.columns, pairs.alias("_cdc_bounds")
+    # third barrier (r18): callers posexplode `_cdc_bounds`, and
+    # InferFiltersFromGenerate's `size(..)>0 AND isnotnull(..)` predicate
+    # used to inline the whole pairs transform and re-evaluate it twice
+    # per row (visible as the 800+-char Filter conditions in the r17
+    # plans); behind the Generate it lands on the materialized attribute.
+    return _barrier(stage2, _cdc_bounds=pairs).select(
+        *df.columns, "_cdc_bounds"
     )
 
 
@@ -170,13 +175,25 @@ def chunk_table(
     chunk_txt = F.substr(
         F.col("_txt"), F.col("b.s") + 1, F.col("b.e") - F.col("b.s")
     )
+    # Generate barrier around the per-chunk md5 (r18): consumers join /
+    # distinct on chunk_md5, and the inferred join-key isnotnull used to
+    # inline `md5(substr(text, …))` and re-hash every chunk in the
+    # Filter (visible in the r17 dedup_strategy_compare plan); behind
+    # the barrier the predicate reads the materialized column. The
+    # struct is never NULL, so inline emits exactly one row per chunk.
     out = ex.select(
         "doc_id",
         "source",
         "chunk_idx",
-        F.md5(chunk_txt).alias("chunk_md5"),
-        (F.col("b.e") - F.col("b.s")).alias("chunk_len"),
-        *([chunk_txt.alias("chunk_text")] if keep_text else []),
+        F.inline(
+            F.array(
+                F.struct(
+                    F.md5(chunk_txt).alias("chunk_md5"),
+                    (F.col("b.e") - F.col("b.s")).alias("chunk_len"),
+                    *([chunk_txt.alias("chunk_text")] if keep_text else []),
+                )
+            )
+        ),
     )
     return out
 

@@ -703,6 +703,14 @@ def _doc_bigram_tf(docs, id_col: str, text_col: str):
     from chronobase_spark.catalog import spread
 
     docs = spread(docs, key=id_col)
+    # NO pre-filter here (r18, measured): the explode's generator input
+    # is the inline gram EXPRESSION, not an aliased column, and Spark 4
+    # infers no generate filter for that shape — the gram tree already
+    # evaluates exactly once per row (plan-verified). An experimental
+    # `size(lm_tokens) >= 2` pre-filter was pushed below the spread
+    # Exchange onto the unsplittable single-task scan and ADDED a
+    # serialized corpus tokenize pass: interleaved A/B read +10-13% on
+    # all three LM queries — reverted (guide §1: measure, don't assume).
     return (
         docs.select(
             F.col(id_col), F.explode(lm_grams(F.col(text_col))).alias("gram")
@@ -710,6 +718,17 @@ def _doc_bigram_tf(docs, id_col: str, text_col: str):
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def _expr_barrier(df, **cols):
+    """Materialize ``cols`` behind one Generate node (the dedup/cdc
+    _barrier convention): a filter on a plain column alias is inlined
+    by CollapseProject and re-evaluates the whole expression tree per
+    predicate — behind inline(array(struct)) the filter reads the
+    materialized attribute instead (r18; the duplicated trees were
+    visible as 600+-char Filter conditions in the committed plans)."""
+    named = [c.alias(name) for name, c in cols.items()]
+    return df.select("*", F.inline(F.array(F.struct(*named))))
 
 
 def _lm_vocab(gram_counts, docs, text_col: str):
@@ -730,8 +749,13 @@ def _lm_vocab(gram_counts, docs, text_col: str):
     redundant second corpus pass in the suite's slowest query
     (q_bigram_lm_logprob r9 bench 6.5 s)."""
     tk = lm_tokens(F.col(text_col))
-    last = docs.select(F.get(tk, F.size(tk) - 1).alias("t")).where(
-        F.col("t").isNotNull()
+    # _expr_barrier: the isNotNull used to inline the tokenize + get
+    # tree and re-run it as the pushed predicate (2 tokenize per row on
+    # the scan side); behind the Generate it reads the attribute.
+    last = (
+        _expr_barrier(docs, t=F.get(tk, F.size(tk) - 1))
+        .where(F.col("t").isNotNull())
+        .select("t")
     )
     w1s = gram_counts.select(F.substring_index("gram", " ", 1).alias("t"))
     return w1s.unionByName(last).agg(F.countDistinct("t").alias("v"))
@@ -834,6 +858,10 @@ def _doc_trigram_tf(docs, id_col: str, text_col: str):
     from chronobase_spark.catalog import spread
 
     docs = spread(docs, key=id_col)
+    # no pre-filter — the _doc_bigram_tf r18 measurement one order up
+    # (no inferred filter exists for the inline-expression explode; an
+    # added pre-filter serialized an extra tokenize below the spread
+    # Exchange and measured WORSE).
     return (
         docs.select(
             F.col(id_col), F.explode(lm_trigrams(F.col(text_col))).alias("gram")
@@ -874,12 +902,19 @@ def _jm_marginals(tri_counts, docs, text_col: str):
         F.substring_index("gram", " ", -2).alias("b"),
         F.col("c123").alias("cnt"),
     )
+    # _expr_barrier on both correction sides (r18): the isNotNull
+    # predicates (and the bc join's inferred substring_index notnull)
+    # used to inline the first-gram when-trees and re-tokenize every
+    # doc up to 3× in the pushed Filter (the 663-char conditions in
+    # the committed r17/r18-before plans); behind the Generate the
+    # predicates read the materialized attribute.
     first_b = (
-        docs.select(
-            F.when(
+        _expr_barrier(
+            docs,
+            b=F.when(
                 F.size(tk) >= 2,
                 F.concat_ws(" ", F.get(tk, 0), F.get(tk, 1)),
-            ).alias("b")
+            ),
         )
         .where(F.col("b").isNotNull())
         .select("b", F.lit(1).alias("cnt"))
@@ -904,14 +939,14 @@ def _jm_marginals(tri_counts, docs, text_col: str):
         F.col("c123").alias("cnt"),
     )
     first_w = (
-        docs.select(
-            F.explode(
-                F.filter(
-                    F.array(F.get(tk, 0), F.get(tk, 1)),
-                    lambda t: t.isNotNull(),
-                )
-            ).alias("w")
+        _expr_barrier(
+            docs,
+            _w2=F.filter(
+                F.array(F.get(tk, 0), F.get(tk, 1)),
+                lambda t: t.isNotNull(),
+            ),
         )
+        .select(F.explode("_w2").alias("w"))
         .select("w", F.lit(1).alias("cnt"))
     )
     uni = (

@@ -6310,13 +6310,23 @@ def q_quality_signal_corr(spark, sf_dir):
     char_entropy A/B, r17)."""
     docs = catalog.spread(_t(spark, sf_dir, "documents"), key="doc_id")
     ntok = text.space_distinct_tokens(F.col("text")).cast("bigint")
-    # bind the entropy expression under a named column first so the
-    # integer milli-nat rescale runs on the materialized value
+    # inline(array(struct)) = the Generate barrier (dedup/cdc._barrier
+    # convention, r18): a plain alias let the isNotNull filter inline
+    # the WHOLE char-entropy sorted fold and re-evaluate it per row
+    # (the 1480-char Filter condition in the r17 plans — the heaviest
+    # duplicated predicate in the registry); behind the Generate the
+    # filter and the milli-nat rescale read the materialized value.
     sig = (
         docs.select(
             "lang",
-            F.least(ntok, F.lit(1000)).alias("x"),
-            text.char_entropy(F.col("text")).alias("ent_micro"),
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.least(ntok, F.lit(1000)).alias("x"),
+                        text.char_entropy(F.col("text")).alias("ent_micro"),
+                    )
+                )
+            ),
         )
         .filter(F.col("ent_micro").isNotNull())
         .select(
@@ -9314,8 +9324,20 @@ def q_dedup_strategy_compare(spark, sf_dir):
             )
         )
     )
+    # Generate barrier (dedup/cdc._barrier convention, r18): the store
+    # side's distinct dh feeds a join, and the inferred join-key
+    # isnotnull used to inline md5(text) and re-hash every store doc in
+    # the Filter; behind the barrier it reads the materialized column.
     dh = docs.select(
-        "doc_id", "source", F.md5("text").alias("dh"), F.length("text").alias("dlen")
+        "doc_id",
+        "source",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.md5("text").alias("dh"), F.length("text").alias("dlen")
+                )
+            )
+        ),
     )
     docs_old = dh.filter(F.col("doc_id") % 2 == 0).select("dh").distinct()
     docs_new = (
@@ -9740,24 +9762,31 @@ def q_boilerplate_templates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # the end-hash struct is the SHARED definition the streaming
     # template_stage emits (functions/text.template_end_hashes) — NULL
-    # for short docs, which the filters below drop exactly like the
-    # former explicit size gate
+    # fields for short docs, which the filters below drop exactly like
+    # the former explicit size gate. inline(array(struct)) = the
+    # Generate barrier (dedup/cdc._barrier convention, r18): a plain
+    # `_e` alias let CollapseProject inline the tokenize+2×md5 struct
+    # into BOTH branch filters and BOTH field extractions — up to four
+    # evaluations per row (the 500+-char Filter conditions in the r17
+    # plans); behind the Generate each branch filters/reads the
+    # materialized fields. The struct itself is never NULL (only its
+    # fields are), so inline emits exactly one row per doc.
     ends = docs.select(
         "doc_id",
         "source",
-        text.template_end_hashes(F.col("text")).alias("_e"),
+        F.inline(F.array(text.template_end_hashes(F.col("text")))),
     )
-    pre = ends.filter(F.col("_e.prefix_h").isNotNull()).select(
+    pre = ends.filter(F.col("prefix_h").isNotNull()).select(
         "doc_id",
         "source",
         F.lit("prefix").alias("kind"),
-        F.col("_e.prefix_h").alias("h"),
+        F.col("prefix_h").alias("h"),
     )
-    suf = ends.filter(F.col("_e.suffix_h").isNotNull()).select(
+    suf = ends.filter(F.col("suffix_h").isNotNull()).select(
         "doc_id",
         "source",
         F.lit("suffix").alias("kind"),
-        F.col("_e.suffix_h").alias("h"),
+        F.col("suffix_h").alias("h"),
     )
     return (
         pre.unionAll(suf)
