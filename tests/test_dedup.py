@@ -957,3 +957,62 @@ def test_doc_novelty_ratio_ground_truth(spark, tmp_path):
     assert got[3][0] == 22 and got[3][1] == 12  # 10 fresh-block + 2 seam
     assert got[3][2] == 12 / 22
     assert got[4] == (2, 2, 1.0)
+
+
+def test_r18_tokenize_and_gram_rewrites_match_two_pass_forms(spark, docs):
+    """r18 K/L equivalence pin: the single-regex tokenizer and the
+    concat_ws gram assembly must be bit-identical to the r17 two-pass
+    regexp_replace+split / array_join(slice(...)) forms — over the real
+    corpus AND an adversarial literal frame (NULL, empty,
+    punctuation-only, unicode whitespace, control chars, multi-space).
+    Guards the expression the entire dedup/text family compiles."""
+    from chronobase_spark.functions.text import tokens
+
+    def tokens_old(text):
+        cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
+        return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+
+    def shingles_old(text, n=3):
+        def grams_of(tk):
+            count = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+            grams = F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+            )
+            return F.array_distinct(
+                F.when(count > 0, grams).otherwise(F.array())
+            )
+
+        return F.get(F.transform(F.array(tokens_old(text)), grams_of), 0)
+
+    adversarial = spark.createDataFrame(
+        [
+            (None,),
+            ("",),
+            ("   ",),
+            ("...!!!###",),
+            ("a",),
+            ("a b c",),
+            ("Hello, World! 123",),
+            ("tab\tsep\nnewline\rcr",),
+            ("UPPER lower MiXeD 42x7",),
+            ("trailing space ",),
+            (" leading",),
+            ("a  b   c",),
+            ("héllo wörld çafé",),
+            ("a-b c_d e.f",),
+            ("0 00 000 0a a0",),
+        ],
+        "text string",
+    )
+    for frame in (docs.select("text"), adversarial):
+        mism = frame.select(
+            tokens_old(F.col("text")).alias("ot"),
+            tokens(F.col("text")).alias("nt"),
+            shingles_old(F.col("text"), 3).alias("os"),
+            ngram.shingles(F.col("text"), 3).alias("ns"),
+        ).filter(
+            ~F.col("ot").eqNullSafe(F.col("nt"))
+            | ~F.col("os").eqNullSafe(F.col("ns"))
+        )
+        assert mism.count() == 0, mism.limit(5).collect()
